@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query...]
+
+Loads each <verifyOutDir>/<name> parquet (Spark's output), runs the
+matching SQL from oracle_sql.json in DuckDB (tables = views over the
+sfDir parquet files), and compares: schema (column names), row count,
+and values (columns sorted by name, rows sorted by all columns).
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    return str(v)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            got_cols = sorted(got.columns)
+            got_rows = con.sql(
+                f"SELECT {', '.join(got_cols)} FROM got ORDER BY ALL").fetchall()
+            exp = con.sql(sql)
+            exp_cols = sorted(exp.columns)
+            exp_rows = con.sql(
+                f"SELECT {', '.join(exp_cols)} FROM exp ORDER BY ALL").fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error: {e}")
+            n_fail += 1
+            continue
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns spark={got_cols} duckdb={exp_cols}")
+            n_fail += 1
+            continue
+        if len(got_rows) != len(exp_rows):
+            print(f"FAIL {name}: rows spark={len(got_rows)} duckdb={len(exp_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (g, e) in enumerate(zip(got_rows, exp_rows)):
+            gs, es = [norm(x) for x in g], [norm(x) for x in e]
+            if gs != es:
+                bad = (i, gs, es)
+                break
+        if bad:
+            i, gs, es = bad
+            print(f"FAIL {name}: row {i} differs\n  cols : {got_cols}\n  spark: {gs}\n  duck : {es}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

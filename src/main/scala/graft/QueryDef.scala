@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine capability: a named DataFrame program over the fixture tables
+  * plus (when SQL-expressible) a DuckDB oracle that must hash-match it.
+  *
+  * Oracle-parity rules used across all modules (SURVEY.md §7.3):
+  *   - money/quantity sums go through DecimalType so both engines sum
+  *     exactly (double sums are partition-order dependent);
+  *   - ratios/logs/similarities stay double but are `round(x, n)`-ed
+  *     identically on both sides;
+  *   - every query ends in a deterministic ORDER BY with a unique
+  *     tiebreaker, so LIMIT boundaries cannot diverge between engines.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+trait QueryModule {
+  def entries: Seq[QueryDef]
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** TPC-H-subset relational core — the reference's Q1–Q7
+  * (`/root/reference/Spark/SparkSQL/Q1.scala:30` … `Q7.scala:43`,
+  * golden SQL in `Spark/SparkSQL/README.md`).
+  *
+  * The reference hand-builds these plans with RDD cogroups and
+  * driver-side broadcast maps; here each is one declarative DataFrame
+  * expression. Catalyst re-derives everything the reference did by hand:
+  * filter pushdown to the parquet scan, column pruning, broadcast-hash
+  * joins for the dims, partial aggregation, and
+  * `TakeOrderedAndProject` for the sort+limit queries (SURVEY.md §4).
+  *
+  * Fixture substitutions (FIXTURES.md): `o_clerk` → `o_orderpriority`
+  * (Q2), `o_shippriority` → `o_orderstatus` (Q7); dates are real
+  * TIMESTAMP columns instead of the reference's lexicographic strings.
+  *
+  * 100 TB posture: lineitem is the only fact table; every dim
+  * (part/supplier/customer/nation) is explicitly `broadcast()` so no
+  * plan ever shuffles the fact for a dim join. The only shuffles are
+  * the group-by exchanges on (low-cardinality) grouping keys and the
+  * final TakeOrdered, which is a per-partition top-k + driver merge.
+  */
+object Relational extends QueryModule {
+
+  /** Date where all three SFs have shipments (verified in fixtures). */
+  val SHIP_DATE = "1996-11-01 00:00:00"
+  /** Q7 split date: unshipped = ordered before, shipped after. */
+  val Q7_DATE = "1997-06-30 00:00:00"
+
+  private def d(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+
+  /** Exact-sum helper: doubles → decimal so aggregation order can't
+    * perturb the result (oracle parity; SURVEY.md §7.3). */
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(7, 4))
+
+  // --- Q1: count of items shipped on a date (Q1.scala:30-41) -------------
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") === d(SHIP_DATE))
+      .agg(count(lit(1)).as("cnt"))
+
+  val q1Sql =
+    s"SELECT count(*) AS cnt FROM lineitem WHERE l_shipdate = TIMESTAMP '$SHIP_DATE'"
+
+  // --- Q2: clerks (→ o_orderpriority) for a ship date (Q2.scala:31-45) ---
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") === d(SHIP_DATE))
+      .select(col("l_orderkey"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderpriority"), col("o_orderkey"))
+      .orderBy(col("o_orderkey"), col("o_orderpriority"))
+      .limit(20)
+  }
+
+  val q2Sql =
+    s"""SELECT o_orderpriority, o_orderkey
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_shipdate = TIMESTAMP '$SHIP_DATE'
+       |ORDER BY o_orderkey, o_orderpriority LIMIT 20""".stripMargin
+
+  // --- Q3: part+supplier names for a ship date (Q3.scala:41-59) ----------
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") === d(SHIP_DATE))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    val s = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .select(col("l_orderkey"), col("p_name"), col("s_name"))
+      .orderBy(col("l_orderkey"), col("p_name"), col("s_name"))
+      .limit(20)
+  }
+
+  val q3Sql =
+    s"""SELECT l_orderkey, p_name, s_name
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE l_shipdate = TIMESTAMP '$SHIP_DATE'
+       |ORDER BY l_orderkey, p_name, s_name LIMIT 20""".stripMargin
+
+  // --- Q4: shipments per nation on a date (Q4.scala:39-70) ---------------
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") === d(SHIP_DATE))
+      .select(col("l_orderkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  val q4Sql =
+    s"""SELECT n_nationkey, n_name, count(*) AS cnt
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_shipdate = TIMESTAMP '$SHIP_DATE'
+       |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin
+
+  // --- Q5: two-nation shipment volume by month (Q5.scala:41-69) ----------
+  /** Reference compares CANADA vs UNITED STATES; fixture nations are
+    * synthetic names, so the two compared nations are NATION_3/NATION_24
+    * (documented single-point substitution, FIXTURES.md). */
+  val Q5_NATIONS = Seq("NATION_3", "NATION_24")
+
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(Q5_NATIONS: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("n_name"), col("ship_month"))
+  }
+
+  val q5Sql =
+    s"""SELECT n_name, strftime(l_shipdate, '%Y-%m') AS ship_month, count(*) AS cnt
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |WHERE n_name IN ('NATION_3', 'NATION_24')
+       |GROUP BY n_name, ship_month ORDER BY n_name, ship_month""".stripMargin
+
+  // --- Q6: TPC-H Q1 pricing summary (Q6.scala:42-59) ---------------------
+  def q6(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(1, 0))
+    val price = dec2(col("l_extendedprice"))
+    val disc = dec4(col("l_discount"))
+    val tax = dec4(col("l_tax"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") === d(SHIP_DATE))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(dec2(col("l_quantity"))), 2).cast(DecimalType(18, 2)).as("sum_qty"),
+        round(sum(price), 2).cast(DecimalType(18, 2)).as("sum_base_price"),
+        round(sum(price * (one - disc)), 2).cast(DecimalType(18, 2)).as("sum_disc_price"),
+        round(sum(price * (one - disc) * (one + tax)), 2).cast(DecimalType(18, 2)).as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(dec4(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q6Sql =
+    s"""SELECT
+       |  l_returnflag, l_linestatus,
+       |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS sum_qty,
+       |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS sum_base_price,
+       |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(7,4)))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+       |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(7,4))) * (CAST(1 AS DECIMAL(1,0)) + CAST(l_tax AS DECIMAL(7,4)))), 2) AS DECIMAL(18,2)) AS sum_charge,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       |  CAST(SUM(CAST(l_discount AS DECIMAL(7,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       |  COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate = TIMESTAMP '$SHIP_DATE'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- Q7: top-10 unshipped orders by revenue (Q7.scala:43-66) -----------
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > d(Q7_DATE))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < d(Q7_DATE))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderstatus"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val one = lit(1).cast(DecimalType(1, 0))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_name"), col("l_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      .agg(round(sum(dec2(col("l_extendedprice")) * (one - dec4(col("l_discount")))), 2)
+        .cast(DecimalType(18, 2)).as("revenue"))
+      .select(col("c_name"), col("l_orderkey"), col("revenue"),
+        col("o_orderdate"), col("o_orderstatus"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q7Sql =
+    s"""SELECT c_name, l_orderkey,
+       |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(7,4)))), 2) AS DECIMAL(18,2)) AS revenue,
+       |  o_orderdate, o_orderstatus
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE o_orderdate < TIMESTAMP '$Q7_DATE' AND l_shipdate > TIMESTAMP '$Q7_DATE'
+       |GROUP BY c_name, l_orderkey, o_orderdate, o_orderstatus
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef("q1_count_shipped", q1, Some(q1Sql), "Q1: count items shipped on a date"),
+    QueryDef("q2_clerks", q2, Some(q2Sql), "Q2: order priorities for a ship date, first 20 by order key"),
+    QueryDef("q3_part_supplier", q3, Some(q3Sql), "Q3: part/supplier names via broadcast joins"),
+    QueryDef("q4_shipments_by_nation", q4, Some(q4Sql), "Q4: per-nation shipment counts, 4-way join"),
+    QueryDef("q5_monthly_shipments", q5, Some(q5Sql), "Q5: two-nation volume by month"),
+    QueryDef("q6_pricing_summary", q6, Some(q6Sql), "Q6: TPC-H Q1 pricing summary report"),
+    QueryDef("q7_top_unshipped", q7, Some(q7Sql), "Q7: TPC-H Q3 shipping priority top-10"))
+}
