@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text column utilities.
+  *
+  * `tokenize` reproduces the reference's bespin tokenizer semantics
+  * (`io.bespin.{java,scala}.util.Tokenizer`, used by 9 workloads — e.g.
+  * `/root/reference/Spark/PMI/PairsPMI.scala:5,46`,
+  * `/root/reference/MapReduce/Counting/WordCount.java:19,61`):
+  * lowercase, strip everything but [a-z0-9] and whitespace, split on
+  * whitespace, drop empties. Kept as a pure column expression (no UDF)
+  * so it stays inside whole-stage codegen, and trivially translatable
+  * to the DuckDB oracle (SURVEY.md §2.8).
+  */
+object TextFns {
+
+  /** bespin-parity tokenizer as a Column expression. */
+  def tokenize(c: Column): Column =
+    filter(
+      split(regexp_replace(lower(c), "[^a-z0-9\\s]+", ""), "\\s+"),
+      t => t =!= lit(""))
+
+  /** The same tokenizer as a DuckDB SQL fragment over column `col`. */
+  def tokenizeSql(col: String): String =
+    s"list_filter(string_split_regex(regexp_replace(lower($col), '[^a-z0-9\\s]+', '', 'g'), '\\s+'), x -> x <> '')"
+
+  /** Adjacent-bigram structs from a token array (reference
+    * `tokens.sliding(2)` — `…Pairs.scala:58`). Caller must ensure
+    * `size(tokens) > 1` (the reference's non-empty guard). */
+  def bigrams(tokens: Column): Column =
+    transform(
+      sequence(lit(0), size(tokens) - 2),
+      i => struct(
+        element_at(tokens, i + 1).as("w1"),
+        element_at(tokens, i + 2).as("w2")))
+
+  /** First-40 distinct tokens (reference PMI line-dedup —
+    * `PairsPMI.scala:48,62`; `PairsPMI.java:79-86`). */
+  def first40Distinct(tokens: Column): Column =
+    array_distinct(slice(tokens, 1, 40))
+
+  /** DuckDB fragment for [[first40Distinct]] over a list expr. */
+  def first40DistinctSql(listExpr: String): String =
+    s"list_distinct($listExpr[1:40])"
+}
