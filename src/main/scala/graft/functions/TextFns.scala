@@ -27,14 +27,18 @@ object TextFns {
     s"list_filter(string_split_regex(regexp_replace(lower($col), '[^a-z0-9\\s]+', '', 'g'), '\\s+'), x -> x <> '')"
 
   /** Adjacent-bigram structs from a token array (reference
-    * `tokens.sliding(2)` — `…Pairs.scala:58`). Caller must ensure
-    * `size(tokens) > 1` (the reference's non-empty guard). */
+    * `tokens.sliding(2)` — `…Pairs.scala:58`). Internally guarded:
+    * size<=1 arrays yield an empty array (sequence(0,-1) would descend
+    * and element_at(_, 0) throw), so a missed caller-side filter
+    * degrades to empty output instead of a job-killing exception. */
   def bigrams(tokens: Column): Column =
-    transform(
-      sequence(lit(0), size(tokens) - 2),
-      i => struct(
-        element_at(tokens, i + 1).as("w1"),
-        element_at(tokens, i + 2).as("w2")))
+    when(size(tokens) > 1,
+      transform(
+        sequence(lit(0), size(tokens) - 2),
+        i => struct(
+          element_at(tokens, i + 1).as("w1"),
+          element_at(tokens, i + 2).as("w2"))))
+      .otherwise(array())
 
   /** First-40 distinct tokens (reference PMI line-dedup —
     * `PairsPMI.scala:48,62`; `PairsPMI.java:79-86`). */
