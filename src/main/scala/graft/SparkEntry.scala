@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** All operator modules, in SURVEY.md §7.1 build order. */
   def modules: Seq[QueryModule] = Seq(
-    operators.Relational)
+    operators.Relational,
+    operators.TextCore)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)
 
