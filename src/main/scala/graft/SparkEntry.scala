@@ -12,7 +12,8 @@ object SparkEntry {
   /** All operator modules, in SURVEY.md §7.1 build order. */
   def modules: Seq[QueryModule] = Seq(
     operators.Relational,
-    operators.TextCore)
+    operators.TextCore,
+    operators.Pipeline)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)
 

@@ -1,0 +1,267 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Training-data pipeline operators, tranche 1 — the per-row / single-
+  * shuffle family a 100 TB corpus pipeline needs (brief north star; no
+  * reference counterpart, designed Spark-first):
+  *
+  *   - exact deduplication by content hash (`sha2(text, 256)` groupBy);
+  *   - JSON metadata extraction (`from_json` over `events.props`);
+  *   - corpus statistics per language;
+  *   - per-document quality scoring (length/stopword/alnum ratios);
+  *   - token counting, whitespace vs BPE-ish regex;
+  *   - n-gram-profile language identification;
+  *   - document fingerprinting (polynomial rolling hash).
+  *
+  * 100 TB posture: every query here is either pure per-row expression
+  * work (quality, token counts, lang-id, fingerprint — embarrassingly
+  * parallel, whole-stage codegen, zero shuffle before the final
+  * order-for-output) or one hash aggregation on a bounded key space
+  * (lang, event_type) / on the content hash (exact dedup — the shuffle
+  * is the point: identical texts must meet). No UDFs, no driver
+  * collects, no joins against unbounded sides.
+  */
+object Pipeline extends QueryModule {
+
+  /** Stopword list for quality scoring (the fixture vocabulary's two
+    * function words). */
+  val STOPWORDS = Seq("a", "the")
+
+  /** Token profiles for the language-ID heuristic — characteristic-token
+    * overlap scoring, the n-gram-profile technique at n=1 over a tiny
+    * synthetic vocabulary. Deterministic; ties break in CASE order. */
+  val LANG_PROFILES: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("schnell", "tabelle", "zeile", "wert", "batch", "merge", "sort"),
+    "en" -> Seq("the", "a", "row", "fast", "table", "value", "join"),
+    "es" -> Seq("datos", "consulta", "lento", "data", "query", "slow", "stream"),
+    "fr" -> Seq("donnees", "requete", "ligne", "line", "window", "column", "filter"),
+    "zh" -> Seq("shuju", "chaxun", "biao", "hash", "key", "scan", "agg"))
+
+  /** Rolling-hash constants (doc_fingerprint). MOD keeps acc*BASE+tok
+    * comfortably inside a signed 64-bit long: acc < 1e15, tok < 2^56. */
+  val FP_BASE = 131L
+  val FP_MOD = 1000000000000037L
+
+  // --- exact_dedup: content-hash duplicate groups ------------------------
+  /** One row per document with its content hash, the size of its
+    * duplicate group, and whether it is the canonical (min doc_id)
+    * member — the keep/drop decision of an exact-dedup pass. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_hash"))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === min(col("doc_id")).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  val exactDedupSql =
+    """SELECT doc_id, sha256(text) AS text_hash,
+      |  count(*) OVER (PARTITION BY sha256(text)) AS dup_count,
+      |  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- json_extract: typed metadata out of events.props ------------------
+  /** Parses the JSON `props` column with a declared schema (`from_json`)
+    * and aggregates per event type. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))).getField("k")
+    Tables.events(spark, dir)
+      .select(col("event_type"), k.as("k"), col("value"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(sum(col("value").cast(DecimalType(12, 2))), 2)
+          .cast(DecimalType(18, 2)).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonExtractSql =
+    """SELECT event_type, count(*) AS cnt,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // --- text_stats: corpus breakdown per language -------------------------
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(TextFns.tokenize(col("text"))).as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  val textStatsSql =
+    s"""WITH d AS (SELECT lang, source, n_chars,
+       |  len(${TextFns.tokenizeSql("text")}) AS n_tokens FROM documents)
+       |SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       |  sum(n_chars) AS total_chars, sum(n_tokens) AS total_tokens,
+       |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // --- doc_quality: per-document quality score ---------------------------
+  /** Length/stopword/alphanumeric-ratio quality heuristic; pure per-row
+    * expressions (no shuffle), the shape of a corpus-filtering pass. */
+  def docQuality(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = TextFns.tokenize(col("text"))
+    val nTok = size(tokens).cast("double")
+    val stopRatio = when(size(tokens) > 0,
+      size(array_intersect_keep(tokens)).cast("double") / nTok).otherwise(0.0)
+    val alnum = length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    val alnumRatio = when(length(col("text")) > 0,
+      alnum.cast("double") / length(col("text"))).otherwise(0.0)
+    val quality = least(lit(1.0), nTok / 100.0) * (lit(1.0) - stopRatio) * alnumRatio
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens).as("n_tokens"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(alnumRatio, 6).as("alnum_ratio"),
+        round(quality, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** tokens kept when ∈ STOPWORDS (helper: `filter` with isin). */
+  private def array_intersect_keep(tokens: Column): Column =
+    filter(tokens, t => t.isin(STOPWORDS.map(lit): _*))
+
+  val docQualitySql = {
+    val ts = TextFns.tokenizeSql("text")
+    val stopList = STOPWORDS.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, text, $ts AS ts FROM documents),
+       |q AS (SELECT doc_id, len(ts) AS n_tokens,
+       |  CASE WHEN len(ts) > 0 THEN CAST(len(list_filter(ts, x -> list_contains($stopList, x))) AS DOUBLE) / len(ts) ELSE 0.0 END AS stop_ratio,
+       |  CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END AS alnum_ratio
+       |  FROM d)
+       |SELECT doc_id, n_tokens, round(stop_ratio, 6) AS stopword_ratio,
+       |  round(alnum_ratio, 6) AS alnum_ratio,
+       |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_ratio) * alnum_ratio, 6) AS quality
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  // --- token_count: whitespace vs BPE-ish regex tokenization -------------
+  /** Token counting two ways: the whitespace tokenizer and a BPE-ish
+    * pre-tokenization regex (letter runs | digit runs | single
+    * non-alnum-non-space), the shape GPT-style tokenizers use. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val ws = size(TextFns.tokenize(col("text")))
+    val bpe = size(regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws_tokens"), bpe.as("bpe_tokens"),
+        round(when(ws > 0, bpe.cast("double") / ws).otherwise(0.0), 6)
+          .as("bpe_per_ws"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenCountSql =
+    s"""WITH d AS (SELECT doc_id,
+       |  len(${TextFns.tokenizeSql("text")}) AS ws_tokens,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+       |  FROM documents)
+       |SELECT doc_id, ws_tokens, bpe_tokens,
+       |  round(CASE WHEN ws_tokens > 0 THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens ELSE 0.0 END, 6) AS bpe_per_ws
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // --- lang_id: n-gram-profile language identification -------------------
+  /** Scores each doc's distinct tokens against per-language profile
+    * token sets; predicted language = best overlap, ties broken in
+    * profile order (a deterministic CASE chain on both engines). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val distinctToks = array_distinct(TextFns.tokenize(col("text")))
+    val scores = LANG_PROFILES.map { case (lang, prof) =>
+      lang -> size(filter(distinctToks, t => t.isin(prof.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // Ties break on the FIRST matching profile in LANG_PROFILES order —
+    // a when-chain built front-to-back, mirroring the oracle's CASE.
+    val predicted = scores.reverse.foldLeft(lit(null).cast("string")) {
+      case (els, (lang, s)) => when(s === best, lit(lang)).otherwise(els)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        predicted.as("predicted_lang"), best.as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql = {
+    val ts = TextFns.tokenizeSql("text")
+    val scoreExprs = LANG_PROFILES.map { case (lang, prof) =>
+      val list = prof.map(s => s"'$s'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter(dts, x -> list_contains($list, x)))"
+    }
+    val scoreCols = scoreExprs.map { case (l, e) => s"$e AS s_$l" }.mkString(", ")
+    val bestExpr = scoreExprs.map(e => s"s_${e._1}").mkString("greatest(", ", ", ")")
+    val caseChain = scoreExprs
+      .map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH d AS (SELECT doc_id, lang, list_distinct($ts) AS dts FROM documents),
+       |s AS (SELECT doc_id, lang, $scoreCols FROM d),
+       |b AS (SELECT *, $bestExpr AS best FROM s)
+       |SELECT doc_id, lang AS actual_lang, $caseChain AS predicted_lang,
+       |  best AS score
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  // --- doc_fingerprint: polynomial rolling hash --------------------------
+  /** Order-sensitive rolling hash over the token stream: each token is
+    * fingerprinted portably (first 14 hex digits of its md5 → bigint)
+    * and folded as acc·BASE + tok (mod MOD). Pure expressions — the
+    * whole fingerprint stays inside codegen, no UDF. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = TextFns.tokenize(col("text"))
+    val tokHash = (t: Column) => conv(substring(md5(t), 1, 14), 16, 10).cast("long")
+    val fp = aggregate(tokens, lit(0L),
+      (acc, t) => (acc * lit(FP_BASE) + tokHash(t)) % lit(FP_MOD))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fp.as("fingerprint"),
+        size(tokens).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql =
+    s"""WITH d AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
+       |h AS (SELECT doc_id, len(ts) AS n_tokens,
+       |  list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 14)) AS BIGINT)) AS hs
+       |  FROM d)
+       |SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+       |    (acc, t) -> (acc * $FP_BASE + t) % $FP_MOD) AS fingerprint,
+       |  n_tokens
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef("exact_dedup", exactDedup, Some(exactDedupSql),
+      "content-hash exact dedup: dup group size + canonical flag per doc"),
+    QueryDef("json_extract", jsonExtract, Some(jsonExtractSql),
+      "from_json over events.props, per-event-type aggregates"),
+    QueryDef("text_stats", textStats, Some(textStatsSql),
+      "corpus stats per language"),
+    QueryDef("doc_quality", docQuality, Some(docQualitySql),
+      "per-doc quality score: length/stopword/alnum ratios"),
+    QueryDef("token_count", tokenCount, Some(tokenCountSql),
+      "whitespace vs BPE-ish-regex token counts per doc"),
+    QueryDef("lang_id", langId, Some(langIdSql),
+      "n-gram-profile language identification"),
+    QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql),
+      "order-sensitive polynomial rolling-hash fingerprint per doc"))
+}
