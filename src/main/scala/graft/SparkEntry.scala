@@ -13,7 +13,9 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     operators.Relational,
     operators.TextCore,
-    operators.Pipeline)
+    operators.Pipeline,
+    operators.Dedup,
+    operators.Similarity)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)
 

@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection at corpus scale (brief north star; no
+  * reference counterpart). Three independent techniques, each with the
+  * scale-safe shape — candidate generation by bucketing/blocking, exact
+  * verification only within buckets, NEVER an all-pairs cross join:
+  *
+  *   - MinHash + banded LSH over 3-token shingles (`near_dedup`);
+  *   - SimHash with chunk-LSH Hamming candidates (`simhash`,
+  *     `simhash_dedup`);
+  *   - character-4-gram Jaccard with blocking (`ngram_jaccard`).
+  *
+  * 100 TB posture: every candidate generator is explode → equi-join on
+  * a bucket key, so the shuffle is O(n·bands), bucket skew is handled by
+  * AQE, and the quadratic exact-verify work is confined to within-bucket
+  * pairs. The DuckDB oracles for the pair queries are brute-force ground
+  * truth — at sf0.01 the similarity distribution is cleanly bimodal
+  * (planted near-dups ≥0.9 vs background <0.1 shingle-Jaccard; Hamming
+  * ≤3 vs ≥10), and the LSH parameters are chosen so the miss
+  * probability at the planted similarity level is < 1e-14, so the
+  * LSH+verify output equals ground truth on this corpus.
+  *
+  * Portable hashing: a token/shingle fingerprints to the first 14 hex
+  * digits of its md5 (56 bits, fits a long exactly) — computable
+  * identically in Spark (`conv(substring(md5(x),1,14),16,10)`) and
+  * DuckDB (`CAST('0x'||substr(md5(x),1,14) AS BIGINT)`).
+  */
+object Dedup extends QueryModule {
+
+  /** MinHash: K signatures, banded b×r for LSH (K = b·r). At the
+    * planted similarity s≈0.9: P[miss] = (1−s^r)^b ≈ 1.5e-15. */
+  val MINHASH_K = 128
+  val LSH_ROWS = 4
+  val LSH_BANDS = MINHASH_K / LSH_ROWS
+  /** Universal-hash modulus (2^31−1, prime): a·x+b stays < 2^62. */
+  val MH_P = 2147483647L
+  /** Exact-Jaccard keep threshold for verified near-dup pairs. */
+  val JACCARD_THRESHOLD = 0.5
+
+  private val rnd = new scala.util.Random(42)
+  val MH_A: Array[Long] = Array.fill(MINHASH_K)(1L + rnd.nextInt((MH_P - 1).toInt))
+  val MH_B: Array[Long] = Array.fill(MINHASH_K)(rnd.nextInt(MH_P.toInt).toLong)
+
+  /** SimHash width = the 56-bit token fingerprint width. */
+  val SIMHASH_BITS = 56
+  /** Hamming threshold for simhash_dedup pairs. */
+  val HAMMING_THRESHOLD = 3
+  /** 4 chunks of 14 bits: any pair within Hamming ≤3 shares at least
+    * one untouched chunk (pigeonhole), so chunk-LSH recall is exact. */
+  val SIMHASH_CHUNKS = 4
+  val CHUNK_BITS = SIMHASH_BITS / SIMHASH_CHUNKS
+
+  /** Char-n-gram Jaccard params: n, blocking key = source. */
+  val NGRAM_N = 4
+  val NGRAM_THRESHOLD = 0.5
+
+  /** Portable 56-bit fingerprint of a string expression. */
+  private def hash56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  private val hash56Sql: String => String =
+    e => s"CAST(('0x' || substr(md5($e), 1, 14)) AS BIGINT)"
+
+  // --- near_dedup: MinHash + banded LSH + exact verify --------------------
+
+  /** (doc_id, hs): distinct 3-token-shingle fingerprints per doc.
+    *
+    * Shingles are built by zipping the token array with its two shifted
+    * selves (3 `slice` references to the tokenized array) instead of
+    * indexing `element_at(toks, i)` inside a per-index lambda — the
+    * latter re-evaluates the tokenizer per shingle per reference once
+    * Catalyst's CollapseProject inlines the column, which turns a scan
+    * into O(tokens²) regex work per row. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokenize(col("text"))
+    val n = greatest(size(toks) - 2, lit(0))
+    val sh = zip_with(
+      zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(toks, lit(3), n),
+      (ab, c) => hash56(concat(ab, lit(" "), c)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(sh).as("hs"))
+      .filter(size(col("hs")) > 0)
+  }
+
+  /** Zipped (aᵢ, bᵢ) coefficient pairs for the single-pass fold. */
+  private val MH_AB: Array[(Long, Long)] = MH_A.zip(MH_B)
+
+  def nearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    // K minhashes in ONE traversal of the shingle array: fold each
+    // shingle hash into a K-wide running-min vector (zip_with against
+    // the literal coefficient array). A per-i "min over transform(hs)"
+    // formulation would re-evaluate the (inlined) shingle pipeline K
+    // times per row after projection collapse.
+    val mhExpr = aggregate(col("hs"),
+      typedlit(Array.fill(MINHASH_K)(MH_P)),
+      (acc, x) => zip_with(acc, typedlit(MH_AB), (m, ab) =>
+        least(m, (ab.getField("_1") * (x % MH_P) + ab.getField("_2")) % MH_P)))
+    // The repartition is a deliberate stage boundary: it makes `mh` a
+    // physical attribute, so the 128 element_at references in the band
+    // expression below read a materialized array instead of inlining
+    // (and re-running) the whole minhash pipeline 128×. The extra
+    // exchange is O(docs · K·8B) — same order as the band explode that
+    // immediately follows.
+    val mh = sh.withColumn("mh", mhExpr).repartition(col("doc_id"))
+    // Band keys: polynomial-combine each band's r minhashes (values < 2^31,
+    // so the 31-ary polynomial stays < 2^47 — no overflow, no extra mod).
+    val bands = mh.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(LSH_BANDS - 1)), b =>
+          (0 until LSH_ROWS).map(r => element_at(col("mh"), b * LSH_ROWS + r + 1))
+            .reduce((acc, m) => acc * 31 + m))))
+      .toDF("doc_id", "band_idx", "band_key")
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // Exact verification within candidates only.
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
+          / size(array_union(col("hs_a"), col("hs_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= JACCARD_THRESHOLD)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Ground-truth oracle: brute-force shingle-set Jaccard (the LSH
+    * parameters make recall exact on this corpus — see class doc). */
+  val nearDedupSql =
+    s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+       |                 for i in range(1, len(ts) - 1)]) AS s
+       |  FROM t WHERE len(ts) >= 3)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.s, b.s))) >= $JACCARD_THRESHOLD
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- simhash: per-doc 56-bit signature ---------------------------------
+
+  private val POWERS: Array[Long] = (0 until SIMHASH_BITS).map(1L << _).toArray
+
+  private def simhashCol(tokens: Column): Column = {
+    val hs = transform(tokens, hash56(_))
+    // Majority vote per bit in ONE traversal of the token hashes: fold
+    // each hash into a 56-wide ±1 counter vector, then sum the powers
+    // whose counter is positive. (A per-bit "count via filter(hs)"
+    // formulation would re-evaluate the tokenize+md5 pipeline once per
+    // bit per row after projection collapse — O(bits · tokens) regex
+    // work instead of O(tokens).)
+    val counts = aggregate(hs, typedlit(Array.fill(SIMHASH_BITS)(0L)),
+      (acc, h) => zip_with(acc, typedlit(POWERS), (c, p) =>
+        c + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counts, typedlit(POWERS), (c, p) => when(c > 0, p).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), simhashCol(TextFns.tokenize(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val powersSqlList = POWERS.mkString("[", ", ", "]")
+
+  private val simhashSqlExpr =
+    s"""CAST(list_sum(list_transform($powersSqlList, p ->
+       |  CASE WHEN 2 * len(list_filter(hs, h -> (h & p) <> 0)) > len(hs)
+       |       THEN p ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  val simhashSql =
+    s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
+       |h AS (SELECT doc_id, list_transform(ts, t -> ${hash56Sql("t")}) AS hs FROM t)
+       |SELECT doc_id, $simhashSqlExpr AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  // --- simhash_dedup: chunk-LSH candidates + Hamming verify --------------
+
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sims = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhashCol(TextFns.tokenize(col("text"))).as("sim"))
+    // 4 chunks of 14 bits; Hamming ≤3 pairs must collide on ≥1 chunk.
+    val chunks = sims.select(col("doc_id"), col("sim"),
+        posexplode(array((0 until SIMHASH_CHUNKS).map(c =>
+          shiftrightunsigned(col("sim"), c * CHUNK_BITS)
+            .bitwiseAND(lit((1L << CHUNK_BITS) - 1))): _*)))
+      .toDF("doc_id", "sim", "chunk_idx", "chunk_val")
+    val cand = chunks
+      .select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
+        col("chunk_idx"), col("chunk_val"))
+      .join(chunks.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
+        col("chunk_idx"), col("chunk_val")), Seq("chunk_idx", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= HAMMING_THRESHOLD)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Ground-truth oracle: brute-force Hamming over the same simhashes
+    * (chunk-LSH recall is exact for Hamming ≤ 3 by pigeonhole). */
+  val simhashDedupSql =
+    s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
+       |h AS (SELECT doc_id, list_transform(ts, t -> ${hash56Sql("t")}) AS hs FROM t),
+       |s AS (SELECT doc_id, $simhashSqlExpr AS sim FROM h)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $HAMMING_THRESHOLD
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- ngram_jaccard: blocked character-n-gram Jaccard -------------------
+
+  /** Exact char-4-gram Jaccard for pairs within the same blocking key
+    * (`source`) — the blocking pattern: quadratic work confined to
+    * blocks, never a global cross join. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= NGRAM_N)
+      .select(col("doc_id"), col("source"),
+        array_distinct(transform(
+          sequence(lit(1), length(col("text")) - (NGRAM_N - 1)),
+          i => col("text").substr(i, lit(NGRAM_N)))).as("g"))
+    val a = grams.select(col("source"), col("doc_id").as("doc_a"), col("g").as("g_a"))
+    val b = grams.select(col("source"), col("doc_id").as("doc_b"), col("g").as("g_b"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("g_a"), col("g_b"))).cast("double")
+          / size(array_union(col("g_a"), col("g_b"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= NGRAM_THRESHOLD)
+      .orderBy(col("source"), col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql =
+    s"""WITH g AS (SELECT doc_id, source,
+       |  list_distinct([substr(text, i, $NGRAM_N)
+       |                 for i in range(1, len(text) - ${NGRAM_N - 2})]) AS g
+       |  FROM documents WHERE len(text) >= $NGRAM_N)
+       |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+       |FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.g, b.g))) >= $NGRAM_THRESHOLD
+       |ORDER BY source, doc_a, doc_b""".stripMargin
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef("near_dedup", nearDedup, Some(nearDedupSql),
+      "MinHash + banded LSH near-dup pairs, exact-Jaccard verified"),
+    QueryDef("simhash", simhash, Some(simhashSql),
+      "56-bit SimHash signature per document"),
+    QueryDef("simhash_dedup", simhashDedup, Some(simhashDedupSql),
+      "SimHash chunk-LSH pairs within Hamming threshold"),
+    QueryDef("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql),
+      "blocked char-4-gram Jaccard pairs within source"))
+}
