@@ -15,7 +15,8 @@ object SparkEntry {
     operators.TextCore,
     operators.Pipeline,
     operators.Dedup,
-    operators.Similarity)
+    operators.Similarity,
+    operators.InvertedIndex)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)
 
