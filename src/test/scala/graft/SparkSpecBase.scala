@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM-wide session —
+  * Spark session startup dominates test time otherwise). */
+object SparkSpecBase {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Smallest fixture scale — smoke/property tests only. */
+  val SF_DIR = "/root/testdata/sf0.001"
+}
+
+abstract class SparkSpecBase extends AnyFunSuite {
+  // val (not def): `import spark.implicits._` needs a stable identifier.
+  val spark: SparkSession = SparkSpecBase.spark
+  val sfDir: String = SparkSpecBase.SF_DIR
+}
