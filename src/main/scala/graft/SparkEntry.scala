@@ -16,7 +16,8 @@ object SparkEntry {
     operators.Pipeline,
     operators.Dedup,
     operators.Similarity,
-    operators.InvertedIndex)
+    operators.InvertedIndex,
+    operators.SpamClassifier)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)
 

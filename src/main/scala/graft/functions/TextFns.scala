@@ -48,4 +48,27 @@ object TextFns {
   /** DuckDB fragment for [[first40Distinct]] over a list expr. */
   def first40DistinctSql(listExpr: String): String =
     s"list_distinct($listExpr[1:40])"
+
+  /** Portable 56-bit fingerprint of a string expression: first 14 hex
+    * digits of md5, as a long. Computable identically in DuckDB
+    * ([[hash56Sql]]) and plain Scala ([[hash56Local]] — used by test
+    * oracles). */
+  def hash56(c: Column): Column =
+    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+
+  /** DuckDB fragment mirroring [[hash56]]. */
+  def hash56Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 14)) AS BIGINT)"
+
+  /** Plain-Scala mirror of [[hash56]] for sequential test oracles. */
+  def hash56Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(7).map(b => f"$b%02x").mkString, 16)
+  }
+
+  /** Plain-Scala mirror of [[tokenize]] for sequential test oracles. */
+  def tokenizeLocal(s: String): Seq[String] =
+    s.toLowerCase.replaceAll("[^a-z0-9\\s]+", "")
+      .split("\\s+").toSeq.filter(_.nonEmpty)
 }

@@ -59,12 +59,10 @@ object Dedup extends QueryModule {
   val NGRAM_N = 4
   val NGRAM_THRESHOLD = 0.5
 
-  /** Portable 56-bit fingerprint of a string expression. */
-  private def hash56(c: Column): Column =
-    conv(substring(md5(c), 1, 14), 16, 10).cast("long")
+  /** Portable 56-bit fingerprint of a string expression ([[TextFns]]). */
+  private def hash56(c: Column): Column = TextFns.hash56(c)
 
-  private val hash56Sql: String => String =
-    e => s"CAST(('0x' || substr(md5($e), 1, 14)) AS BIGINT)"
+  private val hash56Sql: String => String = TextFns.hash56Sql
 
   // --- near_dedup: MinHash + banded LSH + exact verify --------------------
 
