@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.InvertedIndex,
-    operators.SpamClassifier)
+    operators.SpamClassifier,
+    operators.PageRank)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)
 

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-source personalized PageRank — the reference's PageRank suite
+  * (`/root/reference/MapReduce/PageRank/RunPersonalizedPageRankBasic.java:120-367`,
+  * graph build `BuildPersonalizedPageRankRecords.java:84-126`, top-k
+  * extract `ExtractTopPersonalizedPageRankNodes.java:58-148`).
+  *
+  * The reference's tagged-union PageRankNode (Mass|Structure records,
+  * one shuffled value type — a Hadoop constraint) disappears: the graph
+  * is one DataFrame `(nodeid, outdeg, adj)`, the per-source rank vector
+  * is one double column per source (the source set is query config, so
+  * columns beat arrays: elementwise vector sums become plain `sum`
+  * aggregates inside whole-stage codegen). Per iteration:
+  *
+  *   1. scatter: explode adj, each neighbor gets rank/outdeg per source
+  *      (`:120-161`);
+  *   2. gather: groupBy(dst) partial+final sums — the reference's
+  *      combiner/reducer pair for free (`:184-307`);
+  *   3. missing mass: one 1-row driver agg (the reference writes
+  *      per-task side files and folds them on the driver, `:459-474` —
+  *      here it is a collect of S doubles, O(iterations) driver work);
+  *   4. teleport: sources get α + (1−α)·missing, everyone keeps
+  *      (1−α)·mass (`:348-367`) — mass per source sums to 1 exactly.
+  *
+  * Scale: the graph is `repartition(nodeid)` + persisted once, so every
+  * iteration's gather join reuses the same exchange; each iteration
+  * ends in an eager `localCheckpoint` to truncate lineage (the analogue
+  * of the reference's per-iteration HDFS materialization, `:481-483`;
+  * a durable `checkpoint()` would replace it on a real cluster).
+  * Rank math is linear-space `DoubleType` — SURVEY §4.12 documents the
+  * deliberate departure from the reference's log-space `sumProbs`.
+  *
+  * The graph derives deterministically from `orders`
+  * (src = o_custkey mod V, dst = o_orderkey mod V, FIXTURES.md); the
+  * build is oracle-checked; the iterative ranks have a plain-Scala
+  * power-iteration oracle in ScalaTest (the reference's own
+  * verification pattern — JUNG `SequentialPersonalizedPageRank`).
+  */
+object PageRank extends QueryModule {
+
+  val V = 100L
+  val SOURCES: Seq[Long] = Seq(1L, 7L, 13L)
+  val ALPHA = 0.15
+  val ITERATIONS = 10
+
+  private def srcIdx = SOURCES.indices
+
+  // --- pagerank_graph: deterministic graph build (oracle-checked) --------
+  def graphDf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(spark, dir)
+      .select((col("o_custkey") % V).as("src"), (col("o_orderkey") % V).as("dst"))
+      .distinct()
+    val adj = e.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("adj"))
+    spark.range(V).toDF("nodeid")
+      .join(adj, col("nodeid") === col("src"), "left_outer")
+      .select(col("nodeid"),
+        coalesce(col("adj"), array().cast("array<long>")).as("adj"))
+      .withColumn("outdeg", size(col("adj")))
+  }
+
+  def pagerankGraph(spark: SparkSession, dir: String): DataFrame =
+    graphDf(spark, dir).select(col("nodeid"), col("outdeg"), col("adj"))
+      .orderBy(col("nodeid"))
+
+  val pagerankGraphSql =
+    s"""WITH e AS (SELECT DISTINCT o_custkey % $V AS src, o_orderkey % $V AS dst
+       |           FROM orders),
+       |n AS (SELECT unnest(range(0, $V)) AS nodeid),
+       |a AS (SELECT src, list(dst ORDER BY dst) AS adj FROM e GROUP BY src)
+       |SELECT nodeid, CAST(coalesce(len(adj), 0) AS INT) AS outdeg,
+       |  coalesce(adj, []) AS adj
+       |FROM n LEFT JOIN a ON nodeid = src ORDER BY nodeid""".stripMargin
+
+  // --- the iterative driver ---------------------------------------------
+
+  /** Unrounded final ranks: (nodeid, r0..rS-1). */
+  def ranksDf(spark: SparkSession, dir: String): DataFrame = {
+    val g = graphDf(spark, dir).repartition(col("nodeid")).persist()
+    var ranks = g.select(col("nodeid") +: SOURCES.zipWithIndex.map {
+      case (s, i) => when(col("nodeid") === s, 1.0).otherwise(0.0).as(s"r$i")
+    }: _*)
+    for (_ <- 1 to ITERATIONS) {
+      val scattered = ranks.join(g, "nodeid")
+        .filter(col("outdeg") > 0)
+        .select(explode(col("adj")).as("dst") +:
+          srcIdx.map(i => (col(s"r$i") / col("outdeg")).as(s"c$i")): _*)
+      val msgs = scattered.groupBy(col("dst"))
+        .agg(sum(col("c0")).as("m0"),
+          srcIdx.tail.map(i => sum(col(s"c$i")).as(s"m$i")): _*)
+      // Missing (dangling) mass per source: 1 − what arrived. One 1-row
+      // collect per iteration, as in the reference's driver fold.
+      val arrived = msgs
+        .agg(sum(col("m0")).as("t0"),
+          srcIdx.tail.map(i => sum(col(s"m$i")).as(s"t$i")): _*)
+        .collect()(0)
+      val missing = srcIdx.map(i =>
+        1.0 - (if (arrived.isNullAt(i)) 0.0 else arrived.getDouble(i)))
+      ranks = g.select(col("nodeid"))
+        .join(msgs, col("nodeid") === col("dst"), "left_outer")
+        .select(col("nodeid") +: SOURCES.zipWithIndex.map { case (s, i) =>
+          (lit(1.0 - ALPHA) * coalesce(col(s"m$i"), lit(0.0))
+            + when(col("nodeid") === s,
+                lit(ALPHA + (1.0 - ALPHA) * missing(i))).otherwise(0.0)).as(s"r$i")
+        }: _*)
+        .localCheckpoint(true) // truncate lineage, eager per iteration
+    }
+    ranks
+  }
+
+  /** `pagerank`: final per-source ranks, rounded for output stability. */
+  def pagerank(spark: SparkSession, dir: String): DataFrame =
+    ranksDf(spark, dir)
+      .select(col("nodeid") +: srcIdx.map(i => round(col(s"r$i"), 8).as(s"r$i")): _*)
+      .orderBy(col("nodeid"))
+
+  // --- pagerank_topk: per-source top-k extraction ------------------------
+  def pagerankTopk(spark: SparkSession, dir: String): DataFrame = {
+    val long = ranksDf(spark, dir).select(col("nodeid"),
+      posexplode(array(srcIdx.map(i => col(s"r$i")): _*)))
+      .toDF("nodeid", "src_idx", "rank")
+      .withColumn("source", element_at(typedlit(SOURCES.toArray), col("src_idx") + 1))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("rank").desc, col("nodeid"))
+    long.withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= 5)
+      .select(col("source"), col("pos"), col("nodeid"), round(col("rank"), 8).as("rank"))
+      .orderBy(col("source"), col("pos"))
+  }
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef("pagerank_graph", pagerankGraph, Some(pagerankGraphSql),
+      "deterministic adjacency build from orders"),
+    QueryDef("pagerank", pagerank, None,
+      s"$ITERATIONS-iteration personalized PageRank from ${SOURCES.size} sources (ScalaTest oracle)"),
+    QueryDef("pagerank_topk", pagerankTopk, None,
+      "top-5 nodes per personalization source"))
+}
