@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Similarity,
     operators.InvertedIndex,
     operators.SpamClassifier,
-    operators.PageRank)
+    operators.PageRank,
+    streaming.StreamingOps)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)
 

@@ -1,0 +1,172 @@
+package graft.streaming
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-key trending state (the reference's `mapWithState` tuple
+  * `(curCount, "%08d" time, prevCount)` — `TrendingArrivals.scala:86-98`). */
+final case class TrendState(prev: Long, cur: Long, lastWindowMs: Long)
+
+/** One windowed count row flowing into the trending state machine. */
+final case class WindowCount(event_type: String, window_start: java.sql.Timestamp, cnt: Long)
+
+/** Trending output: current vs previous window + doubling alert. */
+final case class TrendOut(event_type: String, window_start: java.sql.Timestamp,
+    cnt: Long, prev_cnt: Long, is_alert: Boolean)
+
+/** Streaming analytics — the reference's DStream trio
+  * (`/root/reference/Spark/Spark Streaming/EventCount.scala:66-71`,
+  * `RegionEventCount.scala:85-96`, `TrendingArrivals.scala:86-118`)
+  * re-expressed on Structured Streaming.
+  *
+  * Deliberate semantics shift (SURVEY §2.9, §7.3): the reference is
+  * processing-time with a manual clock and a mock file-queue; here time
+  * is the event-time column `events.ts` with a watermark. Capability is
+  * preserved — identical windowed counts and alert conditions on the
+  * same data — while the mechanism is the incremental Catalyst plan.
+  *
+  * Each transform is written against a plain DataFrame so the SAME
+  * function serves both the batch-replay query (DuckDB-oracle-checked,
+  * below) and the streaming path (`readStream`/`MemoryStream` in
+  * StreamingSpec — Structured Streaming's unified API). `withWatermark`
+  * is a no-op on batch inputs.
+  *
+  * The trending pipeline is two stages, as in the reference (windowed
+  * reduce, then keyed state): (1) tumbling 10-min counts per key;
+  * (2) a `flatMapGroupsWithState` state machine holding (prev, cur)
+  * per key that emits the doubling alert (cur ≥ 10 ∧ cur ≥ 2·prev —
+  * `TrendingArrivals.scala:93-96`). The batch-replay form expresses
+  * stage 2 as `lag() OVER (PARTITION BY key ORDER BY window)` — same
+  * result when windows arrive in order, which the oracle asserts; the
+  * state-machine form is exercised in StreamingSpec and must agree
+  * with the lag form (tested).
+  *
+  * 100 TB posture: all state is bounded per (key, window); the
+  * watermark lets the state store evict closed windows; counts are
+  * partial-aggregated before the shuffle.
+  */
+object StreamingOps extends QueryModule {
+
+  val WATERMARK = "2 hours"
+  /** Doubling-alert thresholds (reference `TrendingArrivals.scala:93`). */
+  val ALERT_MIN = 10L
+
+  // --- shared transforms (batch + streaming) -----------------------------
+
+  /** Tumbling 60-min event counts (`EventCount.scala:66-71`). */
+  def eventCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WATERMARK)
+      .groupBy(window(col("ts"), "60 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("cnt"))
+
+  /** Region tag via conditional extraction (`RegionEventCount.scala:85-91`
+    * — the fixture has no coordinates, so the bbox predicate becomes an
+    * event_type partition, FIXTURES.md). */
+  def withRegion(events: DataFrame): DataFrame =
+    events.withColumn("region",
+      when(col("event_type").isin("click", "view"), "web")
+        .when(col("event_type").isin("purchase", "signup"), "txn")
+        .otherwise("ops"))
+
+  /** Tumbling 60-min counts per region (`RegionEventCount.scala:85-96`). */
+  def regionEventCounts(events: DataFrame): DataFrame =
+    withRegion(events).withWatermark("ts", WATERMARK)
+      .groupBy(window(col("ts"), "60 minutes"), col("region"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("region"), col("cnt"))
+
+  /** Stage 1 of trending: tumbling 10-min counts per event type
+    * (`TrendingArrivals.scala:108-109`). */
+  def trendingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WATERMARK)
+      .groupBy(col("event_type"), window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("window.start").as("window_start"), col("cnt"))
+
+  /** Stage 2, state-machine form: per-key (prev, cur) state + doubling
+    * alert. Works on streaming Datasets (Update mode) and batch
+    * Datasets (groups sorted in-function so batch replay is
+    * deterministic). */
+  def trendingStateMachine(counts: Dataset[WindowCount]): Dataset[TrendOut] = {
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_.event_type)
+      .flatMapGroupsWithState[TrendState, TrendOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[WindowCount], state: GroupState[TrendState]) =>
+          // Batch hands the whole group at once in arbitrary order;
+          // streaming hands one window per trigger. Sorting keeps both
+          // paths identical for in-order arrival.
+          val ordered = rows.toSeq.sortBy(_.window_start.getTime)
+          val out = Seq.newBuilder[TrendOut]
+          var st = state.getOption.getOrElse(TrendState(0L, 0L, Long.MinValue))
+          ordered.foreach { r =>
+            st = TrendState(prev = st.cur, cur = r.cnt, lastWindowMs = r.window_start.getTime)
+            out += TrendOut(key, r.window_start, r.cnt, st.prev,
+              r.cnt >= ALERT_MIN && r.cnt >= 2 * st.prev)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Stage 2, lag form (SQL-expressible batch replay). */
+  def trendingLag(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("window_start"))
+    counts
+      .withColumn("prev_cnt", lag(col("cnt"), 1, 0L).over(w))
+      .withColumn("is_alert",
+        col("cnt") >= ALERT_MIN && col("cnt") >= lit(2) * col("prev_cnt"))
+  }
+
+  // --- batch-replay queries (driver oracle gate) -------------------------
+
+  def eventCountHourly(spark: SparkSession, dir: String): DataFrame =
+    eventCounts(Tables.events(spark, dir)).orderBy(col("window_start"))
+
+  val eventCountHourlySql =
+    """SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start,
+      |  time_bucket(INTERVAL '60 minutes', ts) + INTERVAL '60 minutes' AS window_end,
+      |  count(*) AS cnt
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def regionEventCount(spark: SparkSession, dir: String): DataFrame =
+    regionEventCounts(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("region"))
+
+  val regionEventCountSql =
+    """WITH r AS (SELECT ts,
+      |  CASE WHEN event_type IN ('click', 'view') THEN 'web'
+      |       WHEN event_type IN ('purchase', 'signup') THEN 'txn'
+      |       ELSE 'ops' END AS region
+      |  FROM events)
+      |SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start, region,
+      |  count(*) AS cnt
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def trendingArrivals(spark: SparkSession, dir: String): DataFrame =
+    trendingLag(trendingCounts(Tables.events(spark, dir)))
+      .orderBy(col("event_type"), col("window_start"))
+
+  val trendingArrivalsSql =
+    s"""WITH c AS (SELECT event_type,
+       |  time_bucket(INTERVAL '10 minutes', ts) AS window_start, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, window_start, cnt,
+       |  lag(cnt, 1, 0) OVER (PARTITION BY event_type ORDER BY window_start) AS prev_cnt,
+       |  cnt >= $ALERT_MIN AND cnt >= 2 * lag(cnt, 1, 0) OVER (
+       |    PARTITION BY event_type ORDER BY window_start) AS is_alert
+       |FROM c ORDER BY event_type, window_start""".stripMargin
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef("event_count_hourly", eventCountHourly, Some(eventCountHourlySql),
+      "tumbling 60-min event counts (batch replay of the streaming query)"),
+    QueryDef("region_event_count", regionEventCount, Some(regionEventCountSql),
+      "tumbling 60-min counts per region tag"),
+    QueryDef("trending_arrivals", trendingArrivals, Some(trendingArrivalsSql),
+      "10-min windows per event type with doubling alerts"))
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.streaming.{StreamingOps, TrendOut, WindowCount}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming-semantics coverage via MemoryStream (SURVEY §5): the same
+  * transforms must produce the batch-replay results when run as a
+  * streaming query, and the keyed state machine must fire the doubling
+  * alert exactly per the reference condition. */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("eventCounts over MemoryStream equals the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.eventCounts(events)
+      .writeStream.format("memory").queryName("ec_test")
+      .outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (ts("2024-01-01 00:05:00"), "click"),
+        (ts("2024-01-01 00:55:00"), "view"),
+        (ts("2024-01-01 01:05:00"), "click"),
+        (ts("2024-01-01 01:06:00"), "error"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ec_test")
+        .select("window_start", "cnt").as[(Timestamp, Long)].collect().toMap
+      assert(got == Map(
+        ts("2024-01-01 00:00:00") -> 2L,
+        ts("2024-01-01 01:00:00") -> 2L))
+      val batch = StreamingOps.eventCounts(
+        rows.toDF("ts", "event_type"))
+        .select("window_start", "cnt").as[(Timestamp, Long)].collect().toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
+  test("regionEventCounts streaming equals batch on fixture-shaped data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps.regionEventCounts(input.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("rec_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "click"),
+        (ts("2024-01-01 00:02:00"), "view"),
+        (ts("2024-01-01 00:03:00"), "purchase"),
+        (ts("2024-01-01 00:04:00"), "error"))
+      q.processAllAvailable()
+      val got = spark.table("rec_test")
+        .select("region", "cnt").as[(String, Long)].collect().toMap
+      assert(got == Map("web" -> 2L, "txn" -> 1L, "ops" -> 1L))
+    } finally q.stop()
+  }
+
+  test("trending state machine fires the doubling alert per the reference rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[WindowCount]
+    val q = StreamingOps.trendingStateMachine(input.toDS())
+      .writeStream.format("memory").queryName("trend_test")
+      .outputMode("update").start()
+    try {
+      // One window per trigger, in order — the reference's batch cadence.
+      input.addData(WindowCount("click", ts("2024-01-01 00:00:00"), 4))
+      q.processAllAvailable()
+      input.addData(WindowCount("click", ts("2024-01-01 00:10:00"), 10))
+      q.processAllAvailable()
+      input.addData(WindowCount("click", ts("2024-01-01 00:20:00"), 25))
+      q.processAllAvailable()
+      input.addData(WindowCount("click", ts("2024-01-01 00:30:00"), 12))
+      q.processAllAvailable()
+      val got = spark.table("trend_test").as[TrendOut].collect()
+        .sortBy(_.window_start.getTime)
+      assert(got.map(_.cnt).toSeq == Seq(4L, 10L, 25L, 12L))
+      assert(got.map(_.prev_cnt).toSeq == Seq(0L, 4L, 10L, 25L))
+      // 4: below min; 10: ≥10 and ≥2·4 ✓; 25: ≥2·10 ✓; 12: < 2·25.
+      assert(got.map(_.is_alert).toSeq == Seq(false, true, true, false))
+    } finally q.stop()
+  }
+
+  test("state-machine form agrees with the lag form on fixture data (batch)") {
+    val counts = StreamingOps.trendingCounts(Tables.events(spark, sfDir))
+      .as[WindowCount]
+    val viaState = StreamingOps.trendingStateMachine(counts)
+      .select("event_type", "window_start", "cnt", "prev_cnt", "is_alert")
+    val viaLag = StreamingOps.trendingLag(counts.toDF())
+      .select("event_type", "window_start", "cnt", "prev_cnt", "is_alert")
+    assert(viaState.exceptAll(viaLag).isEmpty && viaLag.exceptAll(viaState).isEmpty)
+  }
+
+  test("watermark evicts state in append mode (late row dropped)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamingOps.eventCounts(input.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:30:00"), "click"))
+      q.processAllAvailable()
+      // Advance watermark far past the first window...
+      input.addData((ts("2024-01-01 12:00:00"), "click"))
+      q.processAllAvailable()
+      // ...then a very late event for the closed window: must be dropped.
+      input.addData((ts("2024-01-01 00:31:00"), "click"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-02 00:00:00"), "click"))
+      q.processAllAvailable()
+      val got = spark.table("wm_test")
+        .select("window_start", "cnt").as[(Timestamp, Long)].collect().toMap
+      assert(got(ts("2024-01-01 00:00:00")) == 1L) // late +1 not applied
+    } finally q.stop()
+  }
+}
