@@ -19,6 +19,7 @@ object SparkEntry {
     operators.InvertedIndex,
     operators.SpamClassifier,
     operators.PageRank,
+    operators.Multimodal,
     streaming.StreamingOps)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.entries)

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{MediaFeatures, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Local replay oracle for the stub-decoded feature path (the
+  * non-SQL-expressible multimodal query). */
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("media_features matches a local byte-histogram replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "n_chars").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    val expected = docs.map { case (id, text, nChars) =>
+      val payload = text.getBytes("UTF-8")
+      val w = (nChars % 16 + 4).toInt
+      val h = (nChars % 8 + 4).toInt
+      val px = Multimodal.DecodeStub.decodeImage(payload, w, h)
+      val hist = new Array[Long](Multimodal.HIST_BINS)
+      var sum = 0L
+      px.foreach { b =>
+        val v = b & 0xff; hist(v * Multimodal.HIST_BINS / 256) += 1; sum += v
+      }
+      id -> ((payload.length, sum.toDouble / px.length, hist.toSeq))
+    }.toMap
+    val got = Multimodal.mediaFeatures(spark, sfDir).as[MediaFeatures].collect()
+    assert(got.length == expected.size)
+    got.foreach { f =>
+      val (nb, mean, hist) = expected(f.media_id)
+      assert(f.n_bytes == nb, s"media ${f.media_id} bytes")
+      assert(math.abs(f.mean_byte - mean) < 1e-5, s"media ${f.media_id} mean")
+      assert(f.histogram == hist, s"media ${f.media_id} histogram")
+    }
+  }
+
+  test("histogram bins sum to decoded pixel count (width*height)") {
+    val bad = Multimodal.mediaFeatures(spark, sfDir)
+      .join(Multimodal.mediaCatalog(spark, sfDir), "media_id")
+      .filter(aggregate(col("histogram"), lit(0L), (a, x) => a + x)
+        =!= col("width") * col("height"))
+    assert(bad.isEmpty)
+  }
+
+  test("frame_sample emits only stride-aligned frames of video media") {
+    val rows = Multimodal.frameSample(spark, sfDir)
+      .select("media_id", "frame_idx").as[(Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, idx) =>
+      assert(id % 3 == 2, s"media $id is not video")
+      assert(idx % Multimodal.FRAME_STRIDE == 0)
+    }
+  }
+}
