@@ -85,6 +85,9 @@ object Dedup extends QueryModule {
     Tables.documents(spark, dir)
       .select(col("doc_id"), array_distinct(sh).as("hs"))
       .filter(size(col("hs")) > 0)
+      // Boundary: the shingle arrays feed the minhash fold AND both
+      // sides of the exact-verify join — one exchange, reused thrice.
+      .repartition(col("doc_id"))
   }
 
   /** Zipped (aᵢ, bᵢ) coefficient pairs for the single-pass fold. */
@@ -189,8 +192,11 @@ object Dedup extends QueryModule {
   // --- simhash_dedup: chunk-LSH candidates + Hamming verify --------------
 
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    // Boundary: materialize the signature once — the chunk projection
+    // references it 5× and both join sides below share the exchange.
     val sims = Tables.documents(spark, dir)
       .select(col("doc_id"), simhashCol(TextFns.tokenize(col("text"))).as("sim"))
+      .repartition(col("doc_id"))
     // 4 chunks of 14 bits; Hamming ≤3 pairs must collide on ≥1 chunk.
     val chunks = sims.select(col("doc_id"), col("sim"),
         posexplode(array((0 until SIMHASH_CHUNKS).map(c =>
@@ -230,16 +236,31 @@ object Dedup extends QueryModule {
     * (`source`) — the blocking pattern: quadratic work confined to
     * blocks, never a global cross join. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Grams as 56-bit fingerprints, not strings: the within-block
+    // pairwise intersect/union then compares longs (collision odds over
+    // ~10^3 distinct grams are ~1e-11, and the brute-force string
+    // oracle would expose one). The repartition boundary materializes
+    // the gram arrays once — both join sides reuse the same exchange —
+    // instead of re-running ~250 md5s per row per side.
     val grams = Tables.documents(spark, dir)
       .filter(length(col("text")) >= NGRAM_N)
       .select(col("doc_id"), col("source"),
         array_distinct(transform(
           sequence(lit(1), length(col("text")) - (NGRAM_N - 1)),
-          i => col("text").substr(i, lit(NGRAM_N)))).as("g"))
-    val a = grams.select(col("source"), col("doc_id").as("doc_a"), col("g").as("g_a"))
-    val b = grams.select(col("source"), col("doc_id").as("doc_b"), col("g").as("g_b"))
+          i => hash56(col("text").substr(i, lit(NGRAM_N))))).as("g"))
+      .withColumn("n", size(col("g")))
+      .repartition(col("doc_id"))
+    val a = grams.select(col("source"), col("doc_id").as("doc_a"),
+      col("g").as("g_a"), col("n").as("n_a"))
+    val b = grams.select(col("source"), col("doc_id").as("doc_b"),
+      col("g").as("g_b"), col("n").as("n_b"))
     a.join(b, Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
+      // Size-ratio prefilter: J(a,b) ≥ t requires min|·| ≥ t·max|·|,
+      // so pairs failing it skip the O(n) set work entirely (a pure
+      // necessary condition — the oracle is unchanged).
+      .filter(greatest(col("n_a"), col("n_b")) * NGRAM_THRESHOLD
+        <= least(col("n_a"), col("n_b")))
       .select(col("source"), col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("g_a"), col("g_b"))).cast("double")
           / size(array_union(col("g_a"), col("g_b"))), 6).as("jaccard"))
