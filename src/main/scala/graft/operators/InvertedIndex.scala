@@ -131,6 +131,42 @@ object InvertedIndex extends QueryModule {
        |SELECT * FROM r ORDER BY query""".stripMargin
   }
 
+  // --- retrieval_fetch: join hits back to the collection -----------------
+  /** The reference echoes each matching sentence by seeking raw byte
+    * offsets into the collection (`BooleanRetrievalCompressed.java:160-166`);
+    * the Spark-native form joins the hit docids back to the `documents`
+    * table and projects a snippet — no byte offsets, plain equi-join
+    * with predicate pushdown on the fetch side. */
+  val FETCH_QUERY = "spark join AND"
+  val SNIPPET_LEN = 60
+
+  def retrievalFetch(spark: SparkSession, dir: String): DataFrame = {
+    val hits = booleanRetrieval(spark, dir)
+      .filter(col("query") === FETCH_QUERY)
+      .select(explode(col("docs")).as("doc_id"))
+    hits.join(Tables.documents(spark, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, SNIPPET_LEN).as("snippet"))
+      .orderBy(col("doc_id"))
+  }
+
+  val retrievalFetchSql = {
+    val docs = evalPostfix[String](FETCH_QUERY,
+      t => s"t_$t",
+      (a, b) => s"list_sort(list_intersect($a, $b))",
+      (a, b) => s"list_sort(list_distinct(list_concat($a, $b)))")
+    val pivotCols = QUERY_TERMS.map { t =>
+      s"coalesce((SELECT list_sort(list(DISTINCT doc_id)) FROM w WHERE term = '$t'), []) AS t_$t"
+    }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
+       |w AS (SELECT doc_id, unnest(ts) AS term FROM t),
+       |p AS (SELECT $pivotCols),
+       |h AS (SELECT unnest($docs) AS doc_id FROM p)
+       |SELECT d.doc_id, d.lang, substr(d.text, 1, $SNIPPET_LEN) AS snippet
+       |FROM h JOIN documents d ON h.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // --- topk_per_group: row_number over a partitioned window --------------
   /** Top-k docs by n_chars per language — the standalone form of the
     * reference's per-source top-k extraction. */
@@ -155,6 +191,8 @@ object InvertedIndex extends QueryModule {
       "term → df/cf/sorted postings over documents"),
     QueryDef("boolean_retrieval", booleanRetrieval, Some(booleanRetrievalSql),
       "postfix AND/OR retrieval over per-term docid sets"),
+    QueryDef("retrieval_fetch", retrievalFetch, Some(retrievalFetchSql),
+      "join retrieval hits back to documents for snippets"),
     QueryDef("topk_per_group", topkPerGroup, Some(topkPerGroupSql),
       "top-k per group via row_number window"))
 }
