@@ -34,6 +34,10 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once(): Either[String, Double] = {
+        // Clear memoized intermediates (trained models, iterated ranks)
+        // so every timed run is a cold compute — cross-query reuse must
+        // not hide work from the benchmark.
+        Caches.clearAll()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }

@@ -1,0 +1,19 @@
+package graft
+
+/** Registry of memoized intermediate results (trained models, iterated
+  * rank tables — the Spark-native analogue of the reference's
+  * HDFS-materialized job outputs that downstream jobs re-read).
+  *
+  * Cross-query reuse is a real library property (pagerank_topk reads
+  * pagerank's ranks, spam_apply reads spam_train's model), but it must
+  * not hide compute from the benchmark: `graft.Bench` clears this
+  * registry before every timed run so per-query timings are honest
+  * cold-compute numbers (warm JVM, cold results). */
+object Caches {
+  private val clearables =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  def register(clear: () => Unit): Unit = clearables.add(clear)
+
+  def clearAll(): Unit = clearables.forEach(f => f())
+}

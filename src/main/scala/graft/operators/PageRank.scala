@@ -79,8 +79,21 @@ object PageRank extends QueryModule {
 
   // --- the iterative driver ---------------------------------------------
 
-  /** Unrounded final ranks: (nodeid, r0..rS-1). */
-  def ranksDf(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized final ranks per (session, sfDir): the reference runs
+    * top-k extraction as a separate job over the iteration output it
+    * materialized to HDFS (`ExtractTop…` reads `RunPersonalized…`'s
+    * files); the Spark-native analogue is reusing the checkpointed
+    * rank DataFrame across the `pagerank` and `pagerank_topk` queries
+    * instead of re-running the 10-iteration loop. */
+  private val ranksCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  graft.Caches.register(() => ranksCache.clear())
+
+  /** Unrounded final ranks: (nodeid, r0..rS-1), computed once per dir. */
+  def ranksDf(spark: SparkSession, dir: String): DataFrame =
+    ranksCache.getOrElseUpdate((spark, dir), computeRanks(spark, dir))
+
+  private def computeRanks(spark: SparkSession, dir: String): DataFrame = {
     val g = graphDf(spark, dir).repartition(col("nodeid")).persist()
     var ranks = g.select(col("nodeid") +: SOURCES.zipWithIndex.map {
       case (s, i) => when(col("nodeid") === s, 1.0).otherwise(0.0).as(s"r$i")
@@ -110,6 +123,7 @@ object PageRank extends QueryModule {
         }: _*)
         .localCheckpoint(true) // truncate lineage, eager per iteration
     }
+    g.unpersist()
     ranks
   }
 

@@ -93,9 +93,21 @@ object SpamClassifier extends QueryModule {
       .toDF("feature", "weight")
   }
 
+  /** Memoized trained model per (session, sfDir) — the reference's
+    * Apply job reads the model Train materialized to HDFS
+    * (`ApplySpamClassifier.scala:32-38`); here the single-task training
+    * result is computed once and reused across queries. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  graft.Caches.register(() => modelCache.clear())
+
+  private def trainedModel(spark: SparkSession, dir: String): DataFrame =
+    modelCache.getOrElseUpdate((spark, dir),
+      trainOn(featurized(spark, dir), spark).localCheckpoint(true))
+
   /** `spam_train`: weights from one sequential pass in doc_id order. */
   def spamTrain(spark: SparkSession, dir: String): DataFrame =
-    trainOn(featurized(spark, dir), spark).orderBy(col("feature"))
+    trainedModel(spark, dir).orderBy(col("feature"))
 
   /** `spam_train_shuffled`: the reference's optional training-set
     * shuffle (`TrainSpamClassifier.scala:34-40`, `orderBy(rand)`) in a
@@ -122,7 +134,7 @@ object SpamClassifier extends QueryModule {
     * broadcast-map probe (`ApplySpamClassifier.scala:43-50`) as a
     * broadcast hash join. */
   def spamApply(spark: SparkSession, dir: String): DataFrame = {
-    val model = trainOn(featurized(spark, dir), spark)
+    val model = trainedModel(spark, dir)
     val inst = featurized(spark, dir)
     val exploded = inst.select(col("doc_id"), explode(col("features")).as("feature"))
     exploded

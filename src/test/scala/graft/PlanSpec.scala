@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits (SURVEY §4): filters must reach the parquet
+  * scan, column pruning must shrink ReadSchema, dims must broadcast,
+  * and no candidate-generation pipeline may contain a cartesian
+  * product. These are the properties the hand-rolled reference
+  * optimizations map onto — enforced as assertions so a regression in
+  * plan shape fails CI, not just the bench. */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q1: date filter pushed to the parquet scan, columns pruned") {
+    val p = plan(operators.Relational.q1(spark, sfDir))
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(l_shipdate"),
+      s"filter not pushed:\n$p")
+    assert(!p.contains("l_extendedprice"), "pruning failed: reads unneeded column")
+  }
+
+  test("q5: dims broadcast and the nation filter is pushed to its scan") {
+    val p = plan(operators.Relational.q5(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    // The selective IN-filter must sit on the nation scan itself — the
+    // round-1 plan applied it after the full fact shuffle.
+    assert(p.contains("In(n_name"), s"nation filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q7: sort+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(operators.Relational.q7(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"missing top-k operator:\n$p")
+  }
+
+  test("dedup candidate generators contain no cartesian product") {
+    Seq(
+      operators.Dedup.nearDedup(spark, sfDir),
+      operators.Dedup.simhashDedup(spark, sfDir),
+      operators.Dedup.ngramJaccard(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$p")
+    }
+  }
+
+  test("cosine_topk: the only product is the deliberate broadcast of queries") {
+    val p = plan(operators.Similarity.cosineTopk(spark, sfDir))
+    // Q×N scan: corpus streams, query side broadcast — never a
+    // shuffle-partitioned cartesian of corpus×corpus.
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("media_catalog prunes the payload bytes from the scan") {
+    val p = plan(operators.Multimodal.mediaCatalog(spark, sfDir))
+    // payload derives from text; the catalog needs text only for
+    // length — but must never read the embedding/lang-independent rest.
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ReadSchema"), p)
+  }
+
+  test("wordcount: aggregation is partial then final (map-side combine)") {
+    val p = plan(operators.TextCore.wordcount(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+}
