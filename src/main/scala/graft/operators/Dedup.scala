@@ -128,9 +128,12 @@ object Dedup extends QueryModule {
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      // |∪| = |a| + |b| − |∩| (arrays are distinct): one set op per pair.
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("hs_a"), col("hs_b"))).cast("double")
-          / size(array_union(col("hs_a"), col("hs_b"))), 6).as("jaccard"))
+        round(col("inter")
+          / (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= JACCARD_THRESHOLD)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -261,9 +264,13 @@ object Dedup extends QueryModule {
       // necessary condition — the oracle is unchanged).
       .filter(greatest(col("n_a"), col("n_b")) * NGRAM_THRESHOLD
         <= least(col("n_a"), col("n_b")))
+      // |∪| = n_a + n_b − |∩| (arrays are distinct): one set operation
+      // per pair instead of two.
+      .withColumn("inter",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
       .select(col("source"), col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("g_a"), col("g_b"))).cast("double")
-          / size(array_union(col("g_a"), col("g_b"))), 6).as("jaccard"))
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= NGRAM_THRESHOLD)
       .orderBy(col("source"), col("doc_a"), col("doc_b"))
   }

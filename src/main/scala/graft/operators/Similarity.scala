@@ -118,16 +118,26 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val annLshTopkSql = {
-    val planesLit = PLANES
-      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-    s"""$corpusSql,
-       |s AS (SELECT vec_id, v, nrm,
-       |  CAST(list_sum(list_transform(range(1, $N_PLANES + 1), p ->
+  /** Planes as a VALUES relation: DuckDB re-materializes an inline
+    * nested-list literal on every `[p][i]` access (≈4 min for 500
+    * vectors); the join form evaluates each plane row once. */
+  private def planesCte: String =
+    PLANES.zipWithIndex
+      .map { case (pl, i) => s"(${i + 1}, [${pl.mkString(", ")}])" }
+      .mkString("planes(p, pl) AS (VALUES ", ", ", ")")
+
+  private def sigCte: String =
+    s"""s0 AS (SELECT vec_id, CAST(sum(
        |    CASE WHEN list_sum(list_transform(range(1, $DIM + 1),
-       |           i -> v[i] * ($planesLit)[p][i])) > 0
-       |         THEN (1 << (p - 1)) ELSE 0 END)) AS INT) AS sig
-       |  FROM n),
+       |           i -> n.v[i] * planes.pl[i])) > 0
+       |         THEN (1 << (p - 1)) ELSE 0 END) AS INT) AS sig
+       |  FROM n CROSS JOIN planes GROUP BY vec_id),
+       |s AS (SELECT n.vec_id, n.v, n.nrm, s0.sig FROM n JOIN s0 USING (vec_id))""".stripMargin
+
+  val annLshTopkSql = {
+    s"""$corpusSql,
+       |$planesCte,
+       |$sigCte,
        |ch AS (SELECT vec_id, v, nrm, c AS chunk_idx,
        |  (sig >> (c * $ANN_CHUNK_BITS)) & ${(1 << ANN_CHUNK_BITS) - 1} AS chunk_val
        |  FROM s, unnest(range(0, $ANN_CHUNKS)) AS u(c)),
@@ -148,9 +158,129 @@ object Similarity extends QueryModule {
        |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- ann_ivf_topk: inverted-file (IVF) variant -------------------------
+  /** IVF: a deterministic codebook (every 50th vector, so it scales
+    * with the corpus), each vector assigned to its nearest centroid;
+    * queries probe the NPROBE nearest cells and search only there.
+    * Assignment/probing rank by rounded cosine with centroid-id
+    * tiebreaks, so the oracle (same algorithm in SQL) is exact. */
+  val CENTROID_MOD = 50
+  val CENTROID_OFF = 1
+  val NPROBE = 3
+  val IVF_TOP_K = 3
+
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+    val cent = e.filter(col("vec_id") % CENTROID_MOD === CENTROID_OFF)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    def nearestCells(side: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      side.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("ccos"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+    }
+    val assigned = nearestCells(e, 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val probes = nearestCells(e.filter(col("vec_id") % QUERY_MOD === 0), NPROBE)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IVF_TOP_K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfTopkSql =
+    s"""$corpusSql,
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |         WHERE vec_id % $CENTROID_MOD = $CENTROID_OFF),
+       |ac AS (SELECT n.vec_id, n.v, n.nrm, cent.cid,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> n.v[i] * cent.cv[i]))
+       |        / (n.nrm * cent.cnrm), 6) AS ccos
+       |  FROM n CROSS JOIN cent),
+       |ar AS (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM ac),
+       |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM ar WHERE crank = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid AS cell
+       |  FROM ar WHERE crank <= $NPROBE AND vec_id % $QUERY_MOD = 0),
+       |p AS (SELECT probes.query_id, assigned.vec_id,
+       |  round(list_sum(list_transform(range(1, $DIM + 1),
+       |          i -> probes.qv[i] * assigned.v[i]))
+       |        / (probes.qnrm * assigned.nrm), 6) AS cosine
+       |  FROM assigned JOIN probes ON assigned.cell = probes.cell
+       |  WHERE assigned.vec_id <> probes.query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT query_id, vec_id, cosine, rank FROM r
+       |WHERE rank <= $IVF_TOP_K ORDER BY query_id, rank""".stripMargin
+
+  // --- embedding_dedup: cosine near-dup pairs via sign-LSH buckets -------
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates
+    * (share ≥1 signature chunk), exact-cosine verified. The oracle
+    * replicates the identical algorithm — at this similarity level
+    * sign-LSH recall is probabilistic, so the candidate generator IS
+    * the spec, exactly as in `ann_lsh_topk`. */
+  val DEDUP_COSINE = 0.45
+
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = corpus(spark, dir).withColumn("sig", signature(col("v")))
+      .repartition(col("vec_id"))
+    val chunks = sigs.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array((0 until ANN_CHUNKS).map(c =>
+          shiftrightunsigned(col("sig"), c * ANN_CHUNK_BITS)
+            .bitwiseAND(lit((1 << ANN_CHUNK_BITS) - 1))): _*)))
+      .toDF("vec_id", "v", "nrm", "chunk_idx", "chunk_val")
+    val cand = chunks
+      .select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"),
+        col("chunk_idx"), col("chunk_val"))
+      .join(chunks.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b"), col("chunk_idx"), col("chunk_val")),
+        Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.select(col("id_a"), col("id_b"),
+        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
+      .filter(col("cosine") >= DEDUP_COSINE)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val embeddingDedupSql = {
+    s"""$corpusSql,
+       |$planesCte,
+       |$sigCte,
+       |ch AS (SELECT vec_id, v, nrm, c AS chunk_idx,
+       |  (sig >> (c * $ANN_CHUNK_BITS)) & ${(1 << ANN_CHUNK_BITS) - 1} AS chunk_val
+       |  FROM s, unnest(range(0, $ANN_CHUNKS)) AS u(c)),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM ch a JOIN ch b
+       |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       |  WHERE a.vec_id < b.vec_id),
+       |p AS (SELECT cand.id_a, cand.id_b,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> x.v[i] * y.v[i]))
+       |        / (x.nrm * y.nrm), 6) AS cosine
+       |  FROM cand
+       |  JOIN n x ON x.vec_id = cand.id_a
+       |  JOIN n y ON y.vec_id = cand.id_b)
+       |SELECT id_a, id_b, cosine FROM p
+       |WHERE cosine >= $DEDUP_COSINE ORDER BY id_a, id_b""".stripMargin
+  }
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("cosine_topk", cosineTopk, Some(cosineTopkSql),
       "exact brute-force cosine top-k for the query workload"),
     QueryDef("ann_lsh_topk", annLshTopk, Some(annLshTopkSql),
-      "random-hyperplane LSH candidates + exact cosine re-rank"))
+      "random-hyperplane LSH candidates + exact cosine re-rank"),
+    QueryDef("ann_ivf_topk", annIvfTopk, Some(annIvfTopkSql),
+      "IVF: deterministic codebook, nprobe cell search + re-rank"),
+    QueryDef("embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
+      "embedding-cosine near-dup pairs via sign-LSH buckets"))
 }

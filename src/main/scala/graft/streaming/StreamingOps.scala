@@ -123,6 +123,20 @@ object StreamingOps extends QueryModule {
         col("cnt") >= ALERT_MIN && col("cnt") >= lit(2) * col("prev_cnt"))
   }
 
+  /** Sessionization: per-user session windows with a 30-min inactivity
+    * gap (`session_window` — the extension op SURVEY §2.9 reserves;
+    * works identically on batch and, with the watermark, streaming).
+    * Session end = last event + gap, per Spark's definition. */
+  val SESSION_GAP = "30 minutes"
+
+  def userSessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WATERMARK)
+      .groupBy(col("user_id"), session_window(col("ts"), SESSION_GAP))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   // --- batch-replay queries (driver oracle gate) -------------------------
 
   def eventCountHourly(spark: SparkSession, dir: String): DataFrame =
@@ -162,7 +176,28 @@ object StreamingOps extends QueryModule {
        |    PARTITION BY event_type ORDER BY window_start) AS is_alert
        |FROM c ORDER BY event_type, window_start""".stripMargin
 
+  def userSessionsQuery(spark: SparkSession, dir: String): DataFrame =
+    userSessions(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Gaps-and-islands mirror of `session_window`. */
+  val userSessionsSql =
+    s"""WITH o AS (SELECT user_id, ts,
+       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+       |m AS (SELECT user_id, ts,
+       |  CASE WHEN prev IS NULL OR ts - prev > INTERVAL '$SESSION_GAP'
+       |       THEN 1 ELSE 0 END AS new_sess FROM o),
+       |s AS (SELECT user_id, ts, sum(new_sess) OVER (
+       |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM m)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL '$SESSION_GAP' AS session_end,
+       |  count(*) AS n_events
+       |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin
+
   override def entries: Seq[QueryDef] = Seq(
+    QueryDef("user_sessions", userSessionsQuery, Some(userSessionsSql),
+      "per-user session windows, 30-min inactivity gap"),
     QueryDef("event_count_hourly", eventCountHourly, Some(eventCountHourlySql),
       "tumbling 60-min event counts (batch replay of the streaming query)"),
     QueryDef("region_event_count", regionEventCount, Some(regionEventCountSql),
