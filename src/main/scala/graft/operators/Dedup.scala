@@ -238,6 +238,12 @@ object Dedup extends QueryModule {
   /** Exact char-4-gram Jaccard for pairs within the same blocking key
     * (`source`) — the blocking pattern: quadratic work confined to
     * blocks, never a global cross join. */
+  /** Bitmap-sketch width for the ngram pair prefilter (16 longs). */
+  private val BLOOM_WORDS = 16
+  private val BLOOM_BITS = BLOOM_WORDS * 64
+  private val BIT64: Array[Long] = (0 until 64).map(1L << _).toArray
+  private val WORD_IDX: Array[Int] = (0 until BLOOM_WORDS).toArray
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // Grams as 56-bit fingerprints, not strings: the within-block
     // pairwise intersect/union then compares longs (collision odds over
@@ -245,6 +251,21 @@ object Dedup extends QueryModule {
     // oracle would expose one). The repartition boundary materializes
     // the gram arrays once — both join sides reuse the same exchange —
     // instead of re-running ~250 md5s per row per side.
+    //
+    // `bm` is a 1024-bit one-hash bitmap of the gram set. For any pair,
+    // popcount(bm_a AND bm_b) ≥ |g_a ∩ g_b| (a shared gram sets the
+    // same bit; unshared grams can only add collisions), so it is a
+    // safe UPPER bound — pairs whose bound misses the threshold skip
+    // the exact set intersection entirely. That turns the hot loop
+    // from ~500 hash-set ops per pair into 16 AND+popcounts.
+    val bmCol = aggregate(col("g"), typedlit(Array.fill(BLOOM_WORDS)(0L)),
+      (acc, h) => {
+        val word = ((pmod(h, lit(BLOOM_BITS.toLong)) - pmod(h, lit(64L))) / 64)
+          .cast("int")
+        val bit = element_at(typedlit(BIT64), pmod(h, lit(64L)).cast("int") + 1)
+        zip_with(acc, typedlit(WORD_IDX),
+          (a, idx) => when(word === idx, a.bitwiseOR(bit)).otherwise(a))
+      })
     val grams = Tables.documents(spark, dir)
       .filter(length(col("text")) >= NGRAM_N)
       .select(col("doc_id"), col("source"),
@@ -252,18 +273,41 @@ object Dedup extends QueryModule {
           sequence(lit(1), length(col("text")) - (NGRAM_N - 1)),
           i => hash56(col("text").substr(i, lit(NGRAM_N))))).as("g"))
       .withColumn("n", size(col("g")))
+      .withColumn("bm", bmCol)
       .repartition(col("doc_id"))
-    val a = grams.select(col("source"), col("doc_id").as("doc_a"),
-      col("g").as("g_a"), col("n").as("n_a"))
-    val b = grams.select(col("source"), col("doc_id").as("doc_b"),
-      col("g").as("g_b"), col("n").as("n_b"))
-    a.join(b, Seq("source"))
+    // The pair join carries ONLY (id, n, bitmap) — ~150B rows — never
+    // the gram arrays; a joined row with both 240-element arrays costs
+    // ~4KB to materialize × every within-block pair. Broadcast the
+    // build side so the m² pairing stays in-pipeline (the broadcast is
+    // the blocked comparison set — bounded by block_size × blocks; at
+    // corpus scale the block key gets finer or the minhash prefilter
+    // of near_dedup takes over).
+    val light = grams.select(col("source"), col("doc_id"), col("n"), col("bm"))
+    val a = light.select(col("source"), col("doc_id").as("doc_a"),
+      col("n").as("n_a"), col("bm").as("bm_a"))
+    val b = light.select(col("source"), col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("bm").as("bm_b"))
+    val survivors = a.join(broadcast(b), Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
       // Size-ratio prefilter: J(a,b) ≥ t requires min|·| ≥ t·max|·|,
       // so pairs failing it skip the O(n) set work entirely (a pure
       // necessary condition — the oracle is unchanged).
       .filter(greatest(col("n_a"), col("n_b")) * NGRAM_THRESHOLD
         <= least(col("n_a"), col("n_b")))
+      // Bitmap prefilter: J ≥ t requires |∩| ≥ t·(n_a+n_b)/(1+t), and
+      // the AND-popcount upper-bounds |∩| — another pure necessary
+      // condition, 16 integer ops per pair.
+      .filter(
+        aggregate(zip_with(col("bm_a"), col("bm_b"),
+          (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x) * (1.0 + NGRAM_THRESHOLD)
+          >= lit(NGRAM_THRESHOLD) * (col("n_a") + col("n_b")))
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        col("n_a"), col("n_b"))
+    // Exact verification fetches the gram arrays for survivors only.
+    survivors
+      .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("g").as("g_b")), "doc_b")
       // |∪| = n_a + n_b − |∩| (arrays are distinct): one set operation
       // per pair instead of two.
       .withColumn("inter",
