@@ -232,22 +232,29 @@ object Similarity extends QueryModule {
   val DEDUP_COSINE = 0.45
 
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = corpus(spark, dir).withColumn("sig", signature(col("v")))
+    val e = corpus(spark, dir)
+    val sigs = e.withColumn("sig", signature(col("v")))
       .repartition(col("vec_id"))
-    val chunks = sigs.select(col("vec_id"), col("v"), col("nrm"),
+    // Candidate pairs are id-only — the chunk join multiplies rows by
+    // bucket occupancy, so carrying the 64-double vectors through it
+    // would materialize them once per colliding pair. Vectors are
+    // fetched after dropDuplicates (the oracle mirrors this shape).
+    val chunks = sigs.select(col("vec_id"),
         posexplode(array((0 until ANN_CHUNKS).map(c =>
           shiftrightunsigned(col("sig"), c * ANN_CHUNK_BITS)
             .bitwiseAND(lit((1 << ANN_CHUNK_BITS) - 1))): _*)))
-      .toDF("vec_id", "v", "nrm", "chunk_idx", "chunk_val")
-    val cand = chunks
-      .select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"),
-        col("chunk_idx"), col("chunk_val"))
-      .join(chunks.select(col("vec_id").as("id_b"), col("v").as("v_b"),
-        col("nrm").as("n_b"), col("chunk_idx"), col("chunk_val")),
+      .toDF("vec_id", "chunk_idx", "chunk_val")
+    val cand = chunks.select(col("vec_id").as("id_a"), col("chunk_idx"), col("chunk_val"))
+      .join(chunks.select(col("vec_id").as("id_b"), col("chunk_idx"), col("chunk_val")),
         Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.select(col("id_a"), col("id_b"),
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("n_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
         round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
       .filter(col("cosine") >= DEDUP_COSINE)
       .orderBy(col("id_a"), col("id_b"))
