@@ -103,9 +103,16 @@ object PageRank extends QueryModule {
         .filter(col("outdeg") > 0)
         .select(explode(col("adj")).as("dst") +:
           srcIdx.map(i => (col(s"r$i") / col("outdeg")).as(s"c$i")): _*)
+      // Checkpoint the MESSAGES, not the ranks: both consumers (the
+      // dangling-mass collect and the rank update) then read the one
+      // materialized table, so scatter+gather runs exactly once per
+      // iteration, and the next iteration's lineage is a single join
+      // over this checkpoint — bounded depth without a second
+      // materialization job per iteration.
       val msgs = scattered.groupBy(col("dst"))
         .agg(sum(col("c0")).as("m0"),
           srcIdx.tail.map(i => sum(col(s"c$i")).as(s"m$i")): _*)
+        .localCheckpoint(true)
       // Missing (dangling) mass per source: 1 − what arrived. One 1-row
       // collect per iteration, as in the reference's driver fold.
       val arrived = msgs
@@ -121,10 +128,12 @@ object PageRank extends QueryModule {
             + when(col("nodeid") === s,
                 lit(ALPHA + (1.0 - ALPHA) * missing(i))).otherwise(0.0)).as(s"r$i")
         }: _*)
-        .localCheckpoint(true) // truncate lineage, eager per iteration
     }
+    // Materialize the final ranks so the memoized DataFrame no longer
+    // depends on the persisted graph, then release it.
+    val out = ranks.localCheckpoint(true)
     g.unpersist()
-    ranks
+    out
   }
 
   /** `pagerank`: final per-source ranks, rounded for output stability. */

@@ -222,6 +222,27 @@ object Pipeline extends QueryModule {
        |FROM b ORDER BY doc_id""".stripMargin
   }
 
+  // --- logsumexp_by_type: custom typed Aggregator ------------------------
+  /** Per-event-type logSumExp of `value` via the [[graft.functions.LogSumExp]]
+    * Aggregator (the reference's `sumProbs` log-add as an n-ary
+    * aggregate) — the one custom aggregation the engine registers;
+    * partial aggregation still applies (the merge is associative). */
+  def logsumexpByType(spark: SparkSession, dir: String): DataFrame = {
+    val lse = udaf(graft.functions.LogSumExp)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(round(lse(col("value")), 6).as("lse_value"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Naive ln(Σeˣ) is safe at the oracle's value range; the Spark side's
+    * max-reparametrized form is equal to double precision. */
+  val logsumexpByTypeSql =
+    """SELECT event_type, round(ln(sum(exp(value))), 6) AS lse_value,
+      |  count(*) AS cnt
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- doc_fingerprint: polynomial rolling hash --------------------------
   /** Order-sensitive rolling hash over the token stream: each token is
     * fingerprinted portably (first 14 hex digits of its md5 → bigint)
@@ -263,5 +284,7 @@ object Pipeline extends QueryModule {
     QueryDef("lang_id", langId, Some(langIdSql),
       "n-gram-profile language identification"),
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql),
-      "order-sensitive polynomial rolling-hash fingerprint per doc"))
+      "order-sensitive polynomial rolling-hash fingerprint per doc"),
+    QueryDef("logsumexp_by_type", logsumexpByType, Some(logsumexpByTypeSql),
+      "numerically-stable log-space sum via a typed Aggregator"))
 }
