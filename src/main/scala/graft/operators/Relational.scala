@@ -220,6 +220,54 @@ object Relational extends QueryModule {
        |GROUP BY c_name, l_orderkey, o_orderdate, o_orderstatus
        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  // --- q8: per-nation/month rollup (capability extension: grouping
+  //     sets — SURVEY §2.4 notes these come free on Dataset) ------------
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(Q5_NATIONS: _*))
+      .select(col("n_nationkey"), col("n_name"))
+    val cn = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val o2 = o.join(broadcast(cn), o("o_custkey") === cn("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"))
+    l.join(o2, l("l_orderkey") === o2("o_orderkey"))
+      .select(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .rollup(col("n_name"), col("ship_month"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("n_name").asc_nulls_first, col("ship_month").asc_nulls_first)
+  }
+
+  val q8Sql =
+    s"""SELECT n_name, strftime(l_shipdate, '%Y-%m') AS ship_month, count(*) AS cnt
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |WHERE n_name IN ('NATION_3', 'NATION_24')
+       |GROUP BY ROLLUP (n_name, ship_month)
+       |ORDER BY n_name ASC NULLS FIRST, ship_month ASC NULLS FIRST""".stripMargin
+
+  // --- q9: lapsed customers — none of their orders after a cutoff
+  //     (anti join; the filter sits on the build side's scan) -----------
+  val Q9_CUTOFF = "1998-01-01 00:00:00"
+
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= d(Q9_CUTOFF))
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .orderBy(col("c_custkey"))
+  }
+
+  val q9Sql =
+    s"""SELECT c_custkey, c_name FROM customer
+       |WHERE NOT EXISTS (SELECT 1 FROM orders
+       |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '$Q9_CUTOFF')
+       |ORDER BY c_custkey""".stripMargin
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("q1_count_shipped", q1, Some(q1Sql), "Q1: count items shipped on a date"),
     QueryDef("q2_clerks", q2, Some(q2Sql), "Q2: order priorities for a ship date, first 20 by order key"),
@@ -227,5 +275,7 @@ object Relational extends QueryModule {
     QueryDef("q4_shipments_by_nation", q4, Some(q4Sql), "Q4: per-nation shipment counts, 4-way join"),
     QueryDef("q5_monthly_shipments", q5, Some(q5Sql), "Q5: two-nation volume by month"),
     QueryDef("q6_pricing_summary", q6, Some(q6Sql), "Q6: TPC-H Q1 pricing summary report"),
-    QueryDef("q7_top_unshipped", q7, Some(q7Sql), "Q7: TPC-H Q3 shipping priority top-10"))
+    QueryDef("q7_top_unshipped", q7, Some(q7Sql), "Q7: TPC-H Q3 shipping priority top-10"),
+    QueryDef("q8_rollup", q8, Some(q8Sql), "rollup totals per nation/month (grouping sets)"),
+    QueryDef("q9_customers_no_orders", q9, Some(q9Sql), "anti join: customers without orders"))
 }

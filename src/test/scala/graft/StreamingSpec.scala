@@ -95,6 +95,30 @@ class StreamingSpec extends SparkSpecBase {
     assert(viaState.exceptAll(viaLag).isEmpty && viaLag.exceptAll(viaState).isEmpty)
   }
 
+  test("userSessions: session windows merge and close across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = StreamingOps.userSessions(
+      input.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:10:00"), 1L), // same session (gap 10 < 30 min)
+        (ts("2024-01-01 02:00:00"), 1L), // new session
+        (ts("2024-01-01 00:05:00"), 2L))
+      q.processAllAvailable()
+      val got = spark.table("sess_test")
+        .select("user_id", "session_start", "n_events")
+        .as[(Long, Timestamp, Long)].collect().sortBy(r => (r._1, r._2.getTime))
+      assert(got.toSeq == Seq(
+        (1L, ts("2024-01-01 00:00:00"), 2L),
+        (1L, ts("2024-01-01 02:00:00"), 1L),
+        (2L, ts("2024-01-01 00:05:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("watermark evicts state in append mode (late row dropped)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
