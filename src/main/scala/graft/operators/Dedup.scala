@@ -90,20 +90,14 @@ object Dedup extends QueryModule {
       .repartition(col("doc_id"))
   }
 
-  /** Zipped (aᵢ, bᵢ) coefficient pairs for the single-pass fold. */
-  private val MH_AB: Array[(Long, Long)] = MH_A.zip(MH_B)
-
   def nearDedup(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    // K minhashes in ONE traversal of the shingle array: fold each
-    // shingle hash into a K-wide running-min vector (zip_with against
-    // the literal coefficient array). A per-i "min over transform(hs)"
-    // formulation would re-evaluate the (inlined) shingle pipeline K
-    // times per row after projection collapse.
-    val mhExpr = aggregate(col("hs"),
-      typedlit(Array.fill(MINHASH_K)(MH_P)),
-      (acc, x) => zip_with(acc, typedlit(MH_AB), (m, ab) =>
-        least(m, (ab.getField("_1") * (x % MH_P) + ab.getField("_2")) % MH_P)))
+    // K minhashes in ONE traversal of the shingle array via the native
+    // codegen'd expression — see MinHashSignature's scaladoc for why
+    // this (and only this) hot loop gets a custom Expression instead
+    // of an aggregate+zip_with fold.
+    graft.functions.MinHashSignature.register(spark, MH_A, MH_B, MH_P)
+    val mhExpr = expr(s"${graft.functions.MinHashSignature.FUNC_NAME}(hs)")
     // The repartition is a deliberate stage boundary: it makes `mh` a
     // physical attribute, so the 128 element_at references in the band
     // expression below read a materialized array instead of inlining
