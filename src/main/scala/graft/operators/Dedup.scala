@@ -152,25 +152,22 @@ object Dedup extends QueryModule {
 
   private val POWERS: Array[Long] = (0 until SIMHASH_BITS).map(1L << _).toArray
 
-  private def simhashCol(tokens: Column): Column = {
-    val hs = transform(tokens, hash56(_))
-    // Majority vote per bit in ONE traversal of the token hashes: fold
-    // each hash into a 56-wide ±1 counter vector, then sum the powers
-    // whose counter is positive. (A per-bit "count via filter(hs)"
-    // formulation would re-evaluate the tokenize+md5 pipeline once per
-    // bit per row after projection collapse — O(bits · tokens) regex
-    // work instead of O(tokens).)
-    val counts = aggregate(hs, typedlit(Array.fill(SIMHASH_BITS)(0L)),
-      (acc, h) => zip_with(acc, typedlit(POWERS), (c, p) =>
-        c + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(counts, typedlit(POWERS), (c, p) => when(c > 0, p).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+  /** Majority-vote simhash of the token fingerprints via the native
+    * codegen'd [[graft.functions.SimHashSignature]] expression — same
+    * rationale as the MinHash expression (the HOF fold is interpreted
+    * and boxes a 56-wide counter vector per token; MinHashSpec-style
+    * equality with the fold is asserted in MinHashSpec's sibling
+    * tests). */
+  private def simhashOf(spark: SparkSession, tokens: Column): Column = {
+    graft.functions.SimHashSignature.register(spark, SIMHASH_BITS)
+    call_function(graft.functions.SimHashSignature.FUNC_NAME,
+      transform(tokens, hash56(_)))
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), simhashCol(TextFns.tokenize(col("text"))).as("simhash"))
+      .select(col("doc_id"),
+        simhashOf(spark, TextFns.tokenize(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
   private val powersSqlList = POWERS.mkString("[", ", ", "]")
@@ -192,7 +189,8 @@ object Dedup extends QueryModule {
     // Boundary: materialize the signature once — the chunk projection
     // references it 5× and both join sides below share the exchange.
     val sims = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhashCol(TextFns.tokenize(col("text"))).as("sim"))
+      .select(col("doc_id"),
+        simhashOf(spark, TextFns.tokenize(col("text"))).as("sim"))
       .repartition(col("doc_id"))
     // 4 chunks of 14 bits; Hamming ≤3 pairs must collide on ≥1 chunk.
     val chunks = sims.select(col("doc_id"), col("sim"),
