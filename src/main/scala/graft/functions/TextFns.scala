@@ -45,7 +45,12 @@ object TextFns {
   def first40Distinct(tokens: Column): Column =
     array_distinct(slice(tokens, 1, 40))
 
-  /** DuckDB fragment for [[first40Distinct]] over a list expr. */
+  /** DuckDB fragment for [[first40Distinct]] over a list expr.
+    * SET-SEMANTICS ONLY: DuckDB's `list_distinct` does not preserve
+    * first-occurrence order and drops NULLs, while Spark's
+    * `array_distinct` is order-preserving — every oracle using this
+    * fragment must consume the result as a set (explode + aggregate),
+    * never compare element order. */
   def first40DistinctSql(listExpr: String): String =
     s"list_distinct($listExpr[1:40])"
 

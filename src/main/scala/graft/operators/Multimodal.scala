@@ -73,7 +73,8 @@ object Multimodal extends QueryModule {
   def mediaCatalog(spark: SparkSession, dir: String): DataFrame =
     mediaDf(spark, dir)
       .select(col("media_id"), col("kind"), col("width"), col("height"),
-        octet_length(col("payload")).as("n_bytes"))
+        octet_length(col("payload")).as("n_bytes"),
+        format_string("media/%05d.%s", col("media_id"), col("kind")).as("media_uri"))
       .orderBy(col("media_id"))
 
   val mediaCatalogSql =
@@ -81,7 +82,9 @@ object Multimodal extends QueryModule {
       |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
       |  CAST(n_chars % 16 + 4 AS INT) AS width,
       |  CAST(n_chars % 8 + 4 AS INT) AS height,
-      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  printf('media/%05d.%s', doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]) AS media_uri
       |FROM documents ORDER BY media_id""".stripMargin
 
   // --- media_features: batched decode + feature extraction ---------------

@@ -169,17 +169,20 @@ object Pipeline extends QueryModule {
     Tables.documents(spark, dir)
       .select(col("doc_id"), ws.as("ws_tokens"), bpe.as("bpe_tokens"),
         round(when(ws > 0, bpe.cast("double") / ws).otherwise(0.0), 6)
-          .as("bpe_per_ws"))
+          .as("bpe_per_ws"),
+        regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"))
       .orderBy(col("doc_id"))
   }
 
   val tokenCountSql =
     s"""WITH d AS (SELECT doc_id,
        |  len(${TextFns.tokenizeSql("text")}) AS ws_tokens,
-       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens,
+       |  regexp_extract(text, '([a-z]+)', 1) AS first_word
        |  FROM documents)
        |SELECT doc_id, ws_tokens, bpe_tokens,
-       |  round(CASE WHEN ws_tokens > 0 THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens ELSE 0.0 END, 6) AS bpe_per_ws
+       |  round(CASE WHEN ws_tokens > 0 THEN CAST(bpe_tokens AS DOUBLE) / ws_tokens ELSE 0.0 END, 6) AS bpe_per_ws,
+       |  first_word
        |FROM d ORDER BY doc_id""".stripMargin
 
   // --- lang_id: n-gram-profile language identification -------------------
