@@ -90,6 +90,26 @@ object InvertedIndex extends QueryModule {
       case _ => throw new IllegalArgumentException(s"malformed postfix query: $query")
     }
 
+  /** Interactive entry point (the reference's REPL loop,
+    * `BooleanRetrievalCompressed.java:208-216`): evaluate ONE arbitrary
+    * postfix query against the corpus and return its docid set. The
+    * fixed-workload query below reuses the same machinery. */
+  def retrieve(spark: SparkSession, dir: String, query: String): DataFrame = {
+    val terms = query.split(" ").filterNot(t => t == "AND" || t == "OR").distinct.toSeq
+    val docsets = termDocTf(spark, dir)
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .groupBy()
+      .pivot("term", terms)
+      .agg(first(col("docs")))
+    val docs = array_sort(evalPostfix[Column](query,
+      t => coalesce(col(s"`$t`"), array().cast("array<long>")),
+      (a, b) => array_intersect(a, b),
+      (a, b) => array_union(a, b)))
+    docsets.select(lit(query).as("query"), size(docs).as("n_docs"), docs.as("docs"))
+  }
+
   def booleanRetrieval(spark: SparkSession, dir: String): DataFrame = {
     // One row holding each queried term's sorted docid set as a column
     // (pivot over the handful of workload terms — never the full vocab).
