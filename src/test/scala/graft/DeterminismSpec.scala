@@ -1,0 +1,31 @@
+package graft
+
+/** The driver gate hash-compares results, so every query must be
+  * bit-stable across executions. This spec re-runs the queries whose
+  * shapes most invite nondeterminism (collect_set/collect_list
+  * ordering, LSH candidate joins, pivots, window ties) and asserts
+  * identical output. */
+class DeterminismSpec extends SparkSpecBase {
+
+  private val risky = Seq(
+    "inverted_index", // collect_list ordering → sort_array must pin it
+    "boolean_retrieval", // collect_set + pivot + first
+    "near_dedup", // candidate join order, distinct
+    "simhash_dedup",
+    "embedding_dedup",
+    "cosine_topk", // window ties on rounded cosine
+    "exact_dedup", // window over hash partitions
+    "bigram_relfreq_stripes", // map_from_entries ordering
+    "pagerank") // iterative + memoized path
+
+  risky.foreach { name =>
+    test(s"$name is run-to-run deterministic") {
+      val fn = SparkEntry.queries(name)
+      Caches.clearAll()
+      val a = fn(spark, sfDir).collect().map(_.toString).sorted
+      Caches.clearAll()
+      val b = fn(spark, sfDir).collect().map(_.toString).sorted
+      assert(a.sameElements(b), s"$name differs between runs")
+    }
+  }
+}
