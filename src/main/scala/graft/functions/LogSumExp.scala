@@ -28,7 +28,10 @@ object LogSumExp extends Aggregator[Double, (Double, Double), Double] {
     val (mb, sb) = b
     if (sa == 0.0) b
     else if (sb == 0.0) a
-    else if (ma >= mb) (ma, sa + sb * math.exp(mb - ma))
+    // Equal maxima first — also covers ma = mb = −∞ (all-−∞ groups),
+    // where exp(mb − ma) = exp(NaN) would poison the sum.
+    else if (ma == mb) (ma, sa + sb)
+    else if (ma > mb) (ma, sa + sb * math.exp(mb - ma))
     else (mb, sb + sa * math.exp(ma - mb))
   }
 

@@ -27,10 +27,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `SparkSessionExtensions.injectFunction` extension point.
   */
 final case class MinHashSignature(child: Expression,
-    a: Array[Long], b: Array[Long], p: Long)
+    a: Seq[Long], b: Seq[Long], p: Long)
   extends UnaryExpression {
 
   require(a.length == b.length && a.nonEmpty, "coefficient arrays must match")
+
+  // Constructor params are Seq (structural equals/hashCode) so Catalyst
+  // canonicalization and common-subexpression elimination unify
+  // content-identical instances — Array params would compare by
+  // reference. The hot loops read these array views.
+  private lazy val aArr: Array[Long] = a.toArray
+  private lazy val bArr: Array[Long] = b.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -46,14 +53,14 @@ final case class MinHashSignature(child: Expression,
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val k = a.length
+    val k = aArr.length
     val out = Array.fill(k)(p)
     var i = 0
     while (i < arr.numElements()) {
       val x = arr.getLong(i) % p
       var j = 0
       while (j < k) {
-        val h = (a(j) * x + b(j)) % p
+        val h = (aArr(j) * x + bArr(j)) % p
         if (h < out(j)) out(j) = h
         j += 1
       }
@@ -63,8 +70,8 @@ final case class MinHashSignature(child: Expression,
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("minhashA", a, "long[]")
-    val bRef = ctx.addReferenceObj("minhashB", b, "long[]")
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
       val out = ctx.freshName("mhOut")
       val i = ctx.freshName("i")
@@ -93,12 +100,26 @@ final case class MinHashSignature(child: Expression,
 object MinHashSignature {
   val FUNC_NAME = "graft_minhash"
 
+  /** Per-session record of the last-registered coefficients — repeated
+    * registration with the SAME parameters is skipped (no re-register,
+    * no WARN spam), while different parameters (tests use narrow
+    * signatures) still replace the binding. Weak keys: sessions are
+    * not pinned. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (Seq[Long], Seq[Long], Long)]())
+
   /** Idempotently registers `graft_minhash(arr)` with the given
     * coefficients in the session's FunctionRegistry; call before using
     * `expr("graft_minhash(col)")`. */
-  def register(spark: SparkSession, a: Array[Long], b: Array[Long], p: Long): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FUNC_NAME,
-      exprs => MinHashSignature(exprs.head, a, b, p),
-      "built-in")
+  def register(spark: SparkSession, a: Array[Long], b: Array[Long], p: Long): Unit = {
+    val key = (a.toSeq, b.toSeq, p)
+    if (registered.get(spark) != key) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        FUNC_NAME,
+        exprs => MinHashSignature(exprs.head, a.toSeq, b.toSeq, p),
+        "built-in")
+      registered.put(spark, key)
+    }
+  }
 }

@@ -85,11 +85,21 @@ final case class SimHashSignature(child: Expression, bits: Int)
 object SimHashSignature {
   val FUNC_NAME = "graft_simhash"
 
+  /** Per-session record of the last-registered width — repeated
+    * registration with the SAME width is skipped (no re-register, no
+    * WARN spam); a different width still replaces the binding. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Integer]())
+
   /** Idempotently registers `graft_simhash(arr)` in the session's
     * FunctionRegistry. */
   def register(spark: SparkSession, bits: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FUNC_NAME,
-      exprs => SimHashSignature(exprs.head, bits),
-      "built-in")
+    if (registered.get(spark) != Integer.valueOf(bits)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        FUNC_NAME,
+        exprs => SimHashSignature(exprs.head, bits),
+        "built-in")
+      registered.put(spark, bits)
+    }
 }

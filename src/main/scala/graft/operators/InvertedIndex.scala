@@ -61,12 +61,21 @@ object InvertedIndex extends QueryModule {
         sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("postings"))
       .orderBy(col("term"))
 
+  /** Gate projection of [[invertedIndex]]: the `ARRAY<STRUCT>` postings
+    * rendered as `"doc:tf;doc:tf;…"` — nested types crash generic
+    * row-comparison harnesses, so the registered entry is scalar-only;
+    * the array-typed function above stays the library API. */
+  def invertedIndexGate(spark: SparkSession, dir: String): DataFrame =
+    invertedIndex(spark, dir).withColumn("postings",
+      array_join(transform(col("postings"),
+        p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))), ";"))
+
   val invertedIndexSql =
     s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
        |w AS (SELECT doc_id, unnest(ts) AS term FROM t),
        |tfs AS (SELECT term, doc_id, count(*) AS tf FROM w GROUP BY term, doc_id)
        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
-       |  list(struct_pack(doc_id := doc_id, tf := tf) ORDER BY doc_id) AS postings
+       |  string_agg(doc_id || ':' || tf, ';' ORDER BY doc_id) AS postings
        |FROM tfs GROUP BY term ORDER BY term""".stripMargin
 
   // --- boolean_retrieval: postfix AND/OR over docid sets -----------------
@@ -120,15 +129,30 @@ object InvertedIndex extends QueryModule {
       .groupBy()
       .pivot("term", QUERY_TERMS)
       .agg(first(col("docs")))
+    // ALL workload queries evaluate in one projection over that single
+    // row — explode of a (query, docs) struct array — so the docsets
+    // aggregate runs exactly once by construction (a per-query
+    // union-of-branches would re-aggregate per branch unless exchange
+    // reuse happened to fire; PlanSpec pins the no-Union shape).
     val results = QUERIES.map { q =>
       val docs = array_sort(evalPostfix[Column](q,
         t => coalesce(col(s"`$t`"), array().cast("array<long>")),
         (a, b) => array_intersect(a, b),
         (a, b) => array_union(a, b)))
-      docsets.select(lit(q).as("query"), size(docs).as("n_docs"), docs.as("docs"))
+      struct(lit(q).as("query"), docs.as("docs"))
     }
-    results.reduce(_.unionAll(_)).orderBy(col("query"))
+    docsets
+      .select(explode(array(results: _*)).as("r"))
+      .select(col("r.query").as("query"), size(col("r.docs")).as("n_docs"),
+        col("r.docs").as("docs"))
+      .orderBy(col("query"))
   }
+
+  /** Gate projection of [[booleanRetrieval]]: docid set as a csv string
+    * (see [[invertedIndexGate]] for why). */
+  def booleanRetrievalGate(spark: SparkSession, dir: String): DataFrame =
+    booleanRetrieval(spark, dir)
+      .withColumn("docs", array_join(col("docs").cast("array<string>"), ","))
 
   val booleanRetrievalSql = {
     // One-row pivot of the workload terms' docsets (the SQL mirror of the
@@ -142,7 +166,7 @@ object InvertedIndex extends QueryModule {
         t => s"t_$t",
         (a, b) => s"list_sort(list_intersect($a, $b))",
         (a, b) => s"list_sort(list_distinct(list_concat($a, $b)))")
-      s"SELECT '$q' AS query, len(list_sort($docs)) AS n_docs, list_sort($docs) AS docs FROM p"
+      s"SELECT '$q' AS query, len(list_sort($docs)) AS n_docs, coalesce(array_to_string(list_sort($docs), ','), '') AS docs FROM p"
     }.mkString(" UNION ALL ")
     s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
        |w AS (SELECT doc_id, unnest(ts) AS term FROM t),
@@ -207,9 +231,9 @@ object InvertedIndex extends QueryModule {
        |FROM documents QUALIFY rank <= $TOPK_K ORDER BY lang, rank""".stripMargin
 
   override def entries: Seq[QueryDef] = Seq(
-    QueryDef("inverted_index", invertedIndex, Some(invertedIndexSql),
+    QueryDef("inverted_index", invertedIndexGate, Some(invertedIndexSql),
       "term → df/cf/sorted postings over documents"),
-    QueryDef("boolean_retrieval", booleanRetrieval, Some(booleanRetrievalSql),
+    QueryDef("boolean_retrieval", booleanRetrievalGate, Some(booleanRetrievalSql),
       "postfix AND/OR retrieval over per-term docid sets"),
     QueryDef("retrieval_fetch", retrievalFetch, Some(retrievalFetchSql),
       "join retrieval hits back to documents for snippets"),

@@ -114,6 +114,34 @@ object Multimodal extends QueryModule {
       .orderBy(col("media_id"))
   }
 
+  /** Gate projection of [[mediaFeatures]]: histogram as a csv string —
+    * nested types crash generic row-comparison harnesses, so the
+    * registered entry is scalar-only. */
+  def mediaFeaturesGate(spark: SparkSession, dir: String): DataFrame =
+    mediaFeatures(spark, dir)
+      .withColumn("histogram", array_join(col("histogram").cast("array<string>"), ","))
+
+  /** media_features oracle: the stub decoder is deterministic byte math
+    * (pixel i = payload byte i, zero-padded to width·height), so the
+    * whole decode+histogram is SQL-expressible over the ASCII text —
+    * `ascii(substr(…))` replays the byte buffer (same ASCII assumption
+    * the frame_sample oracle already asserts via md5 parity). */
+  val mediaFeaturesSql =
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       |  CAST(n_chars % 16 + 4 AS INT) * CAST(n_chars % 8 + 4 AS INT) AS n_px,
+       |  CAST(octet_length(encode(text)) AS INT) AS n_bytes, text
+       |  FROM documents),
+       |p AS (SELECT media_id, kind, n_bytes, n_px,
+       |  list_transform(range(0, n_px), i ->
+       |    CASE WHEN i < n_bytes THEN ascii(substr(text, CAST(i + 1 AS INT), 1)) ELSE 0 END) AS px
+       |  FROM m)
+       |SELECT media_id, kind, n_bytes,
+       |  round(CAST(list_sum(px) AS DOUBLE) / n_px, 6) AS mean_byte,
+       |  array_to_string(list_transform(range(0, $HIST_BINS),
+       |    b -> CAST(len(list_filter(px, v -> v // ${256 / HIST_BINS} = b)) AS VARCHAR)), ',') AS histogram
+       |FROM p ORDER BY media_id""".stripMargin
+
   // --- frame_sample: every k-th frame of the video payloads --------------
   /** Frame = width·height bytes of the payload; emit every
     * [[FRAME_STRIDE]]-th frame with its md5 (the frame-sampling shape:
@@ -164,8 +192,8 @@ object Multimodal extends QueryModule {
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("media_catalog", mediaCatalog, Some(mediaCatalogSql),
       "typed metadata over synthesized binary media (payload pruned)"),
-    QueryDef("media_features", mediaFeatures, None,
-      "stub-decoded byte-histogram features via partition batches (ScalaTest oracle)"),
+    QueryDef("media_features", mediaFeaturesGate, Some(mediaFeaturesSql),
+      "stub-decoded byte-histogram features via partition batches"),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql),
       "every k-th frame of video payloads with md5 fingerprints"))
 }

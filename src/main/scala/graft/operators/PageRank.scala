@@ -68,13 +68,20 @@ object PageRank extends QueryModule {
     graphDf(spark, dir).select(col("nodeid"), col("outdeg"), col("adj"))
       .orderBy(col("nodeid"))
 
+  /** Gate projection of [[pagerankGraph]]: adjacency as a csv string —
+    * nested types crash generic row-comparison harnesses, so the
+    * registered entry is scalar-only. */
+  def pagerankGraphGate(spark: SparkSession, dir: String): DataFrame =
+    pagerankGraph(spark, dir)
+      .withColumn("adj", array_join(col("adj").cast("array<string>"), ","))
+
   val pagerankGraphSql =
     s"""WITH e AS (SELECT DISTINCT o_custkey % $V AS src, o_orderkey % $V AS dst
        |           FROM orders),
        |n AS (SELECT unnest(range(0, $V)) AS nodeid),
        |a AS (SELECT src, list(dst ORDER BY dst) AS adj FROM e GROUP BY src)
        |SELECT nodeid, CAST(coalesce(len(adj), 0) AS INT) AS outdeg,
-       |  coalesce(adj, []) AS adj
+       |  coalesce(array_to_string(adj, ','), '') AS adj
        |FROM n LEFT JOIN a ON nodeid = src ORDER BY nodeid""".stripMargin
 
   // --- the iterative driver ---------------------------------------------
@@ -146,6 +153,69 @@ object PageRank extends QueryModule {
       .select(col("nodeid") +: srcIdx.map(i => round(col(s"r$i"), 8).as(s"r$i")): _*)
       .orderBy(col("nodeid"))
 
+  /** DuckDB oracle for the iterative loop: the [[ITERATIONS]] sparse
+    * linear-space updates unrolled as a CTE chain — scatter (unnest
+    * adj), gather (per-dst sum), dangling-mass fold (global sum), and
+    * teleport, with the same operation order as the Spark side so the
+    * doubles agree to the last bit before the round(·,8). The
+    * reference's own verification is a sequential replay of the same
+    * recurrence (`SequentialPersonalizedPageRank.java:112-134`). */
+  private def graphCte: String =
+    s"""e AS (SELECT DISTINCT o_custkey % $V AS src, o_orderkey % $V AS dst
+       |      FROM orders),
+       |n AS (SELECT unnest(range(0, $V)) AS nodeid),
+       |a AS (SELECT src, list(dst ORDER BY dst) AS adj FROM e GROUP BY src),
+       |g AS MATERIALIZED (SELECT nodeid, coalesce(len(adj), 0) AS outdeg, coalesce(adj, []) AS adj
+       |      FROM n LEFT JOIN a ON nodeid = src)""".stripMargin
+
+  private def iterationCtes: String = {
+    val keep = 1.0 - ALPHA
+    val init = "r0_ AS MATERIALIZED (SELECT nodeid, " + SOURCES.zipWithIndex.map { case (s, i) =>
+      s"CASE WHEN nodeid = $s THEN 1.0 ELSE 0.0 END AS r$i"
+    }.mkString(", ") + " FROM g)"
+    val iters = (1 to ITERATIONS).map { k =>
+      val p = s"r${k - 1}_"
+      val scatter = s"s${k}_ AS MATERIALIZED (SELECT unnest(g.adj) AS dst, " +
+        srcIdx.map(i => s"r.r$i / g.outdeg AS c$i").mkString(", ") +
+        s" FROM $p r JOIN g ON r.nodeid = g.nodeid WHERE g.outdeg > 0)"
+      val gather = s"m${k}_ AS MATERIALIZED (SELECT dst, " +
+        srcIdx.map(i => s"sum(c$i) AS m$i").mkString(", ") +
+        s" FROM s${k}_ GROUP BY dst)"
+      val mass = s"t${k}_ AS MATERIALIZED (SELECT " +
+        srcIdx.map(i => s"coalesce(sum(m$i), 0.0) AS t$i").mkString(", ") +
+        s" FROM m${k}_)"
+      val update = s"r${k}_ AS MATERIALIZED (SELECT g.nodeid, " + SOURCES.zipWithIndex.map {
+        case (s, i) =>
+          s"$keep * coalesce(m.m$i, 0.0) + CASE WHEN g.nodeid = $s" +
+            s" THEN $ALPHA + $keep * (1.0 - t.t$i) ELSE 0.0 END AS r$i"
+      }.mkString(", ") +
+        s" FROM g LEFT JOIN m${k}_ m ON g.nodeid = m.dst CROSS JOIN t${k}_ t)"
+      Seq(scatter, gather, mass, update).mkString(",\n")
+    }
+    (init +: iters).mkString(",\n")
+  }
+
+  val pagerankSql: String =
+    s"""WITH $graphCte,
+       |$iterationCtes
+       |SELECT nodeid, ${srcIdx.map(i => s"round(r$i, 8) AS r$i").mkString(", ")}
+       |FROM r${ITERATIONS}_ ORDER BY nodeid""".stripMargin
+
+  val pagerankTopkSql: String = {
+    val long = SOURCES.zipWithIndex.map { case (s, i) =>
+      s"SELECT CAST($s AS BIGINT) AS source, nodeid, r$i AS rank FROM r${ITERATIONS}_"
+    }.mkString(" UNION ALL ")
+    s"""WITH $graphCte,
+       |$iterationCtes,
+       |long AS ($long),
+       |ranked AS (SELECT source, nodeid, rank,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY source ORDER BY rank DESC, nodeid) AS INT) AS pos
+       |  FROM long)
+       |SELECT source, pos, nodeid, round(rank, 8) AS rank
+       |FROM ranked WHERE pos <= 5 ORDER BY source, pos""".stripMargin
+  }
+
   // --- pagerank_topk: per-source top-k extraction ------------------------
   def pagerankTopk(spark: SparkSession, dir: String): DataFrame = {
     val long = ranksDf(spark, dir).select(col("nodeid"),
@@ -161,10 +231,10 @@ object PageRank extends QueryModule {
   }
 
   override def entries: Seq[QueryDef] = Seq(
-    QueryDef("pagerank_graph", pagerankGraph, Some(pagerankGraphSql),
+    QueryDef("pagerank_graph", pagerankGraphGate, Some(pagerankGraphSql),
       "deterministic adjacency build from orders"),
-    QueryDef("pagerank", pagerank, None,
-      s"$ITERATIONS-iteration personalized PageRank from ${SOURCES.size} sources (ScalaTest oracle)"),
-    QueryDef("pagerank_topk", pagerankTopk, None,
+    QueryDef("pagerank", pagerank, Some(pagerankSql),
+      s"$ITERATIONS-iteration personalized PageRank from ${SOURCES.size} sources"),
+    QueryDef("pagerank_topk", pagerankTopk, Some(pagerankTopkSql),
       "top-5 nodes per personalization source"))
 }

@@ -82,17 +82,18 @@ object Pipeline extends QueryModule {
         sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k"),
+        // exact decimal sum, surfaced as DOUBLE (portable across engines)
         round(sum(col("value").cast(DecimalType(12, 2))), 2)
-          .cast(DecimalType(18, 2)).as("sum_value"))
+          .cast("double").as("sum_value"))
       .orderBy(col("event_type"))
   }
 
   val jsonExtractSql =
     """SELECT event_type, count(*) AS cnt,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DECIMAL(18,2)) AS sum_value
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // --- text_stats: corpus breakdown per language -------------------------
@@ -114,7 +115,8 @@ object Pipeline extends QueryModule {
     s"""WITH d AS (SELECT lang, source, n_chars,
        |  len(${TextFns.tokenizeSql("text")}) AS n_tokens FROM documents)
        |SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
-       |  sum(n_chars) AS total_chars, sum(n_tokens) AS total_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin

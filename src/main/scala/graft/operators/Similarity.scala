@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   *     shape of a query-serving scan: the query side is broadcast, the
   *     corpus side streams, nothing is collected.
   *   - `ann_lsh_topk`: the scale path — random-hyperplane (sign) LSH;
-  *     16-bit signatures, banded into 4 chunks; candidates share ≥1
-  *     chunk; exact cosine re-ranking within candidates only. The
-  *     oracle replicates the identical algorithm (hyperplanes inlined
-  *     as literals), so the check is exact, not approximate.
+  *     64-bit signatures, banded into 8 chunks of 8 bits; candidates
+  *     share ≥1 chunk; exact cosine re-ranking within candidates only.
+  *     The oracle replicates the identical algorithm (hyperplanes
+  *     inlined as literals), so the check is exact, not approximate.
   *
   * All vector math is pure column expressions (`zip_with`/`aggregate`
   * after widening float→double) inside codegen; no UDF, no driver-side
@@ -30,11 +30,23 @@ object Similarity extends QueryModule {
   val QUERY_MOD = 50
   val TOP_K = 5
 
-  /** Random-hyperplane LSH: 16 Rademacher (±1) planes over 64 dims,
-    * 4 chunks × 4 bits. */
-  val N_PLANES = 16
+  /** Random-hyperplane LSH: 64 Rademacher (±1) planes over 64 dims,
+    * banded into 8 chunks × 8 bits (signature is a full long).
+    *
+    * Width math (the near_dedup-style recall/cost derivation): with
+    * p(s) = 1 − θ(s)/π the per-bit agreement at cosine s, a chunk of
+    * r = 8 bits matches with p(s)^8 and ≥1 of b = 8 chunks matches
+    * with 1 − (1 − p(s)^8)^8 — at s = 0.9, p ≈ 0.856, recall ≈ 0.83;
+    * at s = 0.45 (the dedup threshold) recall ≈ 0.22; at s = 0
+    * (background) a chunk space of 2^8 = 256 values cuts expected
+    * bucket occupancy 16× vs the old 4-bit chunks, so candidate
+    * volume is O(b·n²/256) per chunk instead of O(n²/16) — the
+    * parameter that had to scale. Production tuning for higher
+    * recall at a fixed threshold = more tables (b) or multi-probe,
+    * both constants, not structure. */
+  val N_PLANES = 64
   val DIM = 64
-  val ANN_CHUNKS = 4
+  val ANN_CHUNKS = 8
   val ANN_CHUNK_BITS = N_PLANES / ANN_CHUNKS
 
   val PLANES: Array[Array[Double]] = {
@@ -90,15 +102,19 @@ object Similarity extends QueryModule {
   // --- ann_lsh_topk: sign-LSH candidates + exact re-rank -----------------
   private def signature(v: Column): Column =
     (0 until N_PLANES).map { p =>
-      when(dot(v, typedlit(PLANES(p))) > 0, lit(1 << p)).otherwise(lit(0))
+      when(dot(v, typedlit(PLANES(p))) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = corpus(spark, dir).withColumn("sig", signature(col("v")))
+    // repartition = stage boundary: materializes `v` before the 64
+    // plane-dot references (CollapseProject would otherwise re-run the
+    // float→double transform once per plane).
+    val sigs = corpus(spark, dir).repartition(col("vec_id"))
+      .withColumn("sig", signature(col("v")))
     val chunks = sigs.select(col("vec_id"), col("v"), col("nrm"),
         posexplode(array((0 until ANN_CHUNKS).map(c =>
           shiftrightunsigned(col("sig"), c * ANN_CHUNK_BITS)
-            .bitwiseAND(lit((1 << ANN_CHUNK_BITS) - 1))): _*)))
+            .bitwiseAND(lit((1L << ANN_CHUNK_BITS) - 1))): _*)))
       .toDF("vec_id", "v", "nrm", "chunk_idx", "chunk_val")
     val q = chunks.filter(col("vec_id") % QUERY_MOD === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -120,17 +136,24 @@ object Similarity extends QueryModule {
 
   /** Planes as a VALUES relation: DuckDB re-materializes an inline
     * nested-list literal on every `[p][i]` access (≈4 min for 500
-    * vectors); the join form evaluates each plane row once. */
+    * vectors); the join form evaluates each plane row once. The bit
+    * value ships as a precomputed BIGINT literal because DuckDB's `<<`
+    * refuses to shift into the sign bit (`1::BIGINT << 63` overflows);
+    * the per-row sum runs in HUGEINT and casts back to the signed
+    * 64-bit signature (adding distinct powers of two never carries, so
+    * the sum IS the bit pattern). */
   private def planesCte: String =
     PLANES.zipWithIndex
-      .map { case (pl, i) => s"(${i + 1}, [${pl.mkString(", ")}])" }
-      .mkString("planes(p, pl) AS (VALUES ", ", ", ")")
+      .map { case (pl, i) =>
+        s"(${i + 1}, [${pl.mkString(", ")}], CAST(${1L << i} AS BIGINT))"
+      }
+      .mkString("planes(p, pl, bit) AS (VALUES ", ", ", ")")
 
   private def sigCte: String =
     s"""s0 AS (SELECT vec_id, CAST(sum(
        |    CASE WHEN list_sum(list_transform(range(1, $DIM + 1),
        |           i -> n.v[i] * planes.pl[i])) > 0
-       |         THEN (1 << (p - 1)) ELSE 0 END) AS INT) AS sig
+       |         THEN planes.bit ELSE 0 END) AS BIGINT) AS sig
        |  FROM n CROSS JOIN planes GROUP BY vec_id),
        |s AS (SELECT n.vec_id, n.v, n.nrm, s0.sig FROM n JOIN s0 USING (vec_id))""".stripMargin
 
@@ -159,19 +182,28 @@ object Similarity extends QueryModule {
   }
 
   // --- ann_ivf_topk: inverted-file (IVF) variant -------------------------
-  /** IVF: a deterministic codebook (every 50th vector, so it scales
-    * with the corpus), each vector assigned to its nearest centroid;
-    * queries probe the NPROBE nearest cells and search only there.
-    * Assignment/probing rank by rounded cosine with centroid-id
-    * tiebreaks, so the oracle (same algorithm in SQL) is exact. */
-  val CENTROID_MOD = 50
+  /** IVF: a FIXED-size deterministic codebook — [[K_CENTROIDS]] vectors
+    * chosen by stride (every ⌈n/K⌉-th vec_id), each vector assigned to
+    * its nearest centroid; queries probe the NPROBE nearest cells and
+    * search only there. The O() contract at scale: the codebook is an
+    * O(K) broadcast and assignment is O(n·K) — both independent of
+    * corpus growth (K is a constant; a production system would take
+    * K ≈ √n and train the codebook, but the dataflow is identical).
+    * The stride derives from a 1-row count aggregate cross-joined in —
+    * no driver collect. Assignment/probing rank by rounded cosine with
+    * centroid-id tiebreaks, so the oracle (same algorithm in SQL) is
+    * exact. */
+  val K_CENTROIDS = 64
   val CENTROID_OFF = 1
   val NPROBE = 3
   val IVF_TOP_K = 3
 
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
-    val cent = e.filter(col("vec_id") % CENTROID_MOD === CENTROID_OFF)
+    val stride = e.agg(
+      ceil(count(lit(1)).cast("double") / K_CENTROIDS).cast("long").as("stride"))
+    val cent = e.crossJoin(broadcast(stride))
+      .filter(col("vec_id") % col("stride") === CENTROID_OFF)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     def nearestCells(side: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
@@ -200,8 +232,10 @@ object Similarity extends QueryModule {
 
   val annIvfTopkSql =
     s"""$corpusSql,
-       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-       |         WHERE vec_id % $CENTROID_MOD = $CENTROID_OFF),
+       |st AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $K_CENTROIDS) AS BIGINT)
+       |         AS stride FROM n),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n CROSS JOIN st
+       |         WHERE vec_id % stride = $CENTROID_OFF),
        |ac AS (SELECT n.vec_id, n.v, n.nrm, cent.cid,
        |  round(list_sum(list_transform(range(1, $DIM + 1), i -> n.v[i] * cent.cv[i]))
        |        / (n.nrm * cent.cnrm), 6) AS ccos

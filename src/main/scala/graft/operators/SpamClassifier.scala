@@ -60,12 +60,19 @@ object SpamClassifier extends QueryModule {
   def spamInstances(spark: SparkSession, dir: String): DataFrame =
     featurized(spark, dir).orderBy(col("doc_id"))
 
+  /** Gate projection of [[spamInstances]]: the feature array as a csv
+    * string — nested types crash generic row-comparison harnesses, so
+    * the registered entry is scalar-only. */
+  def spamInstancesGate(spark: SparkSession, dir: String): DataFrame =
+    spamInstances(spark, dir)
+      .withColumn("features", array_join(col("features").cast("array<string>"), ","))
+
   val spamInstancesSql = {
     val h = TextFns.hash56Sql("t")
     s"""SELECT doc_id,
        |  CAST(${TextFns.hash56Sql("CAST(doc_id AS VARCHAR)")} % 2 AS INT) AS label,
-       |  list_transform(${TextFns.tokenizeSql("text")},
-       |    t -> CAST($h % $DIM AS INT)) AS features
+       |  coalesce(array_to_string(list_transform(${TextFns.tokenizeSql("text")},
+       |    t -> CAST($h % $DIM AS INT)), ','), '') AS features
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -185,6 +192,58 @@ object SpamClassifier extends QueryModule {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // --- trained ensemble --------------------------------------------------
+
+  /** Number of deterministic training slices for the trained ensemble. */
+  val ENSEMBLE_SLICES = 3
+
+  private val sliceModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  graft.Caches.register(() => sliceModelCache.clear())
+
+  /** Three INDEPENDENTLY trained models — the reference's real ensemble
+    * trains each member on its own corpus split
+    * (`ApplyEnsembleSpamClassifier.scala:35-79`, group_x/y/z); here the
+    * splits are the deterministic slices doc_id mod 3. Each member is
+    * its own sequential single-partition fold; the union is
+    * (model_id, feature, weight). */
+  private def sliceModels(spark: SparkSession, dir: String): DataFrame =
+    sliceModelCache.getOrElseUpdate((spark, dir), {
+      (0 until ENSEMBLE_SLICES).map { m =>
+        trainOn(featurized(spark, dir)
+          .filter(col("doc_id") % ENSEMBLE_SLICES === m), spark)
+          .withColumn("model_id", lit(m))
+      }.reduce(_.unionAll(_)).localCheckpoint(true)
+    })
+
+  /** `spam_ensemble_trained`: score every doc against each trained
+    * member (one explode ⋈ broadcast(models) ⋈ pivot — the per-model
+    * probe shares a single shuffle), then average + vote exactly as
+    * the fixed ensemble does. Sequential-training semantics ⇒ no SQL
+    * oracle; SpamSpec replays the three folds in plain Scala. */
+  def spamEnsembleTrained(spark: SparkSession, dir: String): DataFrame = {
+    val models = sliceModels(spark, dir)
+    val inst = featurized(spark, dir)
+    val scores = inst
+      .select(col("doc_id"), explode(col("features")).as("feature"))
+      .join(broadcast(models), Seq("feature"))
+      .groupBy(col("doc_id"))
+      .pivot("model_id", 0 until ENSEMBLE_SLICES)
+      .agg(sum(col("weight")))
+      // docs with no features (or features unseen by every model)
+      // never reach the pivot; reattach with zero scores.
+      .join(inst.select(col("doc_id")), Seq("doc_id"), "right_outer")
+    val s = (0 until ENSEMBLE_SLICES).map(m => coalesce(col(s"$m"), lit(0.0)))
+    val avg = s.reduce(_ + _) / ENSEMBLE_SLICES
+    val vote = s.map(x => when(x > 0, 1).otherwise(-1)).reduce(_ + _)
+    scores.select(col("doc_id"),
+        round(avg, 6).as("avg_score"),
+        vote.as("vote"),
+        when(avg > 0, "spam").otherwise("ham").as("label_avg"),
+        when(vote > 0, "spam").otherwise("ham").as("label_vote"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `spam_ensemble`: average + vote over the three fixed models
     * (`ApplyEnsembleSpamClassifier.scala:54-75`). */
   def spamEnsemble(spark: SparkSession, dir: String): DataFrame = {
@@ -220,7 +279,7 @@ object SpamClassifier extends QueryModule {
   }
 
   override def entries: Seq[QueryDef] = Seq(
-    QueryDef("spam_instances", spamInstances, Some(spamInstancesSql),
+    QueryDef("spam_instances", spamInstancesGate, Some(spamInstancesSql),
       "deterministic featurization of documents into labeled instances"),
     QueryDef("spam_train", spamTrain, None,
       "sequential SGD weights (single sorted partition; ScalaTest oracle)"),
@@ -231,5 +290,7 @@ object SpamClassifier extends QueryModule {
     QueryDef("spam_apply_fixed", spamApplyFixed, Some(spamApplyFixedSql),
       "scoring pipeline against a fixed arithmetic model"),
     QueryDef("spam_ensemble", spamEnsemble, Some(spamEnsembleSql),
-      "ensemble average + vote over three fixed models"))
+      "ensemble average + vote over three fixed models"),
+    QueryDef("spam_ensemble_trained", spamEnsembleTrained, None,
+      "ensemble over three models trained on doc_id-mod-3 slices (ScalaTest oracle)"))
 }

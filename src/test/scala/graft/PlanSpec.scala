@@ -46,6 +46,26 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("ngram_jaccard: the pair join shuffles on the block key, no unbounded broadcast") {
+    // Disable size-based auto-broadcast (a test-scale artifact) so the
+    // assertion isolates EXPLICIT broadcast hints: the within-block
+    // pairing must be a shuffle equi-join on `source` — an O(corpus)
+    // broadcast of one side was the round-2 scale-killer.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(operators.Dedup.ngramJaccard(spark, sfDir))
+      assert(!p.contains("BroadcastExchange"), s"unbounded side broadcast:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("boolean_retrieval: all workload queries evaluate in one pass (no Union)") {
+    val p = plan(operators.InvertedIndex.booleanRetrieval(spark, sfDir))
+    // One explode over the single docsets row — a union of per-query
+    // branches would re-run the shared aggregate once per query.
+    assert(!p.contains("Union"), s"per-query branches re-aggregate:\n$p")
+  }
+
   test("cosine_topk: the only product is the deliberate broadcast of queries") {
     val p = plan(operators.Similarity.cosineTopk(spark, sfDir))
     // Q×N scan: corpus streams, query side broadcast — never a

@@ -58,6 +58,27 @@ class SpamSpec extends SparkSpecBase {
     }
   }
 
+  test("spam_ensemble_trained matches a local replay of three slice folds") {
+    val all = localInstances()
+    val models = (0 until SpamClassifier.ENSEMBLE_SLICES).map { m =>
+      SpamClassifier.sgdFold(
+        all.filter(_.doc_id % SpamClassifier.ENSEMBLE_SLICES == m).iterator).toMap
+    }
+    val expected = all.map { ins =>
+      val scores = models.map(w => ins.features.iterator.map(f => w.getOrElse(f, 0.0)).sum)
+      val avg = scores.sum / models.length
+      val vote = scores.map(s => if (s > 0) 1 else -1).sum
+      ins.doc_id -> ((avg, vote))
+    }.toMap
+    val got = SpamClassifier.spamEnsembleTrained(spark, sfDir)
+      .select("doc_id", "avg_score", "vote").as[(Long, Double, Int)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, avg, vote) =>
+      assert(math.abs(avg - expected(id)._1) < 1e-6, s"doc $id avg")
+      assert(vote == expected(id)._2, s"doc $id vote")
+    }
+  }
+
   test("ensemble vote and average labels are consistent with scores") {
     val rows = SpamClassifier.spamEnsemble(spark, sfDir)
       .select("avg_score", "vote", "label_avg", "label_vote")
