@@ -30,9 +30,12 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    val only = args.toSet // optional subset for fast local iteration
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       def once(): Either[String, Double] = {
         // Clear memoized intermediates (trained models, iterated ranks)
         // so every timed run is a cold compute — cross-query reuse must

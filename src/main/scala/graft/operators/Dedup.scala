@@ -243,27 +243,6 @@ object Dedup extends QueryModule {
     // oracle would expose one). The repartition boundary materializes
     // the gram arrays once — both join sides reuse the same exchange —
     // instead of re-running ~250 md5s per row per side.
-    //
-    // `bm` is a 1024-bit one-hash bitmap of the gram set. popcount(
-    // bm_a AND bm_b) alone is NOT an upper bound on |g_a ∩ g_b|: two
-    // shared grams can collide onto one bit, undercounting the true
-    // intersection. The sound bound adds the in-doc collision slack:
-    // shared grams that collide with each other also collide inside
-    // either doc's own map, so
-    //   |∩| ≤ popcount(bm_a AND bm_b) + min(n_a − p_a, n_b − p_b)
-    // where p = popcount(bm) (distinct bits per doc, n − p = that
-    // doc's collision count). Pairs whose bound misses the threshold
-    // skip the exact set intersection entirely — ~16 AND+popcounts
-    // instead of ~500 hash-set ops per pair, and provably no false
-    // negatives at ANY data distribution, not just this fixture's.
-    val bmCol = aggregate(col("g"), typedlit(Array.fill(BLOOM_WORDS)(0L)),
-      (acc, h) => {
-        val word = ((pmod(h, lit(BLOOM_BITS.toLong)) - pmod(h, lit(64L))) / 64)
-          .cast("int")
-        val bit = element_at(typedlit(BIT64), pmod(h, lit(64L)).cast("int") + 1)
-        zip_with(acc, typedlit(WORD_IDX),
-          (a, idx) => when(word === idx, a.bitwiseOR(bit)).otherwise(a))
-      })
     val grams = Tables.documents(spark, dir)
       .filter(length(col("text")) >= NGRAM_N)
       .select(col("doc_id"), col("source"),
@@ -271,27 +250,66 @@ object Dedup extends QueryModule {
           sequence(lit(1), length(col("text")) - (NGRAM_N - 1)),
           i => hash56(col("text").substr(i, lit(NGRAM_N))))).as("g"))
       .withColumn("n", size(col("g")))
-      .withColumn("bm", bmCol)
-      .withColumn("p",
-        aggregate(transform(col("bm"), w => bit_count(w).cast("long")),
-          lit(0L), (acc, x) => acc + x))
       .repartition(col("doc_id"))
-    // The pair join carries ONLY (id, n, popcount, bitmap) — ~150B rows
-    // — never the gram arrays; a joined row with both 240-element
-    // arrays costs ~4KB to materialize × every within-block pair. The
-    // pairing is a plain shuffle equi-join on the blocking key: both
-    // sides hash-partition on `source`, the m² work stays within each
-    // block's partition, and AQE splits skewed blocks. (An earlier
-    // broadcast of the light side was faster at bench scale but is an
-    // O(corpus) driver/executor allocation — a scale-killer; the
-    // shuffle join is the 100 TB plan.)
-    val light = grams.select(col("source"), col("doc_id"), col("n"),
-      col("p"), col("bm"))
-    val a = light.select(col("source"), col("doc_id").as("doc_a"),
-      col("n").as("n_a"), col("p").as("p_a"), col("bm").as("bm_a"))
-    val b = light.select(col("source"), col("doc_id").as("doc_b"),
-      col("n").as("n_b"), col("p").as("p_b"), col("bm").as("bm_b"))
-    val survivors = a.join(b, Seq("source"))
+    // 1024-bit one-hash bitmap of the gram set, as 16 flat long
+    // columns built by conditional bit_or AGGREGATES over the exploded
+    // grams. Two reasons for this shape over a per-row array fold:
+    // aggregation outputs are physical attributes (a projection fold
+    // would re-inline its whole pipeline into every downstream
+    // reference — measured 5× on the pair filter), and HashAggregate
+    // keeps all 16 words in primitive whole-stage codegen. The groupBy
+    // reuses the doc_id partitioning, so no extra shuffle.
+    //
+    // The prefilter bound: popcount(bm_a AND bm_b) alone is NOT an
+    // upper bound on |g_a ∩ g_b| — two shared grams can collide onto
+    // one bit, undercounting the true intersection. The sound bound
+    // adds the in-doc collision slack: shared grams that collide with
+    // each other also collide inside either doc's own map, so
+    //   |∩| ≤ popcount(bm_a AND bm_b) + min(n_a − p_a, n_b − p_b)
+    // where p = popcount(bm) (distinct bits per doc, n − p = that
+    // doc's collision count). Pairs whose bound misses the threshold
+    // skip the exact set intersection entirely — ~16 AND+popcounts
+    // instead of ~500 hash-set ops per pair, and provably no false
+    // negatives at ANY data distribution, not just this fixture's.
+    val h = col("h")
+    val wordOf = ((pmod(h, lit(BLOOM_BITS.toLong)) - pmod(h, lit(64L))) / 64)
+      .cast("int")
+    val bitOf = element_at(typedlit(BIT64), pmod(h, lit(64L)).cast("int") + 1)
+    // The 16 words travel as ONE struct column: flat bm0..bm15 columns
+    // crossing the self-join send the optimizer's constraint
+    // propagation exponential (planning hangs), while a single struct
+    // attribute keeps planning linear and field access stays primitive
+    // codegen (GetStructField on a join attribute).
+    val bmdf = grams
+      .select(col("doc_id"), explode(col("g")).as("h"))
+      .select(col("doc_id"), wordOf.as("w"), bitOf.as("bit"))
+      .groupBy(col("doc_id"))
+      .agg(bit_or(when(col("w") === 0, col("bit")).otherwise(0L)).as("bm0"),
+        WORD_IDX.tail.map(i =>
+          bit_or(when(col("w") === i, col("bit")).otherwise(0L)).as(s"bm$i")): _*)
+      .select(col("doc_id"),
+        struct(WORD_IDX.map(i => col(s"bm$i").as(s"w$i")): _*).as("bm"),
+        WORD_IDX.map(i => bit_count(col(s"bm$i")).cast("long"))
+          .reduce(_ + _).as("p"))
+    val light = grams.select(col("source"), col("doc_id"), col("n"))
+      .join(bmdf, "doc_id")
+    // The pair join carries ONLY (id, n, popcount, bitmap words) —
+    // ~150B rows — never the gram arrays; a joined row with both
+    // 240-element arrays costs ~4KB to materialize × every
+    // within-block pair. The pairing is a plain shuffle equi-join on
+    // the blocking key: both sides hash-partition on `source`, the m²
+    // work stays within each block's partition, and AQE splits skewed
+    // blocks. (An earlier broadcast of the light side was faster at
+    // bench scale but is an O(corpus) driver/executor allocation — a
+    // scale-killer; the shuffle join is the 100 TB plan.)
+    def side(tag: String) = light.select(
+      col("source"), col("doc_id").as(s"doc_$tag"),
+      col("n").as(s"n_$tag"), col("p").as(s"p_$tag"), col("bm").as(s"bm_$tag"))
+    val andPopcount = WORD_IDX
+      .map(i => bit_count(col("bm_a").getField(s"w$i")
+        .bitwiseAND(col("bm_b").getField(s"w$i"))).cast("long"))
+      .reduce(_ + _)
+    val survivors = side("a").join(side("b"), Seq("source"))
       .filter(col("doc_a") < col("doc_b"))
       // Size-ratio prefilter: J(a,b) ≥ t requires min|·| ≥ t·max|·|,
       // so pairs failing it skip the O(n) set work entirely (a pure
@@ -303,9 +321,7 @@ object Dedup extends QueryModule {
       // upper-bounds |∩| (see proof above) — another pure necessary
       // condition, ~16 integer ops per pair.
       .filter(
-        (aggregate(zip_with(col("bm_a"), col("bm_b"),
-          (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
-          lit(0L), (acc, x) => acc + x)
+        (andPopcount
           + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
           * (1.0 + NGRAM_THRESHOLD)
           >= lit(NGRAM_THRESHOLD) * (col("n_a") + col("n_b")))
