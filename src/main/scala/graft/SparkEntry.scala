@@ -12,6 +12,7 @@ object SparkEntry {
   /** All operator modules, in SURVEY.md §7.1 build order. */
   def modules: Seq[QueryModule] = Seq(
     operators.Relational,
+    operators.ScaleOps,
     operators.TextCore,
     operators.Pipeline,
     operators.Dedup,

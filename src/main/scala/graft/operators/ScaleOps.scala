@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale-technique operators (brief north star; no single reference
+  * counterpart — these are the cluster idioms the 100 TB posture keeps
+  * citing, made concrete and oracle-checked):
+  *
+  *   - `bucketed_join`: storage-layer bucketing. Both join sides are
+  *     written `bucketBy(N, key)` so the join needs NO exchange — the
+  *     Spark-native form of the reference's "Schimmy" co-partitioned
+  *     merge pattern (`RunPageRankSchimmy.java`, dead in the reference,
+  *     live here at the storage layer where it belongs).
+  *   - `skew_safe_distinct`: the composite-key two-phase pattern for
+  *     skewed distinct aggregation — shuffle on (hot key, secondary)
+  *     first (uniform), reduce to the hot key second (tiny). The same
+  *     move generalizes to salting: split a hot group key by a
+  *     secondary column, aggregate in two phases.
+  */
+object ScaleOps extends QueryModule {
+
+  val BUCKETS = 8
+
+  /** Exact-sum helper (oracle parity, as in Relational). */
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  // --- bucketed_join: co-located join via bucketBy -----------------------
+  /** Writes slim orders/lineitem projections as external bucketed
+    * tables (same bucket count, same key), then joins them back.
+    * With both sides bucketed on the join key, the SortMergeJoin reads
+    * co-located buckets directly — `.explain` shows NO Exchange under
+    * the join (PlanSpec asserts it). At 100 TB this is the idiom for
+    * repeatedly-joined fact tables: pay the partitioned write once,
+    * skip the join shuffle forever after. The write goes to the JVM
+    * temp dir as EXTERNAL tables so no warehouse dir is created under
+    * the repo; `mode(Overwrite)` keeps the query re-runnable. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .write.format("parquet")
+      .bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$base/orders")
+      .mode("overwrite").saveAsTable("graft_orders_bkt")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.format("parquet")
+      .bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$base/lineitem")
+      .mode("overwrite").saveAsTable("graft_lineitem_bkt")
+    bucketedJoinRead(spark)
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("order_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(dec2(col("l_quantity"))), 2).cast("double").as("sum_qty"))
+      .orderBy(col("order_year"))
+  }
+
+  /** The exchange-free joined read over the bucketed tables (split out
+    * so PlanSpec can assert the no-Exchange property on the join alone,
+    * before the aggregation adds its own legitimate exchange). */
+  def bucketedJoinRead(spark: SparkSession): DataFrame =
+    spark.table("graft_lineitem_bkt")
+      .join(spark.table("graft_orders_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+
+  val bucketedJoinSql =
+    """SELECT strftime(o_orderdate, '%Y') AS order_year, count(*) AS n_items,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY order_year ORDER BY order_year""".stripMargin
+
+  // --- skew_safe_distinct: two-phase distinct over a skewed key ----------
+  /** events has 5 event types over ~2M rows at sf0.1 — a groupBy on
+    * event_type alone leaves ≤5 reducers doing all the work. Distinct
+    * users per type therefore shuffles on the COMPOSITE (event_type,
+    * user_id) first — uniformly distributed — and reduces the already-
+    * tiny distinct set per type second. The plain totals ride a
+    * separate partial-aggregated pass (count/sum are algebraic, so
+    * map-side combine already defuses their skew) and join back on the
+    * 5-row key. */
+  def skewSafeDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val distinctUsers = e.select(col("event_type"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val totals = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(dec2(col("value"))), 2).cast("double").as("sum_value"))
+    totals.join(distinctUsers, Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  val skewSafeDistinctSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef("bucketed_join", bucketedJoin, Some(bucketedJoinSql),
+      "co-located join over bucketBy tables (no join exchange)"),
+    QueryDef("skew_safe_distinct", skewSafeDistinct, Some(skewSafeDistinctSql),
+      "two-phase composite-key distinct over a skewed group key"))
+}

@@ -83,6 +83,25 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("ReadSchema"), p)
   }
 
+  test("bucketed_join: the co-located join needs no shuffle exchange") {
+    // Writing the bucketed tables is part of the operator under test.
+    operators.ScaleOps.bucketedJoin(spark, sfDir).count()
+    // At fixture scale the planner would broadcast (and skip the
+    // bucketed scan entirely); disable auto-broadcast to expose the
+    // path that matters at 100 TB — both sides too big to broadcast,
+    // joined bucket-to-bucket with no ShuffleExchange.
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(operators.ScaleOps.bucketedJoinRead(spark))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"no shuffled join in plan:\n$p")
+      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+      assert(p.contains("Bucketed: true"), s"bucketed scan not used:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("wordcount: aggregation is partial then final (map-side combine)") {
     val p = plan(operators.TextCore.wordcount(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).length >= 2,
