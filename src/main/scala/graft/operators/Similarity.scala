@@ -26,8 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  /** Query workload: every 50th vector. */
-  val QUERY_MOD = 50
+  /** Query workload: a FIXED number of query vectors, chosen by stride
+    * (every ⌈n/K⌉-th vec_id) — a serving workload's size is set by the
+    * caller, not by corpus growth, so the brute-force baseline stays
+    * O(K·n) and the ANN paths O(K·candidates) as the corpus scales.
+    * The stride comes from a 1-row count aggregate cross-joined in (no
+    * driver collect), exactly like the IVF codebook's. */
+  val K_QUERIES = 10
   val TOP_K = 5
 
   /** Random-hyperplane LSH: 64 Rademacher (±1) planes over 64 dims,
@@ -57,6 +62,17 @@ object Similarity extends QueryModule {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** 1-row (qstride) relation derived from a per-vector DataFrame. */
+  private def qstrideDf(perVec: DataFrame): DataFrame =
+    perVec.agg(
+      ceil(count(lit(1)).cast("double") / K_QUERIES).cast("long").as("qstride"))
+
+  /** Restrict a per-vector DataFrame to the fixed query workload. */
+  private def queryWorkload(perVec: DataFrame, strideSrc: DataFrame): DataFrame =
+    perVec.crossJoin(broadcast(qstrideDf(strideSrc)))
+      .filter(col("vec_id") % col("qstride") === 0)
+      .drop("qstride")
+
   /** (vec_id, v double[], nrm): the normalized corpus. */
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -68,7 +84,7 @@ object Similarity extends QueryModule {
   // --- cosine_topk: exact brute-force baseline ---------------------------
   def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
-    val q = e.filter(col("vec_id") % QUERY_MOD === 0)
+    val q = queryWorkload(e, e)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
@@ -82,17 +98,20 @@ object Similarity extends QueryModule {
   }
 
   private val corpusSql =
-    """WITH e AS (SELECT vec_id,
-      |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v,
-      |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+    s"""WITH e AS (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |qst AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $K_QUERIES) AS BIGINT)
+       |        AS qstride FROM n)""".stripMargin
 
   val cosineTopkSql =
     s"""$corpusSql,
        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
        |  round(list_sum(list_transform(range(1, $DIM + 1), i -> q.v[i] * c.v[i]))
        |        / (q.nrm * c.nrm), 6) AS cosine
-       |  FROM n q JOIN n c ON q.vec_id % $QUERY_MOD = 0 AND c.vec_id <> q.vec_id),
+       |  FROM n q CROSS JOIN qst JOIN n c
+       |    ON q.vec_id % qstride = 0 AND c.vec_id <> q.vec_id),
        |r AS (SELECT *, CAST(row_number() OVER (
        |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
        |      FROM p)
@@ -116,7 +135,7 @@ object Similarity extends QueryModule {
           shiftrightunsigned(col("sig"), c * ANN_CHUNK_BITS)
             .bitwiseAND(lit((1L << ANN_CHUNK_BITS) - 1))): _*)))
       .toDF("vec_id", "v", "nrm", "chunk_idx", "chunk_val")
-    val q = chunks.filter(col("vec_id") % QUERY_MOD === 0)
+    val q = queryWorkload(chunks, sigs)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("chunk_idx"), col("chunk_val"))
     // Candidates = corpus vectors sharing ≥1 signature chunk with the query.
@@ -165,9 +184,9 @@ object Similarity extends QueryModule {
        |  (sig >> (c * $ANN_CHUNK_BITS)) & ${(1 << ANN_CHUNK_BITS) - 1} AS chunk_val
        |  FROM s, unnest(range(0, $ANN_CHUNKS)) AS u(c)),
        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
-       |  FROM ch q JOIN ch c
+       |  FROM ch q CROSS JOIN qst JOIN ch c
        |    ON q.chunk_idx = c.chunk_idx AND q.chunk_val = c.chunk_val
-       |  WHERE q.vec_id % $QUERY_MOD = 0 AND c.vec_id <> q.vec_id),
+       |  WHERE q.vec_id % qstride = 0 AND c.vec_id <> q.vec_id),
        |p AS (SELECT cand.query_id, cand.vec_id,
        |  round(list_sum(list_transform(range(1, $DIM + 1), i -> q.v[i] * c.v[i]))
        |        / (q.nrm * c.nrm), 6) AS cosine
@@ -216,7 +235,7 @@ object Similarity extends QueryModule {
     }
     val assigned = nearestCells(e, 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-    val probes = nearestCells(e.filter(col("vec_id") % QUERY_MOD === 0), NPROBE)
+    val probes = nearestCells(queryWorkload(e, e), NPROBE)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cid").as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
@@ -244,7 +263,8 @@ object Similarity extends QueryModule {
        |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM ac),
        |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM ar WHERE crank = 1),
        |probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid AS cell
-       |  FROM ar WHERE crank <= $NPROBE AND vec_id % $QUERY_MOD = 0),
+       |  FROM ar CROSS JOIN qst
+       |  WHERE crank <= $NPROBE AND vec_id % qstride = 0),
        |p AS (SELECT probes.query_id, assigned.vec_id,
        |  round(list_sum(list_transform(range(1, $DIM + 1),
        |          i -> probes.qv[i] * assigned.v[i]))
