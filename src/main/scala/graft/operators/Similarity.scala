@@ -277,6 +277,25 @@ object Similarity extends QueryModule {
        |SELECT query_id, vec_id, cosine, rank FROM r
        |WHERE rank <= $IVF_TOP_K ORDER BY query_id, rank""".stripMargin
 
+  // --- interactive serving path ------------------------------------------
+  /** Exact top-k neighbours of ONE corpus vector — the ad-hoc serving
+    * entry point (the similarity analogue of
+    * [[InvertedIndex.retrieve]]'s REPL query): the single query row is
+    * broadcast, the corpus streams once, top-k via sort+limit
+    * (TakeOrderedAndProject). The fixed-workload `cosine_topk` query
+    * reuses the same scoring expression. */
+  def nearestTo(spark: SparkSession, dir: String, vecId: Long, k: Int): DataFrame = {
+    val e = corpus(spark, dir)
+    val q = e.filter(col("vec_id") === vecId)
+      .select(col("v").as("qv"), col("nrm").as("qnrm"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= vecId)
+      .select(col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // --- embedding_dedup: cosine near-dup pairs via sign-LSH buckets -------
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates
     * (share ≥1 signature chunk), exact-cosine verified. The oracle

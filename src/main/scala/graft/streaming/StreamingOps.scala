@@ -137,6 +137,23 @@ object StreamingOps extends QueryModule {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Streaming ingest dedup — the stream half of the exact-dedup story
+    * (`Pipeline.exactDedup` is the batch half): keep the FIRST event
+    * per (user_id, event_type), dropping later duplicates, with state
+    * bounded by the watermark (`dropDuplicatesWithinWatermark` evicts
+    * keys once they age out — the only way a dedup state survives an
+    * unbounded stream). StreamingSpec feeds it in event-time order and
+    * checks it against [[firstTouch]], the deterministic batch form. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WATERMARK)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Deterministic batch form of first-touch dedup: first event time +
+    * duplicate count per key (min/count, order-independent). */
+  def firstTouch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts")).as("first_ts"), count(lit(1)).as("n_dups"))
+
   // --- batch-replay queries (driver oracle gate) -------------------------
 
   def eventCountHourly(spark: SparkSession, dir: String): DataFrame =
@@ -180,6 +197,15 @@ object StreamingOps extends QueryModule {
     userSessions(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("session_start"))
 
+  def streamDedupReplay(spark: SparkSession, dir: String): DataFrame =
+    firstTouch(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val streamDedupReplaySql =
+    """SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS n_dups
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Gaps-and-islands mirror of `session_window`. */
   val userSessionsSql =
     s"""WITH o AS (SELECT user_id, ts,
@@ -203,5 +229,7 @@ object StreamingOps extends QueryModule {
     QueryDef("region_event_count", regionEventCount, Some(regionEventCountSql),
       "tumbling 60-min counts per region tag"),
     QueryDef("trending_arrivals", trendingArrivals, Some(trendingArrivalsSql),
-      "10-min windows per event type with doubling alerts"))
+      "10-min windows per event type with doubling alerts"),
+    QueryDef("stream_dedup", streamDedupReplay, Some(streamDedupReplaySql),
+      "first-touch dedup per key (batch replay of dropDuplicatesWithinWatermark)"))
 }

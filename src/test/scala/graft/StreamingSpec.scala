@@ -60,6 +60,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streamingDedup keeps the first event per key and matches firstTouch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = StreamingOps.streamingDedup(events)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      // In event-time arrival order: the duplicate (7, click) pairs and
+      // the (9, view) pair must collapse to their first occurrence.
+      val rows = Seq(
+        (ts("2024-01-01 00:01:00"), 7L, "click"),
+        (ts("2024-01-01 00:02:00"), 9L, "view"),
+        (ts("2024-01-01 00:05:00"), 7L, "click"),
+        (ts("2024-01-01 00:06:00"), 9L, "view"),
+        (ts("2024-01-01 00:07:00"), 7L, "view"),
+        (ts("2024-01-01 00:09:00"), 7L, "click"))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("dedup_test")
+        .select("user_id", "event_type", "ts")
+        .as[(Long, String, Timestamp)].collect().toSet
+      val batch = StreamingOps.firstTouch(rows.toDF("ts", "user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("first_ts"))
+        .as[(Long, String, Timestamp)].collect().toSet
+      assert(got == batch)
+      assert(got.size == 3) // (7,click), (9,view), (7,view)
+      // duplicate counts come from the batch form
+      val dups = StreamingOps.firstTouch(rows.toDF("ts", "user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("n_dups"))
+        .as[(Long, String, Long)].collect()
+        .map { case (u, e, n) => (u, e) -> n }.toMap
+      assert(dups((7L, "click")) == 3L && dups((9L, "view")) == 2L)
+    } finally q.stop()
+  }
+
   test("trending state machine fires the doubling alert per the reference rule") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[WindowCount]
