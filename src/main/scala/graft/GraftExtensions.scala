@@ -1,0 +1,45 @@
+package graft
+
+import graft.{functions => gfn}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The engine's `SparkSessionExtensions` injection point — the
+  * build-time form of what [[gfn.MinHashSignature.register]] /
+  * [[gfn.SimHashSignature.register]] do at query-construction time.
+  * A deployment that owns session creation wires it with
+  *
+  * {{{
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * and both native expressions are then available to plain SQL
+  * (`SELECT graft_minhash(hs) FROM ...`) in every session of that
+  * context, with the engine's default coefficients. The runtime
+  * `register` calls remain in the operators so the library also works
+  * against sessions it did not create (and tests can re-register
+  * narrow variants); registration is idempotent either way. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  /** The injectable function descriptions (exposed so tests can drive
+    * the builders without constructing a whole SparkContext). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier(gfn.MinHashSignature.FUNC_NAME),
+      new ExpressionInfo(classOf[gfn.MinHashSignature].getName,
+        gfn.MinHashSignature.FUNC_NAME),
+      exprs => gfn.MinHashSignature(exprs.head,
+        operators.Dedup.MH_A.toSeq, operators.Dedup.MH_B.toSeq,
+        operators.Dedup.MH_P)),
+    (FunctionIdentifier(gfn.SimHashSignature.FUNC_NAME),
+      new ExpressionInfo(classOf[gfn.SimHashSignature].getName,
+        gfn.SimHashSignature.FUNC_NAME),
+      exprs => gfn.SimHashSignature(exprs.head,
+        operators.Dedup.SIMHASH_BITS)))
+}

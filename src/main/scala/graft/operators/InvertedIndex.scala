@@ -230,6 +230,25 @@ object InvertedIndex extends QueryModule {
        |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS rank
        |FROM documents QUALIFY rank <= $TOPK_K ORDER BY lang, rank""".stripMargin
 
+  // --- topk_per_group_heap: bounded-PQ aggregate form --------------------
+  /** The same top-k via the [[graft.functions.BoundedTopK]] typed
+    * Aggregator: k-bounded partial buffers with map-side combine
+    * instead of a full per-group sort — the form that survives
+    * billion-row groups (see BoundedTopK's scaladoc). Shares the
+    * window form's oracle, proving the two interchangeable. */
+  def topkPerGroupHeap(spark: SparkSession, dir: String): DataFrame = {
+    val tk = udaf(new graft.functions.BoundedTopK(TOPK_K))
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(tk(col("n_chars").cast("long"), col("doc_id")).as("tk"))
+      .select(col("lang"), posexplode(col("tk.entries")))
+      .toDF("lang", "pos", "e")
+      .select(col("lang"), col("e.tie").as("doc_id"),
+        col("e.v").as("n_chars"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("inverted_index", invertedIndexGate, Some(invertedIndexSql),
       "term → df/cf/sorted postings over documents"),
@@ -238,5 +257,7 @@ object InvertedIndex extends QueryModule {
     QueryDef("retrieval_fetch", retrievalFetch, Some(retrievalFetchSql),
       "join retrieval hits back to documents for snippets"),
     QueryDef("topk_per_group", topkPerGroup, Some(topkPerGroupSql),
-      "top-k per group via row_number window"))
+      "top-k per group via row_number window"),
+    QueryDef("topk_per_group_heap", topkPerGroupHeap, Some(topkPerGroupSql),
+      "top-k per group via the bounded-PQ typed Aggregator (same oracle)"))
 }

@@ -248,6 +248,27 @@ object Pipeline extends QueryModule {
       |  count(*) AS cnt
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- value_quantiles: per-group percentiles ----------------------------
+  /** Exact p50/p95 of `value` per event type (`percentile` with linear
+    * interpolation — identical math in DuckDB's `quantile_cont`). At
+    * 100 TB the exact form's per-group sort gives way to
+    * `percentile_approx` (a KLL-style sketch, same call shape) — the
+    * oracle pins the exact math; the swap is one function name. */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .orderBy(col("event_type"))
+
+  val valueQuantilesSql =
+    """SELECT event_type, count(*) AS cnt,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.95), 6) AS p95
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- doc_fingerprint: polynomial rolling hash --------------------------
   /** Order-sensitive rolling hash over the token stream: each token is
     * fingerprinted portably (first 14 hex digits of its md5 → bigint)
@@ -291,5 +312,7 @@ object Pipeline extends QueryModule {
     QueryDef("doc_fingerprint", docFingerprint, Some(docFingerprintSql),
       "order-sensitive polynomial rolling-hash fingerprint per doc"),
     QueryDef("logsumexp_by_type", logsumexpByType, Some(logsumexpByTypeSql),
-      "numerically-stable log-space sum via a typed Aggregator"))
+      "numerically-stable log-space sum via a typed Aggregator"),
+    QueryDef("value_quantiles", valueQuantiles, Some(valueQuantilesSql),
+      "exact p50/p95 per event type (percentile_approx is the 100 TB swap)"))
 }

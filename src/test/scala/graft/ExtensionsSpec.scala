@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Dedup
+
+/** The SparkSessionExtensions injection point: the shared test session
+  * is built with `spark.sql.extensions=graft.GraftExtensions`, so the
+  * native expressions must be callable from PLAIN SQL without any
+  * runtime `register` having run first — and must agree with the
+  * engine's configured coefficients. */
+class ExtensionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("graft_minhash is injected and uses the engine coefficients") {
+    val sig = spark.sql("SELECT graft_minhash(array(CAST(42 AS BIGINT))) AS s")
+      .as[Seq[Long]].collect().head
+    assert(sig.length == Dedup.MINHASH_K)
+    val x = 42L % Dedup.MH_P
+    val expected = Dedup.MH_A.zip(Dedup.MH_B).map { case (a, b) =>
+      (a * x + b) % Dedup.MH_P
+    }.toSeq
+    assert(sig == expected)
+  }
+
+  test("graft_simhash is injected with the engine bit width") {
+    // one element: every bit of the element's low SIMHASH_BITS wins the
+    // majority vote, so the signature is the element masked to 56 bits.
+    val sig = spark.sql("SELECT graft_simhash(array(CAST(12345 AS BIGINT))) AS s")
+      .as[Long].collect().head
+    assert(sig == (12345L & ((1L << Dedup.SIMHASH_BITS) - 1)))
+  }
+
+  test("the extension descriptions build evaluable expressions") {
+    assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
+      Seq("graft_minhash", "graft_simhash"))
+  }
+}
