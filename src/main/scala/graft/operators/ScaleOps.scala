@@ -72,6 +72,42 @@ object ScaleOps extends QueryModule {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY order_year ORDER BY order_year""".stripMargin
 
+  // --- partitioned_scan: partitionBy write → partition-pruned read -------
+  /** Hive-style partitioned layout: documents written
+    * `partitionBy("lang")`, read back with a `lang` filter. The filter
+    * becomes a PARTITION filter (PlanSpec asserts `PartitionFilters`
+    * carries it), so the scan never opens the other partitions'
+    * files — at 100 TB this is the difference between reading one
+    * directory and reading the lake. The aggregation then runs over
+    * the surviving partition only. */
+  val SCAN_LANG = "en"
+
+  def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_partitioned/documents"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      .write.partitionBy("lang").mode("overwrite").parquet(base)
+    partitionedScanRead(spark)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        CAST_BIGINT(sum(col("n_chars"))).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  /** The pruned read alone (split out for PlanSpec's assertion). */
+  def partitionedScanRead(spark: SparkSession): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_partitioned/documents"
+    spark.read.parquet(base).filter(col("lang") === SCAN_LANG)
+  }
+
+  private def CAST_BIGINT(c: org.apache.spark.sql.Column) = c.cast("long")
+
+  val partitionedScanSql =
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM documents WHERE lang = '$SCAN_LANG'
+       |GROUP BY source ORDER BY source""".stripMargin
+
   // --- skew_safe_distinct: two-phase distinct over a skewed key ----------
   /** events has 5 event types over ~2M rows at sf0.1 — a groupBy on
     * event_type alone leaves ≤5 reducers doing all the work. Distinct
@@ -104,5 +140,7 @@ object ScaleOps extends QueryModule {
     QueryDef("bucketed_join", bucketedJoin, Some(bucketedJoinSql),
       "co-located join over bucketBy tables (no join exchange)"),
     QueryDef("skew_safe_distinct", skewSafeDistinct, Some(skewSafeDistinctSql),
-      "two-phase composite-key distinct over a skewed group key"))
+      "two-phase composite-key distinct over a skewed group key"),
+    QueryDef("partitioned_scan", partitionedScan, Some(partitionedScanSql),
+      "partitionBy write + partition-pruned read (PartitionFilters)"))
 }

@@ -16,7 +16,13 @@ class DeterminismSpec extends SparkSpecBase {
     "cosine_topk", // window ties on rounded cosine
     "exact_dedup", // window over hash partitions
     "bigram_relfreq_stripes", // map_from_entries ordering
-    "pagerank") // iterative + memoized path
+    "pagerank", // iterative + memoized path (now hash-gated)
+    "pagerank_topk", // window ties on iterated doubles
+    "ngram_jaccard", // aggregate-built bitmap + pair join order
+    "media_features", // mapPartitions batch order
+    "topk_per_group_heap", // typed-Aggregator merge order
+    "spam_ensemble_trained", // three single-partition folds + pivot
+    "value_quantiles") // percentile over group-collected doubles
 
   risky.foreach { name =>
     test(s"$name is run-to-run deterministic") {

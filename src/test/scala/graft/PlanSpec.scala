@@ -102,6 +102,14 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("partitioned_scan: the lang filter prunes partitions at the scan") {
+    operators.ScaleOps.partitionedScan(spark, sfDir).count()
+    val p = plan(operators.ScaleOps.partitionedScanRead(spark))
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang filter not applied as a partition filter:\n$p")
+  }
+
   test("wordcount: aggregation is partial then final (map-side combine)") {
     val p = plan(operators.TextCore.wordcount(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).length >= 2,
