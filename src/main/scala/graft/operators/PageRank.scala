@@ -101,7 +101,16 @@ object PageRank extends QueryModule {
     ranksCache.getOrElseUpdate((spark, dir), computeRanks(spark, dir))
 
   private def computeRanks(spark: SparkSession, dir: String): DataFrame = {
-    val g = graphDf(spark, dir).repartition(col("nodeid")).persist()
+    // Size-aware graph partitioning: at least ~16 nodes per partition
+    // (the per-iteration join/agg task overhead dominates below that),
+    // capped at the session's configured parallelism. A fixed
+    // `repartition(col)` pins the shuffle-partition default onto every
+    // one of the 10 iterations' stages — measured 2× slower on a small
+    // graph; at scale V/16 exceeds the cap and this is exactly the
+    // configured parallelism.
+    val parts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, (V / 16).toInt))
+    val g = graphDf(spark, dir).repartition(parts, col("nodeid")).persist()
     var ranks = g.select(col("nodeid") +: SOURCES.zipWithIndex.map {
       case (s, i) => when(col("nodeid") === s, 1.0).otherwise(0.0).as(s"r$i")
     }: _*)
