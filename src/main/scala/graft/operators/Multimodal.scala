@@ -17,6 +17,13 @@ final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
 final case class FrameSample(media_id: Long, frame_idx: Int, frame_bytes: Int,
     frame_hash: String)
 
+/** Resized-image row: nearest-neighbour downsample of the decoded
+  * pixel buffer, fingerprinted portably (rolling hash over pixel
+  * values — md5 of raw bytes is not reconstructable engine-neutrally,
+  * arithmetic is). */
+final case class MediaResize(media_id: Long, kind: String, src_w: Int,
+    src_h: Int, rw: Int, rh: Int, px_hash: Long, mean_px: Double)
+
 /** Multimodal columns (brief north star): image/audio/video as opaque
   * `binary` payloads with typed metadata, processed in partition-sized
   * batches — the Scala analogue of `mapInPandas` batch processing is a
@@ -142,6 +149,69 @@ object Multimodal extends QueryModule {
        |    b -> CAST(len(list_filter(px, v -> v // ${256 / HIST_BINS} = b)) AS VARCHAR)), ',') AS histogram
        |FROM p ORDER BY media_id""".stripMargin
 
+  // --- media_resize: nearest-neighbour downsample ------------------------
+  /** Target thumbnail dims. */
+  val RESIZE_W = 8
+  val RESIZE_H = 8
+
+  /** Decode (stub) + nearest-neighbour resize to a fixed thumbnail,
+    * in the same partition-batch shape as [[mediaFeatures]] — the
+    * resize step of the decode/extract/resize/sample quartet. The
+    * source pixel for output (x, y) is (x·w/RW, y·h/RH) with integer
+    * math, so the whole path is deterministic and SQL-oracled. */
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaDf(spark, dir).as[MediaRecord]
+      .repartition(col("media_id"))
+      .mapPartitions { batch =>
+        batch.map { m =>
+          val px = DecodeStub.decodeImage(m.payload, m.width, m.height)
+          val out = new Array[Long](RESIZE_W * RESIZE_H)
+          var y = 0
+          while (y < RESIZE_H) {
+            var x = 0
+            while (x < RESIZE_W) {
+              val sy = y * m.height / RESIZE_H
+              val sx = x * m.width / RESIZE_W
+              out(y * RESIZE_W + x) = (px(sy * m.width + sx) & 0xff).toLong
+              x += 1
+            }
+            y += 1
+          }
+          var hsh = 0L
+          out.foreach(v => hsh = (hsh * Pipeline.FP_BASE + v) % Pipeline.FP_MOD)
+          MediaResize(m.media_id, m.kind, m.width, m.height,
+            RESIZE_W, RESIZE_H, hsh, out.sum.toDouble / out.length)
+        }
+      }
+      .toDF()
+      .withColumn("mean_px", round(col("mean_px"), 6))
+      .orderBy(col("media_id"))
+  }
+
+  val mediaResizeSql =
+    s"""WITH m AS (SELECT doc_id AS media_id,
+       |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+       |  CAST(n_chars % 16 + 4 AS INT) AS w, CAST(n_chars % 8 + 4 AS INT) AS h,
+       |  CAST(octet_length(encode(text)) AS INT) AS n_bytes, text
+       |  FROM documents),
+       |p AS (SELECT media_id, kind, w, h,
+       |  list_transform(range(0, w * h), i ->
+       |    CASE WHEN i < n_bytes THEN ascii(substr(text, CAST(i + 1 AS INT), 1)) ELSE 0 END) AS px
+       |  FROM m),
+       |r AS (SELECT media_id, kind, w AS src_w, h AS src_h,
+       |  list_transform(range(0, ${RESIZE_W * RESIZE_H}), i ->
+       |    px[CAST(((i // $RESIZE_W) * src_h) // $RESIZE_H AS INT) * src_w
+       |       + CAST(((i % $RESIZE_W) * src_w) // $RESIZE_W AS INT) + 1]) AS rp
+       |  FROM p)
+       |SELECT media_id, kind, src_w, src_h,
+       |  $RESIZE_W AS rw, $RESIZE_H AS rh,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(rp, v -> CAST(v AS BIGINT))),
+       |    (acc, v) -> (acc * ${Pipeline.FP_BASE} + v) % ${Pipeline.FP_MOD}) AS px_hash,
+       |  round(CAST(list_sum(rp) AS DOUBLE) / ${RESIZE_W * RESIZE_H}, 6) AS mean_px
+       |FROM r ORDER BY media_id""".stripMargin
+
   // --- frame_sample: every k-th frame of the video payloads --------------
   /** Frame = width·height bytes of the payload; emit every
     * [[FRAME_STRIDE]]-th frame with its md5 (the frame-sampling shape:
@@ -195,5 +265,7 @@ object Multimodal extends QueryModule {
     QueryDef("media_features", mediaFeaturesGate, Some(mediaFeaturesSql),
       "stub-decoded byte-histogram features via partition batches"),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql),
-      "every k-th frame of video payloads with md5 fingerprints"))
+      "every k-th frame of video payloads with md5 fingerprints"),
+    QueryDef("media_resize", mediaResize, Some(mediaResizeSql),
+      "nearest-neighbour thumbnail resize via partition batches"))
 }
