@@ -32,6 +32,27 @@ class PropertySpec extends SparkSpecBase {
       2 -> Gen.oneOf(' ', '\t', '\n', '.', ',', '!', 'é', '文')))
       .map(_.mkString)
 
+  test("BoundedTopK equals global sort-take for arbitrary inputs and splits") {
+    import graft.functions.{BoundedTopK, TopKEntry}
+    val entries = Gen.listOf(for {
+      v <- Gen.chooseNum(-100L, 100L)
+      t <- Gen.chooseNum(0L, 50L)
+    } yield TopKEntry(v, t))
+    forAll2(entries, Gen.chooseNum(1, 7)) { (xs, k) =>
+      val agg = new BoundedTopK(k)
+      val expected = xs.sortBy(e => (-e.v, e.tie)).take(k)
+      // sequential reduce
+      assert(xs.foldLeft(agg.zero)(agg.reduce).entries == expected)
+      // arbitrary split + merge (partial aggregation path)
+      val cut = xs.length / 3
+      val (l, r) = xs.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged.entries == expected)
+      assert(merged.entries.size <= k)
+    }
+  }
+
   test("tokenizeLocal: tokens are non-empty, lowercase alnum only") {
     forAll(text) { s =>
       val toks = TextFns.tokenizeLocal(s)
