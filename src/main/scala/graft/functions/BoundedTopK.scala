@@ -31,8 +31,14 @@ class BoundedTopK(k: Int)
 
   require(k > 0, "k must be positive")
 
-  private val ord: Ordering[TopKEntry] =
-    Ordering.by((e: TopKEntry) => (-e.v, e.tie))
+  // Explicit comparator, not Ordering.by(-v, …): negating Long.MinValue
+  // overflows back to itself and would rank it as the LARGEST value.
+  private val ord: Ordering[TopKEntry] = new Ordering[TopKEntry] {
+    def compare(a: TopKEntry, b: TopKEntry): Int = {
+      val c = java.lang.Long.compare(b.v, a.v)
+      if (c != 0) c else java.lang.Long.compare(a.tie, b.tie)
+    }
+  }
 
   def zero: TopKBuffer = TopKBuffer(Vector.empty)
 

@@ -212,7 +212,7 @@ object PageRank extends QueryModule {
 
   val pagerankTopkSql: String = {
     val long = SOURCES.zipWithIndex.map { case (s, i) =>
-      s"SELECT CAST($s AS BIGINT) AS source, nodeid, r$i AS rank FROM r${ITERATIONS}_"
+      s"SELECT CAST($s AS BIGINT) AS source, nodeid, round(r$i, 8) AS rank FROM r${ITERATIONS}_"
     }.mkString(" UNION ALL ")
     s"""WITH $graphCte,
        |$iterationCtes,
@@ -221,21 +221,25 @@ object PageRank extends QueryModule {
        |  CAST(row_number() OVER (
        |    PARTITION BY source ORDER BY rank DESC, nodeid) AS INT) AS pos
        |  FROM long)
-       |SELECT source, pos, nodeid, round(rank, 8) AS rank
+       |SELECT source, pos, nodeid, rank
        |FROM ranked WHERE pos <= 5 ORDER BY source, pos""".stripMargin
   }
 
   // --- pagerank_topk: per-source top-k extraction ------------------------
   def pagerankTopk(spark: SparkSession, dir: String): DataFrame = {
+    // Rank on the ROUNDED value (the oracle-parity pattern all top-k
+    // queries follow): sub-ulp summation-order drift between engines
+    // must not be able to flip a rank boundary; ties at the rounded
+    // value break on nodeid deterministically.
     val long = ranksDf(spark, dir).select(col("nodeid"),
-      posexplode(array(srcIdx.map(i => col(s"r$i")): _*)))
+      posexplode(array(srcIdx.map(i => round(col(s"r$i"), 8)): _*)))
       .toDF("nodeid", "src_idx", "rank")
       .withColumn("source", element_at(typedlit(SOURCES.toArray), col("src_idx") + 1))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("rank").desc, col("nodeid"))
     long.withColumn("pos", row_number().over(w))
       .filter(col("pos") <= 5)
-      .select(col("source"), col("pos"), col("nodeid"), round(col("rank"), 8).as("rank"))
+      .select(col("source"), col("pos"), col("nodeid"), col("rank"))
       .orderBy(col("source"), col("pos"))
   }
 

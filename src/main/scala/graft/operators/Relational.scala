@@ -280,7 +280,7 @@ object Relational extends QueryModule {
     * JVM temp dir, read it back through the csv source, and let the
     * oracle check it against the original table. */
   def tblScan(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_tbl_nation"
+    val tmp = ScaleOps.scratchDir("tbl_nation", dir)
     Tables.nation(spark, dir)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .write.mode("overwrite").option("sep", "|").csv(tmp)

@@ -27,6 +27,15 @@ object ScaleOps extends QueryModule {
   /** Exact-sum helper (oracle parity, as in Relational). */
   private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
 
+  /** Scratch location for this module's written tables, keyed by
+    * dataset and JVM: fixed paths let a concurrent run (tests vs a
+    * Verify at another scale factor) overwrite files out from under a
+    * deferred scan. */
+  private[operators] def scratchDir(kind: String, dir: String): String = {
+    val ds = new java.io.File(dir).getName
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_${ds}_pid${ProcessHandle.current().pid()}"
+  }
+
   // --- bucketed_join: co-located join via bucketBy -----------------------
   /** Writes slim orders/lineitem projections as external bucketed
     * tables (same bucket count, same key), then joins them back.
@@ -38,7 +47,7 @@ object ScaleOps extends QueryModule {
     * temp dir as EXTERNAL tables so no warehouse dir is created under
     * the repo; `mode(Overwrite)` keeps the query re-runnable. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    val base = scratchDir("bucketed", dir)
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderdate"))
       .write.format("parquet")
@@ -83,11 +92,11 @@ object ScaleOps extends QueryModule {
   val SCAN_LANG = "en"
 
   def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_partitioned/documents"
+    val base = scratchDir("partitioned", dir)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
       .write.partitionBy("lang").mode("overwrite").parquet(base)
-    partitionedScanRead(spark)
+    partitionedScanRead(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         CAST_BIGINT(sum(col("n_chars"))).as("total_chars"))
@@ -95,10 +104,9 @@ object ScaleOps extends QueryModule {
   }
 
   /** The pruned read alone (split out for PlanSpec's assertion). */
-  def partitionedScanRead(spark: SparkSession): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_partitioned/documents"
-    spark.read.parquet(base).filter(col("lang") === SCAN_LANG)
-  }
+  def partitionedScanRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(scratchDir("partitioned", dir))
+      .filter(col("lang") === SCAN_LANG)
 
   private def CAST_BIGINT(c: org.apache.spark.sql.Column) = c.cast("long")
 

@@ -221,8 +221,12 @@ object Similarity extends QueryModule {
     val e = corpus(spark, dir)
     val stride = e.agg(
       ceil(count(lit(1)).cast("double") / K_CENTROIDS).cast("long").as("stride"))
+    // offset reduced mod stride: at n ≤ K the stride degenerates to 1
+    // and a fixed offset of 1 would select NOTHING (x % 1 is always 0);
+    // reduced, every vector becomes its own centroid — the correct
+    // tiny-corpus limit.
     val cent = e.crossJoin(broadcast(stride))
-      .filter(col("vec_id") % col("stride") === CENTROID_OFF)
+      .filter(col("vec_id") % col("stride") === lit(CENTROID_OFF) % col("stride"))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     def nearestCells(side: DataFrame, keep: Int): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
@@ -254,7 +258,7 @@ object Similarity extends QueryModule {
        |st AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $K_CENTROIDS) AS BIGINT)
        |         AS stride FROM n),
        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n CROSS JOIN st
-       |         WHERE vec_id % stride = $CENTROID_OFF),
+       |         WHERE vec_id % stride = $CENTROID_OFF % stride),
        |ac AS (SELECT n.vec_id, n.v, n.nrm, cent.cid,
        |  round(list_sum(list_transform(range(1, $DIM + 1), i -> n.v[i] * cent.cv[i]))
        |        / (n.nrm * cent.cnrm), 6) AS ccos

@@ -2,16 +2,21 @@ package graft
 
 import graft.operators.Dedup
 
-/** The SparkSessionExtensions injection point: the shared test session
-  * is built with `spark.sql.extensions=graft.GraftExtensions`, so the
-  * native expressions must be callable from PLAIN SQL without any
-  * runtime `register` having run first — and must agree with the
-  * engine's configured coefficients. */
+/** The SparkSessionExtensions injection point: the context is built
+  * with `spark.sql.extensions=graft.GraftExtensions`, so the native
+  * expressions must be callable from PLAIN SQL without any runtime
+  * `register` having run first — and must agree with the engine's
+  * configured coefficients. Queries run through a FRESH `newSession()`
+  * (clean temp-function registry rebuilt from the extensions): other
+  * suites legitimately shadow the shared session's binding with narrow
+  * test variants, and this spec must not depend on suite order. */
 class ExtensionsSpec extends SparkSpecBase {
   import spark.implicits._
 
+  private lazy val fresh = spark.newSession()
+
   test("graft_minhash is injected and uses the engine coefficients") {
-    val sig = spark.sql("SELECT graft_minhash(array(CAST(42 AS BIGINT))) AS s")
+    val sig = fresh.sql("SELECT graft_minhash(array(CAST(42 AS BIGINT))) AS s")
       .as[Seq[Long]].collect().head
     assert(sig.length == Dedup.MINHASH_K)
     val x = 42L % Dedup.MH_P
@@ -24,7 +29,7 @@ class ExtensionsSpec extends SparkSpecBase {
   test("graft_simhash is injected with the engine bit width") {
     // one element: every bit of the element's low SIMHASH_BITS wins the
     // majority vote, so the signature is the element masked to 56 bits.
-    val sig = spark.sql("SELECT graft_simhash(array(CAST(12345 AS BIGINT))) AS s")
+    val sig = fresh.sql("SELECT graft_simhash(array(CAST(12345 AS BIGINT))) AS s")
       .as[Long].collect().head
     assert(sig == (12345L & ((1L << Dedup.SIMHASH_BITS) - 1)))
   }

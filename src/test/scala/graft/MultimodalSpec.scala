@@ -8,6 +8,18 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("fixture text is pure ASCII (the media oracles' byte=char assumption)") {
+    // The media_features/media_resize/frame_sample DuckDB oracles replay
+    // the UTF-8 payload bytes via substr/ascii, which index CHARACTERS —
+    // byte-equivalent only while the corpus is ASCII. Fail loudly here
+    // if a future fixture regeneration breaks that, instead of letting
+    // the parity gate chase phantom byte diffs.
+    val nonAscii = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("text").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(nonAscii == 0, s"$nonAscii docs contain non-ASCII text")
+  }
+
   test("media_features matches a local byte-histogram replay") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text", "n_chars").as[(Long, String, Long)]

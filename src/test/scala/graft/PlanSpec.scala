@@ -96,15 +96,17 @@ class PlanSpec extends SparkSpecBase {
       val p = plan(operators.ScaleOps.bucketedJoinRead(spark))
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"no shuffled join in plan:\n$p")
-      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
-        s"bucketed join still shuffles:\n$p")
+      // With auto-broadcast off, ANY Exchange node here is a shuffle of
+      // a bucketed side (formatted mode prints the node name bare, so
+      // match the node name itself, not 'Exchange hashpartitioning').
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
       assert(p.contains("Bucketed: true"), s"bucketed scan not used:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
   test("partitioned_scan: the lang filter prunes partitions at the scan") {
     operators.ScaleOps.partitionedScan(spark, sfDir).count()
-    val p = plan(operators.ScaleOps.partitionedScanRead(spark))
+    val p = plan(operators.ScaleOps.partitionedScanRead(spark, sfDir))
     assert(p.contains("PartitionFilters") &&
       p.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
       s"lang filter not applied as a partition filter:\n$p")

@@ -35,12 +35,16 @@ class PropertySpec extends SparkSpecBase {
   test("BoundedTopK equals global sort-take for arbitrary inputs and splits") {
     import graft.functions.{BoundedTopK, TopKEntry}
     val entries = Gen.listOf(for {
-      v <- Gen.chooseNum(-100L, 100L)
+      // full-range longs: Long.MinValue must sort LAST (a negate-based
+      // comparator overflows on it)
+      v <- Gen.frequency(8 -> Gen.chooseNum(-100L, 100L),
+        1 -> Gen.oneOf(Long.MinValue, Long.MaxValue))
       t <- Gen.chooseNum(0L, 50L)
     } yield TopKEntry(v, t))
     forAll2(entries, Gen.chooseNum(1, 7)) { (xs, k) =>
       val agg = new BoundedTopK(k)
-      val expected = xs.sortBy(e => (-e.v, e.tie)).take(k)
+      val expected = xs.sortWith((a, b) =>
+        a.v > b.v || (a.v == b.v && a.tie < b.tie)).take(k)
       // sequential reduce
       assert(xs.foldLeft(agg.zero)(agg.reduce).entries == expected)
       // arbitrary split + merge (partial aggregation path)
