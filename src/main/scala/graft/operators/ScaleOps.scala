@@ -144,11 +144,63 @@ object ScaleOps extends QueryModule {
       |  count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- asof_join: latest order at-or-before each event -------------------
+  /** As-of join — the canonical operator Spark's built-ins lack: each
+    * event picks the SAME-KEY row with the largest timestamp ≤ its
+    * own. Composed scale-safely (brief's preference ladder rung (a)):
+    * tag both sides, union, and carry the last non-null order forward
+    * with `last(..., ignoreNulls) OVER (PARTITION BY key ORDER BY ts,
+    * side)` — ONE co-partitioned shuffle on the key and a single
+    * window pass, where an inequality join would build a per-key range
+    * product. Orders are pre-deduped per (key, ts) with a max-orderkey
+    * tiebreak and sort before events at equal ts, so the ≥-inclusive
+    * match is deterministic. Unmatched events surface as sentinel
+    * (-1, epoch) rather than nulls. The DuckDB oracle is an
+    * INDEPENDENT implementation — its native `ASOF LEFT JOIN`. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val tagged = e.select(col("user_id").as("k"), col("ts").as("t"),
+        col("event_id"), lit(null).cast("long").as("okey"),
+        lit(null).cast("timestamp").as("odate"), lit(1).as("is_event"))
+      .unionAll(o.select(col("o_custkey").as("k"), col("o_orderdate").as("t"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey").as("okey"),
+        col("o_orderdate").as("odate"), lit(0).as("is_event")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"), col("is_event"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tagged
+      .withColumn("m_okey", last(col("okey"), ignoreNulls = true).over(w))
+      .withColumn("m_odate", last(col("odate"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        coalesce(col("m_okey"), lit(-1L)).as("o_orderkey"),
+        coalesce(col("m_odate"), lit("1970-01-01 00:00:00").cast("timestamp"))
+          .as("o_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql =
+    """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |           FROM orders GROUP BY o_custkey, o_orderdate)
+      |SELECT e.event_id, e.user_id, e.ts,
+      |  coalesce(o.o_orderkey, -1) AS o_orderkey,
+      |  coalesce(o.o_orderdate, TIMESTAMP '1970-01-01') AS o_orderdate
+      |FROM events e ASOF LEFT JOIN o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("bucketed_join", bucketedJoin, Some(bucketedJoinSql),
       "co-located join over bucketBy tables (no join exchange)"),
     QueryDef("skew_safe_distinct", skewSafeDistinct, Some(skewSafeDistinctSql),
       "two-phase composite-key distinct over a skewed group key"),
     QueryDef("partitioned_scan", partitionedScan, Some(partitionedScanSql),
-      "partitionBy write + partition-pruned read (PartitionFilters)"))
+      "partitionBy write + partition-pruned read (PartitionFilters)"),
+    QueryDef("asof_join", asofJoin, Some(asofJoinSql),
+      "as-of join via union + last-ignoreNulls window (oracle: native ASOF)"))
 }
