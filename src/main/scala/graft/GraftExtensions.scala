@@ -41,5 +41,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[gfn.SimHashSignature].getName,
         gfn.SimHashSignature.FUNC_NAME),
       exprs => gfn.SimHashSignature(exprs.head,
-        operators.Dedup.SIMHASH_BITS)))
+        operators.Dedup.SIMHASH_BITS)),
+    (FunctionIdentifier(gfn.SignLshSignature.FUNC_NAME),
+      new ExpressionInfo(classOf[gfn.SignLshSignature].getName,
+        gfn.SignLshSignature.FUNC_NAME),
+      exprs => gfn.SignLshSignature(exprs.head,
+        operators.Similarity.PLANES.flatten.toSeq, operators.Similarity.DIM)))
 }

@@ -119,17 +119,25 @@ object Similarity extends QueryModule {
        |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
 
   // --- ann_lsh_topk: sign-LSH candidates + exact re-rank -----------------
-  private def signature(v: Column): Column =
-    (0 until N_PLANES).map { p =>
-      when(dot(v, typedlit(PLANES(p))) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Row-major flattened plane matrix for the native expression. */
+  private val PLANES_FLAT: Array[Double] = PLANES.flatten
+
+  /** Native codegen'd signature: one (plane × dim) loop per row via
+    * [[graft.functions.SignLshSignature]] — replaces 64 interpreted
+    * `aggregate(zip_with(...))` folds per vector (the round-3 bench
+    * regression). SignLshSpec asserts bit parity with the fold form on
+    * both the codegen and interpreted paths. */
+  private def signature(spark: SparkSession, v: Column): Column = {
+    graft.functions.SignLshSignature.register(spark, PLANES_FLAT, DIM)
+    call_function(graft.functions.SignLshSignature.FUNC_NAME, v)
+  }
 
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
-    // repartition = stage boundary: materializes `v` before the 64
-    // plane-dot references (CollapseProject would otherwise re-run the
-    // float→double transform once per plane).
+    // repartition = stage boundary: materializes `v` before the
+    // chunk-extraction references (CollapseProject would otherwise
+    // re-run the float→double transform per derived column).
     val sigs = corpus(spark, dir).repartition(col("vec_id"))
-      .withColumn("sig", signature(col("v")))
+      .withColumn("sig", signature(spark, col("v")))
     val chunks = sigs.select(col("vec_id"), col("v"), col("nrm"),
         posexplode(array((0 until ANN_CHUNKS).map(c =>
           shiftrightunsigned(col("sig"), c * ANN_CHUNK_BITS)
@@ -310,7 +318,7 @@ object Similarity extends QueryModule {
 
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = corpus(spark, dir)
-    val sigs = e.withColumn("sig", signature(col("v")))
+    val sigs = e.withColumn("sig", signature(spark, col("v")))
       .repartition(col("vec_id"))
     // Candidate pairs are id-only — the chunk join multiplies rows by
     // bucket occupancy, so carrying the 64-double vectors through it

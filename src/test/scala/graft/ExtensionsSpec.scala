@@ -36,6 +36,19 @@ class ExtensionsSpec extends SparkSpecBase {
 
   test("the extension descriptions build evaluable expressions") {
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("graft_minhash", "graft_simhash"))
+      Seq("graft_minhash", "graft_signlsh", "graft_simhash"))
+  }
+
+  test("graft_signlsh is injected with the engine plane matrix") {
+    import graft.operators.Similarity
+    // e1 basis vector: bit p set iff plane_p's first coefficient > 0.
+    val v = Array.tabulate(Similarity.DIM)(i => if (i == 0) "1.0D" else "0.0D")
+    val sig = fresh.sql(
+        s"SELECT graft_signlsh(array(${v.mkString(",")})) AS s")
+      .as[Long].collect().head
+    val expected = Similarity.PLANES.indices.foldLeft(0L) { (s, p) =>
+      if (Similarity.PLANES(p)(0) > 0) s | (1L << p) else s
+    }
+    assert(sig == expected)
   }
 }
