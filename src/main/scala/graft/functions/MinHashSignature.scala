@@ -114,12 +114,16 @@ object MinHashSignature {
     * `expr("graft_minhash(col)")`. */
   def register(spark: SparkSession, a: Array[Long], b: Array[Long], p: Long): Unit = {
     val key = (a.toSeq, b.toSeq, p)
-    if (registered.get(spark) != key) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        FUNC_NAME,
-        exprs => MinHashSignature(exprs.head, a.toSeq, b.toSeq, p),
-        "built-in")
-      registered.put(spark, key)
+    // Single lock over check+replace (synchronizedMap alone leaves the
+    // compound get/put racy under concurrent registration).
+    registered.synchronized {
+      if (registered.get(spark) != key) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          FUNC_NAME,
+          exprs => MinHashSignature(exprs.head, a.toSeq, b.toSeq, p),
+          "built-in")
+        registered.put(spark, key)
+      }
     }
   }
 }

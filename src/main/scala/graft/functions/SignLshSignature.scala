@@ -22,6 +22,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * loop accumulates products in element order exactly like the left
   * fold it replaces — SignLshSpec asserts equality on both paths.
   *
+  * Malformed input follows the fold too: `zip_with` null-pads a
+  * length-mismatched vector and propagates null elements, so every
+  * plane's dot is null and `when(dot > 0, bit)` sets no bit — here,
+  * length != dim or any null element yields signature 0. The
+  * per-element null scan is only emitted when the child's ArrayType
+  * says `containsNull = true`, keeping the hot loop branch-free over
+  * parquet-derived non-null vectors.
+  *
   * `planes` is the row-major flattened plane matrix
   * (`planes(p * dim + i)` = coefficient i of plane p), a Seq so
   * Catalyst canonicalization/CSE see structural equality; the hot loop
@@ -50,16 +58,30 @@ final case class SignLshSignature(child: Expression, planes: Seq[Double], dim: I
           s"signlsh_signature needs ARRAY<DOUBLE>, got $other")
     }
 
+  /** Whether the input schema admits null elements (decides if the
+    * null scan is needed at all — resolved at plan time, not per row). */
+  private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _               => true
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), dim)
+    if (arr.numElements() != dim) return 0L
+    if (elementsNullable) {
+      var i = 0
+      while (i < dim) {
+        if (arr.isNullAt(i)) return 0L
+        i += 1
+      }
+    }
     var sig = 0L
     var p = 0
     while (p < nPlanes) {
       var d = 0.0
       val base = p * dim
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         d += planeArr(base + i) * arr.getDouble(i)
         i += 1
       }
@@ -73,21 +95,32 @@ final case class SignLshSignature(child: Expression, planes: Seq[Double], dim: I
     val plRef = ctx.addReferenceObj("signLshPlanes", planeArr, "double[]")
     nullSafeCodeGen(ctx, ev, c => {
       val sig = ctx.freshName("sig")
-      val n = ctx.freshName("n")
+      val ok = ctx.freshName("ok")
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
       val d = ctx.freshName("d")
       val base = ctx.freshName("base")
+      val nullScan = if (elementsNullable)
+        s"""
+           |for (int $j = 0; $ok && $j < $dim; $j++) {
+           |  if ($c.isNullAt($j)) $ok = false;
+           |}
+         """.stripMargin
+      else ""
       s"""
          |long $sig = 0L;
-         |int $n = java.lang.Math.min($c.numElements(), $dim);
-         |for (int $p = 0; $p < $nPlanes; $p++) {
-         |  double $d = 0.0;
-         |  int $base = $p * $dim;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $d += $plRef[$base + $i] * $c.getDouble($i);
+         |boolean $ok = $c.numElements() == $dim;
+         |$nullScan
+         |if ($ok) {
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    double $d = 0.0;
+         |    int $base = $p * $dim;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      $d += $plRef[$base + $i] * $c.getDouble($i);
+         |    }
+         |    if ($d > 0) $sig |= (1L << $p);
          |  }
-         |  if ($d > 0) $sig |= (1L << $p);
          |}
          |${ev.value} = $sig;
        """.stripMargin
@@ -109,12 +142,17 @@ object SignLshSignature {
     * plane matrix in the session's FunctionRegistry. */
   def register(spark: SparkSession, planes: Array[Double], dim: Int): Unit = {
     val key = (planes.toSeq, dim)
-    if (registered.get(spark) != key) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        FUNC_NAME,
-        exprs => SignLshSignature(exprs.head, planes.toSeq, dim),
-        "built-in")
-      registered.put(spark, key)
+    // Single lock over check+replace: Collections.synchronizedMap only
+    // guards individual calls, so two threads could otherwise both see
+    // a stale key and race the createOrReplaceTempFunction.
+    registered.synchronized {
+      if (registered.get(spark) != key) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          FUNC_NAME,
+          exprs => SignLshSignature(exprs.head, planes.toSeq, dim),
+          "built-in")
+        registered.put(spark, key)
+      }
     }
   }
 }

@@ -95,11 +95,15 @@ object SimHashSignature {
   /** Idempotently registers `graft_simhash(arr)` in the session's
     * FunctionRegistry. */
   def register(spark: SparkSession, bits: Int): Unit =
-    if (registered.get(spark) != Integer.valueOf(bits)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        FUNC_NAME,
-        exprs => SimHashSignature(exprs.head, bits),
-        "built-in")
-      registered.put(spark, bits)
+    // Single lock over check+replace (synchronizedMap alone leaves the
+    // compound get/put racy under concurrent registration).
+    registered.synchronized {
+      if (registered.get(spark) != Integer.valueOf(bits)) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          FUNC_NAME,
+          exprs => SimHashSignature(exprs.head, bits),
+          "built-in")
+        registered.put(spark, bits)
+      }
     }
 }

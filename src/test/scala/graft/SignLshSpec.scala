@@ -52,6 +52,40 @@ class SignLshSpec extends SparkSpecBase {
     }
   }
 
+  test("malformed vectors follow the fold: length mismatch / null element → no bits") {
+    SignLshSignature.register(spark, FLAT, DIM)
+    // zip_with null-pads a mismatched length and propagates null
+    // elements, so every plane dot is null and the fold sets no bit —
+    // the native expression must agree, not truncate/zero-fill.
+    val malformed: Seq[Seq[Option[Double]]] = Seq(
+      Seq.fill(DIM - 3)(Some(1.0)),                          // too short
+      Seq.fill(DIM + 5)(Some(1.0)),                          // too long
+      Seq.tabulate(DIM)(i => if (i == 7) None else Some(1.0)), // null element
+      Seq.fill(DIM)(Some(0.5))                               // control: well-formed
+    )
+    val rows = malformed.toDF("v").select(
+        call_function(SignLshSignature.FUNC_NAME, col("v")).as("native"),
+        foldForm.as("fold"))
+      .as[(Long, Long)].collect()
+    rows.zip(malformed).foreach { case ((n, f), in) =>
+      assert(n == f, s"input length ${in.length}")
+    }
+    assert(rows.take(3).forall(_._1 == 0L))
+    assert(rows.last._1 != 0L) // the control row exercises the null-scan's happy path
+  }
+
+  test("malformed vectors (interpreted eval) → 0") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val short = Literal(new GenericArrayData(Array.fill(DIM - 1)(1.0)), ArrayType(DoubleType))
+    val withNull = Literal(
+      new GenericArrayData(Array.tabulate[Any](DIM)(i => if (i == 0) null else 1.0)),
+      ArrayType(DoubleType, containsNull = true))
+    assert(SignLshSignature(short, FLAT.toSeq, DIM).eval(null) == 0L)
+    assert(SignLshSignature(withNull, FLAT.toSeq, DIM).eval(null) == 0L)
+  }
+
   test("content-identical instances canonicalize equal (CSE-safe)") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.GenericArrayData
