@@ -291,26 +291,46 @@ object Dedup extends QueryModule {
         struct(WORD_IDX.map(i => col(s"bm$i").as(s"w$i")): _*).as("bm"),
         WORD_IDX.map(i => bit_count(col(s"bm$i")).cast("long"))
           .reduce(_ + _).as("p"))
+    // Composite blocking key (source, length-octave): J ≥ 0.5 forces
+    // n_min ≥ t·n_max = n_max/2, so ⌊log2 n⌋ of a matching pair
+    // differs by AT MOST 1 — length-octave bands are a provably
+    // complete refinement of the source block (pure necessary
+    // condition; the brute-force-within-source oracle is unchanged).
+    // Each side emits its row under {band, band+1}; a qualifying pair
+    // always shares ≥1 key, and keeping only the row where the join
+    // key equals greatest(band_a, band_b) restores exactly-once
+    // pairing. band = length of n's binary form — an exact integer
+    // ⌊log2 n⌋+1, immune to the FP-boundary noise of log(2.0, n).
+    // This is what keeps the key space growing with the corpus: ~20
+    // sources × octaves instead of ~20 keys total, the m² pair work
+    // confined to (source, octave-window) cells rather than whole
+    // sources, with AQE still splitting any cell that stays skewed.
     val light = grams.select(col("source"), col("doc_id"), col("n"))
       .join(bmdf, "doc_id")
-    // The pair join carries ONLY (id, n, popcount, bitmap words) —
-    // ~150B rows — never the gram arrays; a joined row with both
+      .withColumn("band", length(bin(col("n"))))
+    // The pair join carries ONLY (id, n, band, popcount, bitmap words)
+    // — ~150B rows — never the gram arrays; a joined row with both
     // 240-element arrays costs ~4KB to materialize × every
     // within-block pair. The pairing is a plain shuffle equi-join on
-    // the blocking key: both sides hash-partition on `source`, the m²
-    // work stays within each block's partition, and AQE splits skewed
-    // blocks. (An earlier broadcast of the light side was faster at
+    // the composite blocking key: both sides hash-partition on
+    // (source, k), the m² work stays within each cell's partition.
+    // (An earlier broadcast of the light side was faster at
     // bench scale but is an O(corpus) driver/executor allocation — a
     // scale-killer; the shuffle join is the 100 TB plan.)
     def side(tag: String) = light.select(
       col("source"), col("doc_id").as(s"doc_$tag"),
-      col("n").as(s"n_$tag"), col("p").as(s"p_$tag"), col("bm").as(s"bm_$tag"))
+      col("n").as(s"n_$tag"), col("band").as(s"band_$tag"),
+      col("p").as(s"p_$tag"), col("bm").as(s"bm_$tag"))
+      .withColumn("k", explode(array(col(s"band_$tag"), col(s"band_$tag") + 1)))
     val andPopcount = WORD_IDX
       .map(i => bit_count(col("bm_a").getField(s"w$i")
         .bitwiseAND(col("bm_b").getField(s"w$i"))).cast("long"))
       .reduce(_ + _)
-    val survivors = side("a").join(side("b"), Seq("source"))
+    val survivors = side("a").join(side("b"), Seq("source", "k"))
       .filter(col("doc_a") < col("doc_b"))
+      // Exactly-once: a same-band pair shares both keys {b, b+1}; keep
+      // only the copy joined on greatest(band_a, band_b).
+      .filter(col("k") === greatest(col("band_a"), col("band_b")))
       // Size-ratio prefilter: J(a,b) ≥ t requires min|·| ≥ t·max|·|,
       // so pairs failing it skip the O(n) set work entirely (a pure
       // necessary condition — the oracle is unchanged).
