@@ -136,22 +136,30 @@ object SignLshSignature {
 
   private val registered =
     java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, (Seq[Double], Int)]())
+      new java.util.WeakHashMap[SparkSession, Map[String, (Seq[Double], Int)]]())
 
   /** Idempotently registers `graft_signlsh(arr)` with the given flattened
     * plane matrix in the session's FunctionRegistry. */
-  def register(spark: SparkSession, planes: Array[Double], dim: Int): Unit = {
+  def register(spark: SparkSession, planes: Array[Double], dim: Int): Unit =
+    registerNamed(spark, FUNC_NAME, planes, dim)
+
+  /** Idempotently registers a signature function under an explicit
+    * name — banded LSH (one signature word per band, each from its own
+    * plane slice) needs several live at once (`graft_signlsh_b0…`). */
+  def registerNamed(spark: SparkSession, name: String,
+                    planes: Array[Double], dim: Int): Unit = {
     val key = (planes.toSeq, dim)
     // Single lock over check+replace: Collections.synchronizedMap only
     // guards individual calls, so two threads could otherwise both see
     // a stale key and race the createOrReplaceTempFunction.
     registered.synchronized {
-      if (registered.get(spark) != key) {
+      val perName = registered.getOrDefault(spark, Map.empty)
+      if (!perName.get(name).contains(key)) {
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          FUNC_NAME,
+          name,
           exprs => SignLshSignature(exprs.head, planes.toSeq, dim),
           "built-in")
-        registered.put(spark, key)
+        registered.put(spark, perName.updated(name, key))
       }
     }
   }

@@ -316,32 +316,110 @@ object Similarity extends QueryModule {
     * the spec, exactly as in `ann_lsh_topk`. */
   val DEDUP_COSINE = 0.45
 
-  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir)
-    val sigs = e.withColumn("sig", signature(spark, col("v")))
-      .repartition(col("vec_id"))
-    // Candidate pairs are id-only — the chunk join multiplies rows by
-    // bucket occupancy, so carrying the 64-double vectors through it
-    // would materialize them once per colliding pair. Vectors are
-    // fetched after dropDuplicates (the oracle mirrors this shape).
-    val chunks = sigs.select(col("vec_id"),
-        posexplode(array((0 until ANN_CHUNKS).map(c =>
-          shiftrightunsigned(col("sig"), c * ANN_CHUNK_BITS)
-            .bitwiseAND(lit((1 << ANN_CHUNK_BITS) - 1))): _*)))
-      .toDF("vec_id", "chunk_idx", "chunk_val")
-    val cand = chunks.select(col("vec_id").as("id_a"), col("chunk_idx"), col("chunk_val"))
-      .join(chunks.select(col("vec_id").as("id_b"), col("chunk_idx"), col("chunk_val")),
-        Seq("chunk_idx", "chunk_val"))
+  /** The gate query: the fixed 8-band × 8-bit instance of
+    * [[lshNearDupPairs]] (the sf-pinned geometry the DuckDB oracle
+    * replays); size a real corpus with [[recommendedGeometry]]. */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame =
+    lshNearDupPairs(spark,
+      corpus(spark, dir).select(col("vec_id"), col("v")),
+      "vec_id", "v", DIM, ANN_CHUNKS, ANN_CHUNK_BITS, PLANES_FLAT,
+      DEDUP_COSINE)
+
+  // --- parameterized banded sign-LSH (library form) ----------------------
+
+  /** Rademacher (±1) plane matrix for [[lshNearDupPairs]], row-major
+    * flat (`planes(p * dim + i)`), deterministic in the seed. */
+  def planesFor(seed: Long, nPlanes: Int, dim: Int): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes * dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Corpus-size-aware band geometry `(nBands, bitsPerBand)`.
+    *
+    * Bits per band come from the target bucket occupancy: each
+    * signature bit is ~Bernoulli(1/2) on generic data, so a band key
+    * space of 2^bits holds `corpusSize / 2^bits` vectors per bucket —
+    * bits = ⌈log2(corpusSize / targetOccupancy)⌉ keeps the per-bucket
+    * m² candidate work constant as the corpus grows (the knob that was
+    * fixture-pinned at 2^8 = 256 before this existed: at 10^9 vectors
+    * a 256-value space would put ~4M vectors in every bucket).
+    * Band count comes from the recall target: with per-bit agreement
+    * p = 1 − θ(s)/π at cosine s, a band matches with p^bits and
+    * nBands = ⌈ln(missProb) / ln(1 − p^bits)⌉ bounds
+    * P[miss] = (1 − p^bits)^nBands ≤ missProb. */
+  def recommendedGeometry(corpusSize: Long, targetSim: Double,
+      missProb: Double = 1e-3, targetOccupancy: Long = 1024L): (Int, Int) = {
+    require(targetSim > 0.0 && targetSim < 1.0 && missProb > 0.0 && missProb < 1.0)
+    val bits = math.max(8, math.min(62,
+      math.ceil(math.log(math.max(1.0, corpusSize.toDouble / targetOccupancy))
+        / math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(targetSim) / math.Pi
+    val pBand = math.pow(p, bits)
+    val bands = math.max(1,
+      math.ceil(math.log(missProb) / math.log1p(-pBand)).toInt)
+    (bands, bits)
+  }
+
+  /** Banded sign-LSH near-duplicate pairs over arbitrary `(id, vector)`
+    * rows: candidates share ≥1 of `nBands` band values (each
+    * `bitsPerBand` sign bits), then exact cosine ≥ `minCosine` within
+    * candidates only.
+    *
+    * Bands are packed into ⌈nBands·bitsPerBand/64⌉ signature words —
+    * each word one native codegen'd [[graft.functions.SignLshSignature]]
+    * pass over its contiguous plane slice — so the vector column is
+    * referenced once per WORD, not once per band (CollapseProject
+    * would re-inline a derived vector's pipeline into every
+    * reference), and the per-plane cost is identical for any geometry
+    * splitting the same total bit budget. Candidate pairs travel
+    * id-only; vectors are fetched after dropDuplicates, exactly like
+    * the gate query. `planesFlat` must hold
+    * `nBands * bitsPerBand * dim` row-major coefficients
+    * ([[planesFor]]). */
+  def lshNearDupPairs(spark: SparkSession, vecs: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      nBands: Int, bitsPerBand: Int, planesFlat: Array[Double],
+      minCosine: Double): DataFrame = {
+    require(nBands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 64,
+      "band width is one signature word at most")
+    require(planesFlat.length == nBands * bitsPerBand * dim,
+      s"planesFlat must be (nBands*bitsPerBand=${nBands * bitsPerBand}) x $dim")
+    val bandsPerWord = 64 / bitsPerBand
+    val numWords = (nBands + bandsPerWord - 1) / bandsPerWord
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    val base = vecs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val wordCols = (0 until numWords).map { w =>
+      val loBand = w * bandsPerWord
+      val hiBand = math.min(nBands, loBand + bandsPerWord)
+      val slice = planesFlat.slice(loBand * bitsPerBand * dim,
+        hiBand * bitsPerBand * dim)
+      val name = s"${graft.functions.SignLshSignature.FUNC_NAME}_w${w}_${nBands}x$bitsPerBand"
+      graft.functions.SignLshSignature.registerNamed(spark, name, slice, dim)
+      call_function(name, col("v")).as(s"sigw$w")
+    }
+    val sigs = base.repartition(col("vec_id"))
+      .select(col("vec_id") +: wordCols: _*)
+    def bandVal(b: Int): Column =
+      shiftrightunsigned(col(s"sigw${b / bandsPerWord}"),
+        (b % bandsPerWord) * bitsPerBand).bitwiseAND(lit(mask))
+    val bands = sigs.select(col("vec_id"),
+        posexplode(array((0 until nBands).map(bandVal): _*)))
+      .toDF("vec_id", "band_idx", "band_val")
+    val cand = bands.select(col("vec_id").as("id_a"), col("band_idx"), col("band_val"))
+      .join(bands.select(col("vec_id").as("id_b"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val withNrm = base.withColumn("nrm",
+      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
     cand
-      .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+      .join(withNrm.select(col("vec_id").as("id_a"), col("v").as("v_a"),
         col("nrm").as("n_a")), "id_a")
-      .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+      .join(withNrm.select(col("vec_id").as("id_b"), col("v").as("v_b"),
         col("nrm").as("n_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
-      .filter(col("cosine") >= DEDUP_COSINE)
+      .filter(col("cosine") >= minCosine)
       .orderBy(col("id_a"), col("id_b"))
   }
 
