@@ -58,6 +58,13 @@ object Dedup extends QueryModule {
   /** Char-n-gram Jaccard params: n, blocking key = source. */
   val NGRAM_N = 4
   val NGRAM_THRESHOLD = 0.5
+  /** Octave-window width for the length-band blocking: J ≥ t forces
+    * n_min ≥ t·n_max, so ⌊log2 n⌋ of a qualifying pair differs by at
+    * most ⌈log2(1/t)⌉ (= 1 at t = 0.5). Deriving the width from the
+    * threshold keeps the blocking provably complete for ANY t — no
+    * hidden t ≥ 0.5 assumption to trip over later. */
+  val NGRAM_BAND_WINDOW: Int =
+    math.ceil(math.log(1.0 / NGRAM_THRESHOLD) / math.log(2.0)).toInt
 
   /** Portable 56-bit fingerprint of a string expression ([[TextFns]]). */
   private def hash56(c: Column): Column = TextFns.hash56(c)
@@ -291,20 +298,17 @@ object Dedup extends QueryModule {
         struct(WORD_IDX.map(i => col(s"bm$i").as(s"w$i")): _*).as("bm"),
         WORD_IDX.map(i => bit_count(col(s"bm$i")).cast("long"))
           .reduce(_ + _).as("p"))
-    // Composite blocking key (source, length-octave): J ≥ 0.5 forces
-    // n_min ≥ t·n_max = n_max/2, so ⌊log2 n⌋ of a matching pair
-    // differs by AT MOST 1 — length-octave bands are a provably
-    // complete refinement of the source block (pure necessary
-    // condition; the brute-force-within-source oracle is unchanged).
-    // Each side emits its row under {band, band+1}; a qualifying pair
-    // always shares ≥1 key, and keeping only the row where the join
-    // key equals greatest(band_a, band_b) restores exactly-once
-    // pairing. band = length of n's binary form — an exact integer
-    // ⌊log2 n⌋+1, immune to the FP-boundary noise of log(2.0, n).
-    // This is what keeps the key space growing with the corpus: ~20
-    // sources × octaves instead of ~20 keys total, the m² pair work
-    // confined to (source, octave-window) cells rather than whole
-    // sources, with AQE still splitting any cell that stays skewed.
+    // Composite blocking key (source, length-octave): a qualifying
+    // pair's bands differ by at most NGRAM_BAND_WINDOW (derivation at
+    // the constant) — length-octave bands are a provably complete
+    // refinement of the source block (pure necessary condition; the
+    // brute-force-within-source oracle is unchanged). band = length
+    // of n's binary form — an exact integer ⌊log2 n⌋+1, immune to the
+    // FP-boundary noise of log(2.0, n). This is what keeps the key
+    // space growing with the corpus: ~20 sources × octaves instead of
+    // ~20 keys total, the m² pair work confined to (source,
+    // octave-window) cells rather than whole sources, with AQE still
+    // splitting any cell that stays skewed.
     val light = grams.select(col("source"), col("doc_id"), col("n"))
       .join(bmdf, "doc_id")
       .withColumn("band", length(bin(col("n"))))
@@ -317,20 +321,35 @@ object Dedup extends QueryModule {
     // (An earlier broadcast of the light side was faster at
     // bench scale but is an O(corpus) driver/executor allocation — a
     // scale-killer; the shuffle join is the 100 TB plan.)
-    def side(tag: String) = light.select(
-      col("source"), col("doc_id").as(s"doc_$tag"),
-      col("n").as(s"n_$tag"), col("band").as(s"band_$tag"),
-      col("p").as(s"p_$tag"), col("bm").as(s"bm_$tag"))
-      .withColumn("k", explode(array(col(s"band_$tag"), col(s"band_$tag") + 1)))
+    //
+    // One-sided band expansion: ONLY side A explodes into
+    // {band .. band+W}; side B joins on its own band (k = band_b ≥
+    // band_a by construction, so band_a > band_b rows never join). A
+    // cross-band qualifying pair meets in exactly one orientation —
+    // the one whose A-side has the lower band — and an equal-band pair
+    // meets in both, deduped by doc order below. Jaccard is symmetric,
+    // so the swapped orientation is harmless: docs are re-canonicalized
+    // with least/greatest after the prefilters. Same key-cardinality
+    // growth as exploding both sides, half the pair-join input (the
+    // round-5 two-sided {band, band+1} explode doubled join input for
+    // a 22% candidate cut and cost +30% on the bench).
+    val sideA = light.select(
+      col("source"), col("doc_id").as("doc_a"), col("n").as("n_a"),
+      col("band").as("band_a"), col("p").as("p_a"), col("bm").as("bm_a"),
+      explode(sequence(col("band"), col("band") + NGRAM_BAND_WINDOW)).as("k"))
+    val sideB = light.select(
+      col("source"), col("doc_id").as("doc_b"), col("n").as("n_b"),
+      col("band").as("band_b"), col("p").as("p_b"), col("bm").as("bm_b"),
+      col("band").as("k"))
     val andPopcount = WORD_IDX
       .map(i => bit_count(col("bm_a").getField(s"w$i")
         .bitwiseAND(col("bm_b").getField(s"w$i"))).cast("long"))
       .reduce(_ + _)
-    val survivors = side("a").join(side("b"), Seq("source", "k"))
-      .filter(col("doc_a") < col("doc_b"))
-      // Exactly-once: a same-band pair shares both keys {b, b+1}; keep
-      // only the copy joined on greatest(band_a, band_b).
-      .filter(col("k") === greatest(col("band_a"), col("band_b")))
+    val survivors = sideA.join(sideB, Seq("source", "k"))
+      // Exactly-once: cross-band matches only ever join with band_a <
+      // band_b (see above); equal-band pairs meet in both orientations
+      // and keep the doc_a < doc_b copy (which also drops self-pairs).
+      .filter(col("band_a") =!= col("band_b") || col("doc_a") < col("doc_b"))
       // Size-ratio prefilter: J(a,b) ≥ t requires min|·| ≥ t·max|·|,
       // so pairs failing it skip the O(n) set work entirely (a pure
       // necessary condition — the oracle is unchanged).
@@ -339,14 +358,17 @@ object Dedup extends QueryModule {
       // Bitmap prefilter: J ≥ t requires |∩| ≥ t·(n_a+n_b)/(1+t); the
       // AND-popcount plus the smaller in-doc collision slack
       // upper-bounds |∩| (see proof above) — another pure necessary
-      // condition, ~16 integer ops per pair.
+      // condition, ~16 integer ops per pair. Both prefilters are
+      // symmetric in (a, b), so orientation doesn't matter.
       .filter(
         (andPopcount
           + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")))
           * (1.0 + NGRAM_THRESHOLD)
           >= lit(NGRAM_THRESHOLD) * (col("n_a") + col("n_b")))
-      .select(col("source"), col("doc_a"), col("doc_b"),
-        col("n_a"), col("n_b"))
+      .select(col("source"),
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        (col("n_a") + col("n_b")).as("n_sum"))
     // Exact verification fetches the gram arrays for survivors only.
     survivors
       .join(grams.select(col("doc_id").as("doc_a"), col("g").as("g_a")), "doc_a")
@@ -356,7 +378,7 @@ object Dedup extends QueryModule {
       .withColumn("inter",
         size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
       .select(col("source"), col("doc_a"), col("doc_b"),
-        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6)
+        round(col("inter") / (col("n_sum") - col("inter")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= NGRAM_THRESHOLD)
       .orderBy(col("source"), col("doc_a"), col("doc_b"))
