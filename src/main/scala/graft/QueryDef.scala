@@ -26,7 +26,13 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = "")
+    doc: String = "",
+    /** Lazily-rendered oracle for queries whose ground truth is only
+      * computable at dump time (the SGD family's VALUES replay —
+      * [[graft.operators.SpamOracle]]): evaluated when Verify dumps
+      * oracle_sql.json, after the replay context is configured, and
+      * skipped (weaker rows-only check) when no context is available. */
+    oracleGen: Option[() => String] = None)
 
 trait QueryModule {
   def entries: Seq[QueryDef]

@@ -34,7 +34,12 @@ object SparkEntry {
     all.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Lazily-generated oracles (the SGD VALUES replays) render here at
+    * dump time; outside a configured Verify run they fall back to the
+    * no-oracle rows-only check instead of failing the dump. */
   def oracleSql: Map[String, String] =
-    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    all.flatMap(q => q.oracle
+      .orElse(q.oracleGen.flatMap(g => scala.util.Try(g()).toOption))
+      .map(q.name -> _)).toMap
 }

@@ -282,15 +282,19 @@ object SpamClassifier extends QueryModule {
     QueryDef("spam_instances", spamInstancesGate, Some(spamInstancesSql),
       "deterministic featurization of documents into labeled instances"),
     QueryDef("spam_train", spamTrain, None,
-      "sequential SGD weights (single sorted partition; ScalaTest oracle)"),
+      "sequential SGD weights (single sorted partition; VALUES replay oracle)",
+      oracleGen = Some(() => SpamOracle.trainSql())),
     QueryDef("spam_train_shuffled", spamTrainShuffled, None,
-      "SGD on a deterministic permutation of the training set"),
+      "SGD on a deterministic permutation of the training set",
+      oracleGen = Some(() => SpamOracle.trainShuffledSql())),
     QueryDef("spam_apply", spamApply, None,
-      "score docs against the trained model via broadcast join"),
+      "score docs against the trained model via broadcast join",
+      oracleGen = Some(() => SpamOracle.applySql())),
     QueryDef("spam_apply_fixed", spamApplyFixed, Some(spamApplyFixedSql),
       "scoring pipeline against a fixed arithmetic model"),
     QueryDef("spam_ensemble", spamEnsemble, Some(spamEnsembleSql),
       "ensemble average + vote over three fixed models"),
     QueryDef("spam_ensemble_trained", spamEnsembleTrained, None,
-      "ensemble over three models trained on doc_id-mod-3 slices (ScalaTest oracle)"))
+      "ensemble over three models trained on doc_id-mod-3 slices (VALUES replay oracle)",
+      oracleGen = Some(() => SpamOracle.ensembleTrainedSql())))
 }
