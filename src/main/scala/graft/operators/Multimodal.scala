@@ -5,9 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One media record: opaque binary payload + typed metadata (the
-  * multimodal data model — image/audio/video as `binary` columns). */
+  * multimodal data model — image/audio/video as `binary` columns).
+  * `n_bytes` is ingest-time metadata: the CONTENT size (decoded buffer
+  * for images, raw buffer for audio/video), as a media catalog records
+  * it — container sizes are codec-dependent storage stats, not logical
+  * metadata. */
 final case class MediaRecord(media_id: Long, kind: String,
-    width: Int, height: Int, payload: Array[Byte])
+    width: Int, height: Int, n_bytes: Int, payload: Array[Byte])
 
 /** Decoded-feature row emitted by the (stubbed) decoder. */
 final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
@@ -31,18 +35,24 @@ final case class MediaResize(media_id: Long, kind: String, src_w: Int,
   * vectorizable per-batch work, typed output schema.
   *
   * The payloads are synthesized deterministically from `documents`
-  * (UTF-8 bytes of the text — the container ships no media, FIXTURES
-  * pattern), so every byte-level result is reproducible and
-  * oracle-/test-checkable. The REAL codec boundary is stubbed:
-  * [[DecodeStub.decodeImage]] stands in for a JPEG/PNG decoder and is
-  * clearly marked — the surrounding plumbing (schema, metadata,
-  * partitioning, batch iteration, typed output) is real and tested.
+  * (the container ships no media, FIXTURES pattern): image records
+  * carry a REAL PNG — an 8-bit grayscale image whose pixel buffer is
+  * the UTF-8 text zero-padded to width·height, encoded with
+  * `javax.imageio` — and are decoded back through `ImageIO.read` in
+  * the feature/resize operators, so the codec boundary runs real
+  * compressed bytes end-to-end (PNG is lossless, which is what keeps
+  * the byte-math DuckDB oracles exact). Audio/video records carry the
+  * raw buffer itself, decoded by the raw-PCM / frame-buffer
+  * interpretation (1 byte per sample/pixel) — honest for uncompressed
+  * media; compressed audio/video codecs are out of scope for this
+  * container.
   *
   * 100 TB posture: payload bytes never leave the executors (no
-  * collect); catalog metadata queries prune the payload column
-  * entirely (columnar Parquet would not even read it); per-partition
-  * batch processing keeps decoder state (a real codec's buffers)
-  * amortized across a partition, exactly like a Pandas-UDF batch.
+  * collect); catalog metadata queries never synthesize or read the
+  * payload at all ([[mediaMeta]] — against a stored parquet catalog
+  * this is columnar pruning); per-partition batch processing keeps
+  * decoder state (ImageIO's buffers) amortized across a partition,
+  * exactly like a Pandas-UDF batch.
   */
 object Multimodal extends QueryModule {
 
@@ -50,37 +60,93 @@ object Multimodal extends QueryModule {
   val FRAME_STRIDE = 3
   val HIST_BINS = 16
 
-  /** THE STUB — the real image/audio codec is not in this container.
-    * `decodeImage` would inflate a compressed payload into pixels; the
-    * deterministic stand-in treats the payload bytes AS the pixel
-    * buffer (row-major, 1 byte/px). Swap this object for a real codec
-    * binding to productionize; nothing else changes. */
-  object DecodeStub {
-    def decodeImage(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
-      // ??? <- real codec goes here; deterministic fake below.
-      val px = new Array[Byte](width * height)
-      var i = 0
-      while (i < px.length) { px(i) = if (i < payload.length) payload(i) else 0; i += 1 }
-      px
+  /** The real codec boundary: 8-bit grayscale PNG encode/decode via
+    * `javax.imageio`. Lossless round-trip (asserted in MultimodalSpec),
+    * deterministic within a JVM — the properties the oracles rely on. */
+  object MediaCodec {
+    /** Row-major 8-bit grayscale buffer → PNG container bytes. */
+    def encodePng(px: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(px.length == width * height, s"buffer ${px.length} != ${width}x$height")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, width, height, px)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** PNG container bytes → (width, height, row-major gray buffer). */
+    def decodePng(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val gray =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+        else { // normalize exotic color models before raster extraction
+          val g = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          g.getGraphics.drawImage(img, 0, 0, null)
+          g
+        }
+      val px = new Array[Byte](w * h)
+      gray.getRaster.getDataElements(0, 0, w, h, px)
+      (w, h, px)
     }
   }
 
-  /** Media synthesis: kind by doc_id mod 3; width/height from n_chars
-    * (documented fake dims, deterministic at every sf). */
-  private def mediaDf(spark: SparkSession, dir: String): DataFrame =
+  /** Decode a record's payload into its row-major byte buffer: real
+    * PNG decode for images; the raw-buffer interpretation (zero-padded
+    * to width·height) for uncompressed audio/video. */
+  private def decode(m: MediaRecord): Array[Byte] = m.kind match {
+    case "image" =>
+      val (w, h, px) = MediaCodec.decodePng(m.payload)
+      require(w == m.width && h == m.height,
+        s"media ${m.media_id}: decoded ${w}x$h != catalog ${m.width}x${m.height}")
+      px
+    case _ => java.util.Arrays.copyOf(m.payload, m.width * m.height)
+  }
+
+  private val KINDS = Array("image", "audio", "video")
+
+  /** Metadata-only synthesis (no payload): what a catalog scan reads.
+    * Pure column work — the payload is never built, the scan prunes to
+    * (doc_id, n_chars, text-length). */
+  private def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id").as("media_id"),
-      element_at(typedlit(Array("image", "audio", "video")),
-        (col("doc_id") % 3).cast("int") + 1).as("kind"),
+      element_at(typedlit(KINDS), (col("doc_id") % 3).cast("int") + 1).as("kind"),
       (col("n_chars") % 16 + 4).cast("int").as("width"),
       (col("n_chars") % 8 + 4).cast("int").as("height"),
-      encode(col("text"), "utf-8").as("payload"))
+      octet_length(encode(col("text"), "utf-8")).as("n_bytes"))
 
-  // --- media_catalog: metadata-only scan (payload pruned) ----------------
+  /** Full media synthesis with payloads: a real PNG for image records
+    * (pixel buffer = text bytes zero-padded to width·height), the raw
+    * buffer for audio/video. Typed mapPartitions because PNG encoding
+    * is imperative byte work — the same batch shape the decoders use. */
+  private def mediaDs(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .mapPartitions(_.map { case (id, text, nChars) =>
+        val kind = KINDS((id % 3).toInt)
+        val w = (nChars % 16 + 4).toInt
+        val h = (nChars % 8 + 4).toInt
+        val raw = text.getBytes("UTF-8")
+        val payload =
+          if (kind == "image")
+            MediaCodec.encodePng(java.util.Arrays.copyOf(raw, w * h), w, h)
+          else raw
+        MediaRecord(id, kind, w, h, raw.length, payload)
+      })
+  }
+
+  // --- media_catalog: metadata-only scan (payload never built) -----------
   def mediaCatalog(spark: SparkSession, dir: String): DataFrame =
-    mediaDf(spark, dir)
+    mediaMeta(spark, dir)
       .select(col("media_id"), col("kind"), col("width"), col("height"),
-        octet_length(col("payload")).as("n_bytes"),
+        col("n_bytes"),
         format_string("media/%05d.%s", col("media_id"), col("kind")).as("media_uri"))
       .orderBy(col("media_id"))
 
@@ -95,15 +161,16 @@ object Multimodal extends QueryModule {
       |FROM documents ORDER BY media_id""".stripMargin
 
   // --- media_features: batched decode + feature extraction ---------------
-  /** Decode (stub) + byte-histogram feature extraction, one partition
-    * batch at a time — the mapInPandas shape. */
+  /** Decode (real PNG for images, raw buffer otherwise) + byte-histogram
+    * feature extraction, one partition batch at a time — the mapInPandas
+    * shape. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaDf(spark, dir).as[MediaRecord]
+    mediaDs(spark, dir)
       .repartition(col("media_id"))
       .mapPartitions { batch =>
         batch.map { m =>
-          val px = DecodeStub.decodeImage(m.payload, m.width, m.height)
+          val px = decode(m)
           val hist = new Array[Long](HIST_BINS)
           var sum = 0L
           px.foreach { b =>
@@ -111,7 +178,7 @@ object Multimodal extends QueryModule {
             hist(v * HIST_BINS / 256) += 1
             sum += v
           }
-          MediaFeatures(m.media_id, m.kind, m.payload.length,
+          MediaFeatures(m.media_id, m.kind, m.n_bytes,
             if (px.isEmpty) 0.0 else sum.toDouble / px.length,
             hist.toSeq)
         }
@@ -128,11 +195,14 @@ object Multimodal extends QueryModule {
     mediaFeatures(spark, dir)
       .withColumn("histogram", array_join(col("histogram").cast("array<string>"), ","))
 
-  /** media_features oracle: the stub decoder is deterministic byte math
-    * (pixel i = payload byte i, zero-padded to width·height), so the
-    * whole decode+histogram is SQL-expressible over the ASCII text —
-    * `ascii(substr(…))` replays the byte buffer (same ASCII assumption
-    * the frame_sample oracle already asserts via md5 parity). */
+  /** media_features oracle: the decoded buffer is deterministic byte
+    * math — pixel i = content byte i, zero-padded to width·height
+    * (exactly what the PNG round-trip reproduces losslessly for
+    * images, and what the raw interpretation is for audio/video) — so
+    * the whole decode+histogram is SQL-expressible over the ASCII
+    * text: `ascii(substr(…))` replays the byte buffer (same ASCII
+    * assumption the frame_sample oracle already asserts via md5
+    * parity). */
   val mediaFeaturesSql =
     s"""WITH m AS (SELECT doc_id AS media_id,
        |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -154,18 +224,18 @@ object Multimodal extends QueryModule {
   val RESIZE_W = 8
   val RESIZE_H = 8
 
-  /** Decode (stub) + nearest-neighbour resize to a fixed thumbnail,
+  /** Decode + nearest-neighbour resize to a fixed thumbnail,
     * in the same partition-batch shape as [[mediaFeatures]] — the
     * resize step of the decode/extract/resize/sample quartet. The
     * source pixel for output (x, y) is (x·w/RW, y·h/RH) with integer
     * math, so the whole path is deterministic and SQL-oracled. */
   def mediaResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaDf(spark, dir).as[MediaRecord]
+    mediaDs(spark, dir)
       .repartition(col("media_id"))
       .mapPartitions { batch =>
         batch.map { m =>
-          val px = DecodeStub.decodeImage(m.payload, m.width, m.height)
+          val px = decode(m)
           val out = new Array[Long](RESIZE_W * RESIZE_H)
           var y = 0
           while (y < RESIZE_H) {
@@ -219,7 +289,7 @@ object Multimodal extends QueryModule {
     * final order). */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    mediaDf(spark, dir).as[MediaRecord]
+    mediaDs(spark, dir)
       .filter(col("kind") === "video")
       .repartition(col("media_id"))
       .mapPartitions { batch =>
@@ -263,7 +333,7 @@ object Multimodal extends QueryModule {
     QueryDef("media_catalog", mediaCatalog, Some(mediaCatalogSql),
       "typed metadata over synthesized binary media (payload pruned)"),
     QueryDef("media_features", mediaFeaturesGate, Some(mediaFeaturesSql),
-      "stub-decoded byte-histogram features via partition batches"),
+      "PNG-decoded byte-histogram features via partition batches"),
     QueryDef("frame_sample", frameSample, Some(frameSampleSql),
       "every k-th frame of video payloads with md5 fingerprints"),
     QueryDef("media_resize", mediaResize, Some(mediaResizeSql),

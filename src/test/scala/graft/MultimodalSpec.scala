@@ -3,10 +3,26 @@ package graft
 import graft.operators.{MediaFeatures, Multimodal}
 import org.apache.spark.sql.functions._
 
-/** Local replay oracle for the stub-decoded feature path (the
-  * non-SQL-expressible multimodal query). */
+/** Local replay oracle for the multimodal decode path, plus the codec
+  * properties the oracles rely on (lossless PNG round-trip). */
 class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
+
+  test("PNG codec: decode of encode is the identity on gray buffers") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val w = 1 + rnd.nextInt(24)
+      val h = 1 + rnd.nextInt(12)
+      val px = Array.fill((w * h))(rnd.nextInt(256).toByte)
+      val png = Multimodal.MediaCodec.encodePng(px, w, h)
+      // a real container, not a passthrough: PNG magic bytes
+      assert((png.take(8).map(_ & 0xff) sameElements
+        Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)), "PNG signature")
+      val (dw, dh, dpx) = Multimodal.MediaCodec.decodePng(png)
+      assert(dw == w && dh == h)
+      assert(dpx.toSeq == px.toSeq, "lossless round-trip")
+    }
+  }
 
   test("fixture text is pure ASCII (the media oracles' byte=char assumption)") {
     // The media_features/media_resize/frame_sample DuckDB oracles replay
@@ -28,7 +44,11 @@ class MultimodalSpec extends SparkSpecBase {
       val payload = text.getBytes("UTF-8")
       val w = (nChars % 16 + 4).toInt
       val h = (nChars % 8 + 4).toInt
-      val px = Multimodal.DecodeStub.decodeImage(payload, w, h)
+      // the decoded buffer every kind must produce: content bytes
+      // zero-padded to width*height (images get there via a real PNG
+      // encode/decode round-trip; the codec test above pins that the
+      // round-trip is the identity)
+      val px = java.util.Arrays.copyOf(payload, w * h)
       val hist = new Array[Long](Multimodal.HIST_BINS)
       var sum = 0L
       px.foreach { b =>
