@@ -16,10 +16,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // The SGD family's oracle is a VALUES literal rendered from a
-    // driver-side sequential replay of THIS sfDir — install the context
-    // before oracleSql is dumped below.
-    operators.SpamOracle.configure(spark, sfDir)
+    // Dump-time oracles (the SGD VALUES replays, the auto-geometry LSH
+    // replay) render against THIS sfDir — install the context before
+    // oracleSql is dumped below.
+    OracleContext.configure(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -334,6 +334,16 @@ object Similarity extends QueryModule {
     Array.fill(nPlanes * dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  /** Short stable content hash of a plane slice — md5 over the IEEE
+    * bits, first 8 hex chars — for per-content function names. */
+  private def planesHash(slice: Array[Double], dim: Int): String = {
+    val bb = java.nio.ByteBuffer.allocate((slice.length + 1) * 8)
+    bb.putLong(dim.toLong)
+    slice.foreach(d => bb.putLong(java.lang.Double.doubleToLongBits(d)))
+    java.security.MessageDigest.getInstance("MD5").digest(bb.array())
+      .take(4).map(b => f"$b%02x").mkString
+  }
+
   /** Corpus-size-aware band geometry `(nBands, bitsPerBand)`.
     *
     * Bits per band come from the target bucket occupancy: each
@@ -348,16 +358,25 @@ object Similarity extends QueryModule {
     * nBands = ⌈ln(missProb) / ln(1 − p^bits)⌉ bounds
     * P[miss] = (1 − p^bits)^nBands ≤ missProb. */
   def recommendedGeometry(corpusSize: Long, targetSim: Double,
-      missProb: Double = 1e-3, targetOccupancy: Long = 1024L): (Int, Int) = {
+      missProb: Double = 1e-3, targetOccupancy: Long = 1024L,
+      maxBands: Int = 1024): (Int, Int) = {
     require(targetSim > 0.0 && targetSim < 1.0 && missProb > 0.0 && missProb < 1.0)
     val bits = math.max(8, math.min(62,
       math.ceil(math.log(math.max(1.0, corpusSize.toDouble / targetOccupancy))
         / math.log(2.0)).toInt))
     val p = 1.0 - math.acos(targetSim) / math.Pi
     val pBand = math.pow(p, bits)
-    val bands = math.max(1,
-      math.ceil(math.log(missProb) / math.log1p(-pBand)).toInt)
-    (bands, bits)
+    val bands = math.max(1.0,
+      math.ceil(math.log(missProb) / math.log1p(-pBand)))
+    // Feasibility guard: at low targetSim and large corpora p^bits
+    // underflows and the recall bound demands an absurd band count
+    // (1e12 vectors at sim 0.5 → ~1e6 bands → gigabytes of planes,
+    // Int overflow). Fail loudly instead of silently allocating.
+    require(bands <= maxBands,
+      f"recommendedGeometry infeasible: targetSim=$targetSim%.2f at " +
+        f"$bits bits/band needs ${bands}%.0f bands for missProb=$missProb " +
+        s"(cap $maxBands) — raise targetSim, missProb, or targetOccupancy")
+    (bands.toInt, bits)
   }
 
   /** Banded sign-LSH near-duplicate pairs over arbitrary `(id, vector)`
@@ -393,7 +412,14 @@ object Similarity extends QueryModule {
       val hiBand = math.min(nBands, loBand + bandsPerWord)
       val slice = planesFlat.slice(loBand * bitsPerBand * dim,
         hiBand * bitsPerBand * dim)
-      val name = s"${graft.functions.SignLshSignature.FUNC_NAME}_w${w}_${nBands}x$bitsPerBand"
+      // The name carries a content hash of (slice, dim): geometry alone
+      // is not identity — two interleaved same-session calls with equal
+      // geometry but different plane matrices would otherwise race
+      // createOrReplaceTempFunction and one plan could silently analyze
+      // against the other's planes. Per-content names keep registration
+      // idempotent per plane matrix.
+      val name = s"${graft.functions.SignLshSignature.FUNC_NAME}_w${w}_" +
+        s"${nBands}x${bitsPerBand}_${planesHash(slice, dim)}"
       graft.functions.SignLshSignature.registerNamed(spark, name, slice, dim)
       call_function(name, col("v")).as(s"sigw$w")
     }
@@ -421,6 +447,72 @@ object Similarity extends QueryModule {
         round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // --- embedding_dedup_auto: corpus-sized geometry, end-to-end -----------
+
+  /** Recall target the auto geometry is sized for: true near-duplicate
+    * similarity (the [[recommendedGeometry]] bound holds at 0.9; the
+    * exact verify then keeps anything ≥ [[DEDUP_COSINE]], exactly the
+    * near_dedup pattern of tuning LSH for the planted level while
+    * verifying at the keep threshold). */
+  val AUTO_TARGET_SIM = 0.9
+  val AUTO_SEED = 47L
+
+  /** Geometry for a corpus of `n` vectors, shared by the gate query and
+    * its dump-time oracle. */
+  private def autoGeometry(n: Long): (Int, Int) =
+    recommendedGeometry(n, AUTO_TARGET_SIM)
+
+  /** The [[recommendedGeometry]] sizing math exercised on a live
+    * corpus: count → (bands, bits) → [[planesFor]] → [[lshNearDupPairs]].
+    * The count is an O(1) driver scalar off a 1-row aggregate (the
+    * PageRank dangling-mass pattern — the corpus itself never leaves
+    * the executors); it must be a driver value because the plane
+    * matrix SIZE and the registered expressions depend on it. */
+  def embeddingDedupAuto(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpus(spark, dir).select(col("vec_id"), col("v"))
+    val n = base.agg(count(lit(1)).as("n")).head().getLong(0)
+    val (bands, bits) = autoGeometry(n)
+    val planes = planesFor(AUTO_SEED, bands * bits, DIM)
+    lshNearDupPairs(spark, base, "vec_id", "v", DIM, bands, bits, planes,
+      DEDUP_COSINE)
+  }
+
+  /** Dump-time oracle (via [[graft.OracleContext]]): re-derives the
+    * SAME geometry from the corpus count, then replays the banded
+    * pipeline in SQL — band b's bit j is sign(dot(v, plane_{b·bits+j})),
+    * candidates share ≥1 (band_idx, band_val), exact cosine within
+    * candidates — proving the sizing math end-to-end on a live corpus,
+    * not just in LshGeometrySpec. */
+  def embeddingDedupAutoSql(): String = {
+    val (spark, dir) = graft.OracleContext.get
+    val n = Tables.embeddings(spark, dir).count()
+    val (bands, bits) = autoGeometry(n)
+    val planes = planesFor(AUTO_SEED, bands * bits, DIM)
+    val planeRows = (0 until bands * bits).map { p =>
+      val pl = planes.slice(p * DIM, (p + 1) * DIM)
+      s"(${p / bits}, [${pl.mkString(", ")}], CAST(${1L << (p % bits)} AS BIGINT))"
+    }.mkString("planes(band_idx, pl, bit) AS (VALUES ", ", ", ")")
+    s"""$corpusSql,
+       |$planeRows,
+       |bnd AS MATERIALIZED (SELECT vec_id, band_idx,
+       |  CAST(sum(CASE WHEN list_sum(list_transform(range(1, $DIM + 1),
+       |           i -> n.v[i] * planes.pl[i])) > 0
+       |         THEN planes.bit ELSE 0 END) AS BIGINT) AS band_val
+       |  FROM n CROSS JOIN planes GROUP BY vec_id, band_idx),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bnd a JOIN bnd b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |  WHERE a.vec_id < b.vec_id),
+       |p AS (SELECT cand.id_a, cand.id_b,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> x.v[i] * y.v[i]))
+       |        / (x.nrm * y.nrm), 6) AS cosine
+       |  FROM cand
+       |  JOIN n x ON x.vec_id = cand.id_a
+       |  JOIN n y ON y.vec_id = cand.id_b)
+       |SELECT id_a, id_b, cosine FROM p
+       |WHERE cosine >= $DEDUP_COSINE ORDER BY id_a, id_b""".stripMargin
   }
 
   val embeddingDedupSql = {
@@ -452,5 +544,8 @@ object Similarity extends QueryModule {
     QueryDef("ann_ivf_topk", annIvfTopk, Some(annIvfTopkSql),
       "IVF: deterministic codebook, nprobe cell search + re-rank"),
     QueryDef("embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
-      "embedding-cosine near-dup pairs via sign-LSH buckets"))
+      "embedding-cosine near-dup pairs via sign-LSH buckets"),
+    QueryDef("embedding_dedup_auto", embeddingDedupAuto, None,
+      "lshNearDupPairs under corpus-count-derived recommendedGeometry",
+      oracleGen = Some(() => embeddingDedupAutoSql())))
 }

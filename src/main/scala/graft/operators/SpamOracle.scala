@@ -22,31 +22,21 @@ import org.apache.spark.sql.SparkSession
   * any other oracle, closing the four `no_oracle` gate rows.
   *
   * The oracle is generated at Verify-dump time for the sfDir being
-  * verified ([[configure]] is called by `graft.Verify.main`), so it
-  * stays correct at every scale factor instead of pinning one corpus'
-  * weights. FP discipline: the replay reproduces the exact float-op
+  * verified (via [[graft.OracleContext]]), so it stays correct at
+  * every scale factor instead of pinning one corpus' weights. FP discipline: the replay reproduces the exact float-op
   * order of the single-partition fold (left-to-right sums in token
   * order), and rounded columns mirror Spark's `round` semantics
   * (`BigDecimal.valueOf(x).setScale(n, HALF_UP)`).
   */
 object SpamOracle {
 
-  @volatile private var ctx: Option[(SparkSession, String)] = None
-
-  /** Install the (session, sfDir) the oracle should replay. Called by
-    * Verify.main before the oracle_sql.json dump. */
-  def configure(spark: SparkSession, sfDir: String): Unit =
-    ctx = Some((spark, sfDir))
-
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, Replay]
   graft.Caches.register(() => cache.clear())
 
-  private def replay(): Replay = ctx match {
-    case Some((spark, dir)) => cache.getOrElseUpdate(dir, new Replay(spark, dir))
-    case None => throw new IllegalStateException(
-      "SpamOracle not configured: SGD VALUES oracles are only rendered " +
-        "inside a Verify run (Verify.main calls SpamOracle.configure)")
+  private def replay(): Replay = {
+    val (spark, dir) = graft.OracleContext.get
+    cache.getOrElseUpdate(dir, new Replay(spark, dir))
   }
 
   def trainSql(): String = replay().trainSql

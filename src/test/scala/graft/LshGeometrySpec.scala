@@ -101,4 +101,14 @@ class LshGeometrySpec extends SparkSpecBase {
     assert(Similarity.recommendedGeometry(60000L, 0.9)._2 == 8)
     assert(Similarity.recommendedGeometry(1L, 0.9)._2 == 8)
   }
+
+  test("recommendedGeometry fails loudly on infeasible (sim, corpus) combos") {
+    // 1e12 vectors at sim 0.5: p^bits underflows and the recall bound
+    // would demand ~1e6 bands (gigabytes of planes) — must throw, not
+    // silently allocate.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.recommendedGeometry(1000000000000L, 0.5)
+    }
+    assert(e.getMessage.contains("infeasible"))
+  }
 }
