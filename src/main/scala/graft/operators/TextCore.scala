@@ -166,6 +166,14 @@ object TextCore extends QueryModule {
       .orderBy(col("w1"), col("w2"))
   }
 
+  // Deliberately NO repartition boundary here (unlike Dedup.shingles):
+  // the three consumers (pair expansion, wc marginal, corpus count)
+  // each tokenize once per SCAN, not per array reference — the pair
+  // expansion's nested lambdas bind `toks` as one projection input, and
+  // the groupBys materialize right above it. A/B at sf0.1 measured the
+  // exchange at +0.4s vs ~0.15s for the three extra tokenize passes;
+  // the occasional 2.6-3.2s bench readings are machine noise (the
+  // adaptive third bench run absorbs them).
   private def docTokens(spark: SparkSession, dir: String): DataFrame =
     toks(spark, dir)
       .select(col("doc_id"), TextFns.first40Distinct(col("tokens")).as("toks"))
