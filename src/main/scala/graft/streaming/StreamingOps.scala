@@ -159,6 +159,71 @@ object StreamingOps extends QueryModule {
   def eventCountHourly(spark: SparkSession, dir: String): DataFrame =
     eventCounts(Tables.events(spark, dir)).orderBy(col("window_start"))
 
+  // --- stream_hourly_live: the actual streaming engine, wall-clocked ----
+
+  /** The events table staged as a multi-file source directory (8
+    * range-partitioned files → 8 micro-batches under
+    * `maxFilesPerTrigger = 1`), written once per (session, sf) — input
+    * staging, not memoized compute, so it deliberately is NOT
+    * registered with [[graft.Caches]]: the bench must time the
+    * streaming run, not a parquet copy. */
+  private val stagedEvents =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def stagedEventsDir(spark: SparkSession, dir: String): String =
+    stagedEvents.getOrElseUpdate((spark, dir), {
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_stream_src_").toString
+      Tables.events(spark, dir)
+        .repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").parquet(dest)
+      dest
+    })
+
+  private val liveRuns = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The SAME hourly windowed count, but executed by the live streaming
+    * engine: file-queue source paced one file per micro-batch,
+    * `Trigger.AvailableNow`, checkpointed state store, complete-mode
+    * memory sink. Complete mode retains every window in state (the
+    * watermark only governs eviction in append/update), so the final
+    * result table equals the batch replay REGARDLESS of the order the
+    * source lists files in — which is what lets this query share
+    * `event_count_hourly`'s DuckDB oracle and gives the bench a
+    * wall-time number for the streaming engine itself. */
+  def streamHourlyLive(spark: SparkSession, dir: String): DataFrame = {
+    val src = stagedEventsDir(spark, dir)
+    val name = s"stream_hourly_live_${liveRuns.incrementAndGet()}"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt_").toString
+    // State-partition count is fixed by the FIRST batch's shuffle
+    // partitions and every micro-batch commits one store per state
+    // partition: 32 partitions for a 720-window aggregate is pure
+    // checkpoint-file overhead (measured 13s → ~half at 8). Scope the
+    // narrower setting to this query and restore around it. Retention
+    // is trimmed too — the default keeps 100 checkpoint versions.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevRetain = spark.conf.getOption("spark.sql.streaming.minBatchesToRetain")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    try {
+      val q = eventCounts(
+          spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1).parquet(src))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevRetain.fold(spark.conf.unset("spark.sql.streaming.minBatchesToRetain"))(
+        v => spark.conf.set("spark.sql.streaming.minBatchesToRetain", v))
+    }
+    spark.table(name).orderBy(col("window_start"))
+  }
+
   val eventCountHourlySql =
     """SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start,
       |  time_bucket(INTERVAL '60 minutes', ts) + INTERVAL '60 minutes' AS window_end,
@@ -226,6 +291,8 @@ object StreamingOps extends QueryModule {
       "per-user session windows, 30-min inactivity gap"),
     QueryDef("event_count_hourly", eventCountHourly, Some(eventCountHourlySql),
       "tumbling 60-min event counts (batch replay of the streaming query)"),
+    QueryDef("stream_hourly_live", streamHourlyLive, Some(eventCountHourlySql),
+      "the same hourly counts run by the live streaming engine (file queue, AvailableNow)"),
     QueryDef("region_event_count", regionEventCount, Some(regionEventCountSql),
       "tumbling 60-min counts per region tag"),
     QueryDef("trending_arrivals", trendingArrivals, Some(trendingArrivalsSql),
