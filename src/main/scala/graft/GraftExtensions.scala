@@ -46,5 +46,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[gfn.SignLshSignature].getName,
         gfn.SignLshSignature.FUNC_NAME),
       exprs => gfn.SignLshSignature(exprs.head,
-        operators.Similarity.PLANES.flatten.toSeq, operators.Similarity.DIM)))
+        operators.Similarity.PLANES.flatten.toSeq, operators.Similarity.DIM)),
+    (FunctionIdentifier(gfn.NgramPack.FUNC_NAME),
+      new ExpressionInfo(classOf[gfn.NgramPack].getName,
+        gfn.NgramPack.FUNC_NAME),
+      exprs => gfn.NgramPack(exprs.head,
+        operators.Dedup.NGRAM_N, operators.Dedup.GRAM_BITS)))
 }

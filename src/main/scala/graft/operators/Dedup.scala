@@ -55,8 +55,15 @@ object Dedup extends QueryModule {
   val SIMHASH_CHUNKS = 4
   val CHUNK_BITS = SIMHASH_BITS / SIMHASH_CHUNKS
 
-  /** Char-n-gram Jaccard params: n, blocking key = source. */
+  /** Char-n-gram Jaccard params: n, blocking key = source. A gram's
+    * identity is its PACKED CODEPOINTS — n × [[GRAM_BITS]]-bit
+    * truncated codepoints concatenated ([[graft.functions.NgramPack]]),
+    * 56 bits at the default geometry — not a hash: injective for
+    * codepoints < 2^14 (all ASCII, most of the BMP) and identically
+    * truncating in both engines beyond, so Spark and the DuckDB oracle
+    * agree on gram identity by construction. */
   val NGRAM_N = 4
+  val GRAM_BITS = 14
   val NGRAM_THRESHOLD = 0.5
   /** Octave-window width for the length-band blocking: J ≥ t forces
     * n_min ≥ t·n_max, so ⌊log2 n⌋ of a qualifying pair differs by at
@@ -244,18 +251,21 @@ object Dedup extends QueryModule {
   private val WORD_IDX: Array[Int] = (0 until BLOOM_WORDS).toArray
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Grams as 56-bit fingerprints, not strings: the within-block
-    // pairwise intersect/union then compares longs (collision odds over
-    // ~10^3 distinct grams are ~1e-11, and the brute-force string
-    // oracle would expose one). The repartition boundary materializes
-    // the gram arrays once — both join sides reuse the same exchange —
-    // instead of re-running ~250 md5s per row per side.
+    // Grams as packed-codepoint longs, not strings: the within-block
+    // pairwise intersect/union then compares longs, and the packing is
+    // collision-free (injective over ASCII/BMP — see GRAM_BITS).
+    // NgramPack emits all grams in one rolling pass over the string —
+    // the composed form (transform(sequence) + per-position substr,
+    // with or without an md5 fingerprint) costs ~6s of this query's
+    // bench at sf0.1 in per-gram expression machinery alone. The
+    // repartition boundary materializes the gram arrays once — every
+    // consumer below reuses the same exchange.
+    graft.functions.NgramPack.register(spark, NGRAM_N, GRAM_BITS)
     val grams = Tables.documents(spark, dir)
       .filter(length(col("text")) >= NGRAM_N)
       .select(col("doc_id"), col("source"),
-        array_distinct(transform(
-          sequence(lit(1), length(col("text")) - (NGRAM_N - 1)),
-          i => hash56(col("text").substr(i, lit(NGRAM_N))))).as("g"))
+        array_distinct(
+          call_function(graft.functions.NgramPack.FUNC_NAME, col("text"))).as("g"))
       .withColumn("n", size(col("g")))
       .repartition(col("doc_id"))
     // 1024-bit one-hash bitmap of the gram set, as 16 flat long
@@ -278,7 +288,13 @@ object Dedup extends QueryModule {
     // skip the exact set intersection entirely — ~16 AND+popcounts
     // instead of ~500 hash-set ops per pair, and provably no false
     // negatives at ANY data distribution, not just this fixture's.
-    val h = col("h")
+    // Bitmap bit index comes from xxhash64 of the packed gram, NOT the
+    // gram itself: packed codepoints cluster (the low 14 bits are the
+    // last character, drawn from a ~30-letter alphabet), which would
+    // pile the one-hash bitmap onto a few bits and gut its selectivity.
+    // The mix is Spark-side only — the bitmap is a pure prefilter the
+    // oracle never sees; gram IDENTITY stays the portable packing.
+    val h = xxhash64(col("h"))
     val wordOf = ((pmod(h, lit(BLOOM_BITS.toLong)) - pmod(h, lit(64L))) / 64)
       .cast("int")
     val bitOf = element_at(typedlit(BIT64), pmod(h, lit(64L)).cast("int") + 1)
@@ -384,9 +400,16 @@ object Dedup extends QueryModule {
       .orderBy(col("source"), col("doc_a"), col("doc_b"))
   }
 
+  /** The packed-codepoint gram in SQL: `cp % 2^bits` ≡ the expression's
+    * `cp & mask` for non-negative codepoints, per-plane identical. */
+  private val gramPackSql: String = (0 until NGRAM_N).map { o =>
+    s"(ascii(substr(text, i + $o, 1)) % ${1L << GRAM_BITS}) * " +
+      s"${1L << (GRAM_BITS * (NGRAM_N - 1 - o))}"
+  }.mkString(" + ")
+
   val ngramJaccardSql =
     s"""WITH g AS (SELECT doc_id, source,
-       |  list_distinct([substr(text, i, $NGRAM_N)
+       |  list_distinct([$gramPackSql
        |                 for i in range(1, len(text) - ${NGRAM_N - 2})]) AS g
        |  FROM documents WHERE len(text) >= $NGRAM_N)
        |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
