@@ -31,13 +31,21 @@ object Bench {
     * driver's BENCH_r{N}.json embeds the bench line as an escaped
     * string inside a "tail" field (quotes arrive as `\"`), so the
     * patterns accept an optional backslash before each quote. */
-  private[graft] def prevBench(dir: java.io.File): Map[String, Double] = {
+  private[graft] def prevBench(
+      dir: java.io.File,
+      currentRound: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND")
+        .flatMap(_.toIntOption)): Map[String, Double] = {
     val rx = """BENCH_r(\d+)\.json""".r
     val newest = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case rx(n) => Some((n.toInt, f))
         case _ => None
       })
+      // On a re-run after the driver already wrote this round's file,
+      // the newest BENCH would be the run itself and every delta ~0
+      // (round-6 advice): when the round number is known
+      // (SPARK_GRAFT_ROUND), only strictly earlier rounds qualify.
+      .filter { case (n, _) => currentRound.forall(n < _) }
       .sortBy(-_._1).headOption.map(_._2)
     newest.fold(Map.empty[String, Double]) { f =>
       val txt = scala.io.Source.fromFile(f, "UTF-8").mkString

@@ -12,12 +12,18 @@ import org.apache.spark.sql.SparkSession
   * rows-only check.
   */
 object OracleContext {
+  /** The one exception that legitimately downgrades a generated oracle
+    * to the rows-only check. A distinct type (not a bare
+    * IllegalStateException) so that a generator's own bugs — whatever
+    * they throw — still fail the dump visibly. */
+  final class Unconfigured extends IllegalStateException(
+    "OracleContext not configured: dump-time oracles are only rendered " +
+      "inside a Verify run (Verify.main calls OracleContext.configure)")
+
   @volatile private var ctx: Option[(SparkSession, String)] = None
 
   def configure(spark: SparkSession, sfDir: String): Unit =
     ctx = Some((spark, sfDir))
 
-  def get: (SparkSession, String) = ctx.getOrElse(throw new IllegalStateException(
-    "OracleContext not configured: dump-time oracles are only rendered " +
-      "inside a Verify run (Verify.main calls OracleContext.configure)"))
+  def get: (SparkSession, String) = ctx.getOrElse(throw new Unconfigured)
 }

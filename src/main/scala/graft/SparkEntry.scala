@@ -36,10 +36,16 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     * Lazily-generated oracles (the SGD VALUES replays) render here at
-    * dump time; outside a configured Verify run they fall back to the
-    * no-oracle rows-only check instead of failing the dump. */
+    * dump time. Only the EXPECTED unconfigured-[[OracleContext]]
+    * signal downgrades an entry to the rows-only check; any other
+    * exception from a generator is a real bug in the oracle itself and
+    * must fail the dump visibly rather than silently weakening the
+    * gate (round-6 advice). */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle
-      .orElse(q.oracleGen.flatMap(g => scala.util.Try(g()).toOption))
+      .orElse(q.oracleGen.flatMap { g =>
+        try Some(g())
+        catch { case _: OracleContext.Unconfigured => None }
+      })
       .map(q.name -> _)).toMap
 }

@@ -403,8 +403,11 @@ object Dedup extends QueryModule {
   /** The packed-codepoint gram in SQL: `cp % 2^bits` ≡ the expression's
     * `cp & mask` for non-negative codepoints, per-plane identical. */
   private val gramPackSql: String = (0 until NGRAM_N).map { o =>
-    s"(ascii(substr(text, i + $o, 1)) % ${1L << GRAM_BITS}) * " +
-      s"${1L << (GRAM_BITS * (NGRAM_N - 1 - o))}"
+    // Both factors must be BIGINT before the multiply: DuckDB keeps
+    // `ascii(...) % 16384` and the shift literals in INT32, and
+    // e.g. 101 * 2^28 overflows INT32 (round-6 gate failure).
+    s"(CAST(ascii(substr(text, i + $o, 1)) AS BIGINT) % ${1L << GRAM_BITS}) * " +
+      s"CAST(${1L << (GRAM_BITS * (NGRAM_N - 1 - o))} AS BIGINT)"
   }.mkString(" + ")
 
   val ngramJaccardSql =

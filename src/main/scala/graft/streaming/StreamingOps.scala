@@ -194,34 +194,50 @@ object StreamingOps extends QueryModule {
   def streamHourlyLive(spark: SparkSession, dir: String): DataFrame = {
     val src = stagedEventsDir(spark, dir)
     val name = s"stream_hourly_live_${liveRuns.incrementAndGet()}"
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stream_ckpt_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_")
     // State-partition count is fixed by the FIRST batch's shuffle
     // partitions and every micro-batch commits one store per state
     // partition: 32 partitions for a 720-window aggregate is pure
-    // checkpoint-file overhead (measured 13s → ~half at 8). Scope the
-    // narrower setting to this query and restore around it. Retention
-    // is trimmed too — the default keeps 100 checkpoint versions.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevRetain = spark.conf.getOption("spark.sql.streaming.minBatchesToRetain")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
-    try {
-      val q = eventCounts(
-          spark.readStream.schema(spark.read.parquet(src).schema)
-            .option("maxFilesPerTrigger", 1).parquet(src))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prevRetain.fold(spark.conf.unset("spark.sql.streaming.minBatchesToRetain"))(
-        v => spark.conf.set("spark.sql.streaming.minBatchesToRetain", v))
-    }
-    spark.table(name).orderBy(col("window_start"))
+    // checkpoint-file overhead (measured 13s → ~half at 8). Run in an
+    // isolated newSession() so the narrower shuffle setting (and the
+    // memory-sink temp view) never touch the caller's session — a
+    // concurrent query in the same session used to silently run at 8
+    // partitions for the duration (round-6 advice). Retention is
+    // trimmed too — the default keeps 100 checkpoint versions.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    val rows =
+      try {
+        val q = eventCounts(
+            ss.readStream.schema(ss.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        val out = ss.table(name)
+        // Materialize (720 hourly windows — tiny) so the sink view and
+        // checkpoint can be reclaimed before returning: repeated bench
+        // invocations used to leak both for the session's lifetime.
+        (out.schema, out.collect().toSeq)
+      } finally {
+        ss.catalog.dropTempView(name)
+        deleteRecursively(ckpt)
+      }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows._2, 1), rows._1)
+      .orderBy(col("window_start"))
+  }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder()).iterator.asScala
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
   }
 
   val eventCountHourlySql =

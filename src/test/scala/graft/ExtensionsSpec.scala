@@ -36,7 +36,8 @@ class ExtensionsSpec extends SparkSpecBase {
 
   test("the extension descriptions build evaluable expressions") {
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("graft_minhash", "graft_signlsh", "graft_simhash"))
+      Seq("graft_minhash", "graft_ngrampack", "graft_signlsh",
+        "graft_simhash"))
   }
 
   test("graft_signlsh is injected with the engine plane matrix") {
