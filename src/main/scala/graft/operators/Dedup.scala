@@ -104,7 +104,12 @@ object Dedup extends QueryModule {
       .repartition(col("doc_id"))
   }
 
-  def nearDedup(spark: SparkSession, dir: String): DataFrame = {
+  def nearDedup(spark: SparkSession, dir: String): DataFrame =
+    nearDedupPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The verified near-dup pairs, unordered — shared by the pair query
+    * and the connected-components clustering built on top of it. */
+  private def nearDedupPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     // K minhashes in ONE traversal of the shingle array via the native
     // codegen'd expression — see MinHashSignature's scaladoc for why
@@ -143,24 +148,108 @@ object Dedup extends QueryModule {
         round(col("inter")
           / (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= JACCARD_THRESHOLD)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Brute-force shingle-Jaccard pair CTEs, shared by the pair oracle
+    * and the connected-components oracle (MATERIALIZED: `sh` is
+    * self-joined and `p` feeds a recursive CTE — DuckDB re-evaluates
+    * non-materialized CTEs per reference). */
+  private val nearDedupPairsCtes =
+    s"""t AS MATERIALIZED (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
+       |sh AS MATERIALIZED (SELECT doc_id,
+       |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+       |                 for i in range(1, len(ts) - 1)]) AS s
+       |  FROM t WHERE len(ts) >= 3),
+       |p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.s, b.s))) >= $JACCARD_THRESHOLD)""".stripMargin
 
   /** Ground-truth oracle: brute-force shingle-set Jaccard (the LSH
     * parameters make recall exact on this corpus — see class doc). */
   val nearDedupSql =
-    s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
-       |sh AS (SELECT doc_id,
-       |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-       |                 for i in range(1, len(ts) - 1)]) AS s
-       |  FROM t WHERE len(ts) >= 3)
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(a.s, b.s))) >= $JACCARD_THRESHOLD
-       |ORDER BY doc_a, doc_b""".stripMargin
+    s"""WITH $nearDedupPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM p ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- dedup_components: near-dup pairs → duplicate clusters --------------
+
+  /** Connected components over an undirected edge list — the step that
+    * turns pairwise near-dup evidence into dedup CLUSTERS (pick one
+    * canonical doc per component, drop the rest), which is what a
+    * training-data pipeline actually executes at 100 TB.
+    *
+    * Min-label propagation: every node starts as its own label; each
+    * round a node adopts the minimum label among itself and its
+    * neighbours, until a round changes nothing. Rounds = graph
+    * diameter; near-dup components are dense low-diameter clusters
+    * (near-cliques of mutual duplicates), so convergence is a handful
+    * of rounds — the alternating large-star/small-star scheme is the
+    * documented escape hatch if a pathological long-chain graph ever
+    * shows up. Per-round shape: one shuffle join edges⋈labels + one
+    * min-aggregate, both keyed on the node id; `localCheckpoint` cuts
+    * the lineage each round (PageRank precedent) so the plan does not
+    * grow with the iteration count; the convergence probe is a
+    * driver-side scalar count, never a collect of the labels.
+    *
+    * Returns (id, comp) with comp = min doc_id of the component. */
+  def components(edges: DataFrame): DataFrame = {
+    val Seq(a, b) = edges.columns.toSeq.take(2)
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+        .localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val prop = sym.join(labels.select(col("id").as("src"), col("comp")), "src")
+          .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
+        val next = labels.join(prop, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        // Labels only ever decrease, so "any row strictly smaller"
+        // is exactly "not yet converged".
+        changed = next
+          .join(labels.select(col("id"), col("comp").as("prev")), "id")
+          .filter(col("comp") < col("prev")).count()
+        labels = next
+      }
+      labels
+    } finally sym.unpersist(false)
+  }
+
+  /** Gate query: components of the verified near-dup pair graph.
+    * Docs with no near-dup are not emitted — at scale the component
+    * table is joined back to the corpus as an exclusion/canonical map,
+    * so keeping it to O(duplicates) rows instead of O(corpus) is the
+    * point. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    components(nearDedupPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("comp"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: transitive min-label closure of the brute-force pair set.
+    * The recursive term only propagates labels smaller than the target
+    * node (larger ones can never win the final `min`), which keeps the
+    * closure linear in (node, useful-label) pairs. */
+  val dedupComponentsSql =
+    s"""WITH RECURSIVE $nearDedupPairsCtes,
+       |e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM p
+       |                   UNION SELECT doc_b AS s, doc_a AS d FROM p),
+       |r AS (
+       |  SELECT s AS doc_id, s AS comp FROM e
+       |  UNION
+       |  SELECT e.d AS doc_id, r.comp AS comp
+       |  FROM r JOIN e ON e.s = r.doc_id
+       |  WHERE r.comp < e.d
+       |)
+       |SELECT doc_id, min(comp) AS comp FROM r GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   // --- simhash: per-doc 56-bit signature ---------------------------------
 
@@ -431,5 +520,7 @@ object Dedup extends QueryModule {
     QueryDef("simhash_dedup", simhashDedup, Some(simhashDedupSql),
       "SimHash chunk-LSH pairs within Hamming threshold"),
     QueryDef("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql),
-      "blocked char-4-gram Jaccard pairs within source"))
+      "blocked char-4-gram Jaccard pairs within source"),
+    QueryDef("dedup_components", dedupComponents, Some(dedupComponentsSql),
+      "connected components of the near-dup graph (dedup clusters)"))
 }

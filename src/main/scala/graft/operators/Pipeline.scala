@@ -296,7 +296,59 @@ object Pipeline extends QueryModule {
        |  n_tokens
        |FROM h ORDER BY doc_id""".stripMargin
 
+  // --- stratified_sample: deterministic per-source corpus balancing ------
+
+  /** Cap every source at a common budget, keeping a DETERMINISTIC
+    * pseudo-random subset — the corpus-mixing step of a training-data
+    * pipeline (a mega-crawl must not drown the small curated sources).
+    * The per-source pick order is `md5(doc_id)`: uniform, engine-
+    * portable (identical hex in Spark and DuckDB), and stable across
+    * runs/partitionings — re-running the pipeline on the same corpus
+    * reproduces the same sample, and adding documents only perturbs
+    * the selection where the hash order actually changes.
+    *
+    * Shape at 100 TB: one shuffle (the window's partition-by-source
+    * exchange); the rank sort spills, never buffers a source in
+    * memory. A pathologically hot source makes a hot partition — the
+    * escape hatch is a hash-threshold PRE-filter (keep md5 below
+    * ~2·budget/n quantile, then exact-rank the survivors), which cuts
+    * the windowed volume by orders of magnitude at the cost of a
+    * (quantifiable, hash-uniform) miss probability. Kept exact here.
+    *
+    * Returns the capped (source, doc_id) sample. */
+  def capPerSource(docs: DataFrame, budget: DataFrame): DataFrame = {
+    val rk = row_number().over(Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+    docs.select(col("source"), col("doc_id")).withColumn("rk", rk)
+      // Scalar budget via 1-row broadcast crossJoin — never a collect.
+      .crossJoin(broadcast(budget))
+      .filter(col("rk") <= col("budget"))
+      .select(col("source"), col("doc_id"))
+  }
+
+  /** Gate query: budget = half the smallest source (data-derived, so
+    * the sample genuinely subsamples even on the balanced fixture). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val budget = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(greatest(lit(1L), floor(min(col("n")) / 2)).as("budget"))
+    capPerSource(docs, budget).orderBy(col("source"), col("doc_id"))
+  }
+
+  val stratifiedSampleSql =
+    """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      |b AS (SELECT greatest(1, CAST(floor(min(n) / 2) AS BIGINT)) AS budget FROM c),
+      |r AS (SELECT source, doc_id,
+      |        row_number() OVER (PARTITION BY source
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM documents)
+      |SELECT r.source AS source, r.doc_id AS doc_id FROM r, b
+      |WHERE r.rk <= b.budget
+      |ORDER BY source, doc_id""".stripMargin
+
   override def entries: Seq[QueryDef] = Seq(
+    QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
+      "deterministic md5-ranked per-source corpus balancing"),
     QueryDef("exact_dedup", exactDedup, Some(exactDedupSql),
       "content-hash exact dedup: dup group size + canonical flag per doc"),
     QueryDef("json_extract", jsonExtract, Some(jsonExtractSql),

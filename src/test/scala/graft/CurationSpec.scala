@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.{Dedup, Pipeline}
+import org.apache.spark.sql.functions._
+
+/** The round-7 corpus-curation ops: connected-components dedup
+  * clustering and deterministic stratified sampling. Both are also
+  * DuckDB-oracled gate queries; these tests pin the graph/window
+  * mechanics on shapes the fixture cannot produce (long chains,
+  * skewed strata). */
+class CurationSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Brute-force union-find ground truth for tiny edge lists. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def runComponents(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.components(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+
+  test("components: a long path needs multiple propagation rounds") {
+    // 0-1-2-...-9 is diameter 9: min-label needs several rounds, so
+    // this exercises the convergence loop, not just one iteration.
+    val path = (0L until 9L).map(i => (i, i + 1))
+    assert(runComponents(path) == ufComponents(path))
+    assert(runComponents(path).values.toSet == Set(0L))
+  }
+
+  test("components: disjoint cliques, a bridge, and reversed edges") {
+    val edges = Seq(
+      (5L, 3L), (3L, 4L), (4L, 5L),          // clique {3,4,5}
+      (10L, 11L), (12L, 11L), (10L, 12L),    // clique {10,11,12}
+      (20L, 21L),                            // isolated pair
+      (5L, 10L))                             // bridge merges the cliques
+    val got = runComponents(edges)
+    assert(got == ufComponents(edges))
+    assert(got(12L) == 3L && got(21L) == 20L)
+  }
+
+  test("components emit only nodes that appear in an edge") {
+    val got = runComponents(Seq((7L, 2L)))
+    assert(got == Map(7L -> 2L, 2L -> 2L))
+  }
+
+  test("dedup_components clusters agree with the pair query at sf0.001") {
+    val pairs = SparkEntry.queries("near_dedup")(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    val comps = SparkEntry.queries("dedup_components")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == ufComponents(pairs))
+  }
+
+  test("capPerSource: skewed strata capped at the budget, deterministic") {
+    val docs = ((1L to 100L).map(i => (i, "big")) ++
+        (101L to 110L).map(i => (i, "small")) ++
+        Seq((111L, "tiny"))).toDF("doc_id", "source")
+    val budget = Seq(Tuple1(5L)).toDF("budget")
+    val got = Pipeline.capPerSource(docs, budget)
+      .as[(String, Long)].collect().toSeq.sorted
+    val bySource = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySource == Map("big" -> 5, "small" -> 5, "tiny" -> 1))
+    // Deterministic: a re-run (different partitioning) picks the same rows.
+    val again = Pipeline.capPerSource(docs.repartition(7), budget)
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(again == got)
+    // The pick is the md5-rank prefix, not the id order.
+    val expectBig = (1L to 100L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .take(5).toSet
+    assert(got.filter(_._1 == "big").map(_._2).toSet == expectBig)
+  }
+
+  test("stratified_sample budget halves the smallest source") {
+    val out = SparkEntry.queries("stratified_sample")(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val budget = math.max(1L, counts.values.min / 2)
+    assert(out.values.forall(_ == budget) && out.keySet == counts.keySet)
+  }
+}
