@@ -194,7 +194,68 @@ object ScaleOps extends QueryModule {
       |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  // --- interval_join: point-in-interval via time-bin bucketing -----------
+  /** Interval containment join — assign every event to the session
+    * interval that contains it. The naive plan for
+    * `e.user = s.user AND e.ts BETWEEN s.start AND s.end` is an
+    * equi-join on the user followed by a filter, i.e. a PER-KEY RANGE
+    * PRODUCT: a power user with 10⁴ events × 10³ sessions builds 10⁷
+    * intermediate rows before the filter throws almost all away. The
+    * scale-safe form (Flink's interval join, DuckDB/KDB range joins)
+    * buckets time into fixed bins: intervals explode to the few bins
+    * they overlap, points map to exactly ONE bin, and the equi-join
+    * key becomes (user, bin) — the intermediate size collapses to
+    * matches + same-bin near-misses, and because the point side has a
+    * single bin per row, a (point, interval) pair can only meet once:
+    * no post-join dedup. Bin width trades explode factor (long
+    * intervals) against bin population (busy bins); 1 h ≈ 2× the
+    * session gap keeps both O(1) here.
+    *
+    * Sessions are the `session_window` output (disjoint half-open
+    * [start, end) per user by construction), so every event lands in
+    * exactly one session and the output is exactly one row per event.
+    * The DuckDB oracle is the INDEPENDENT naive form: gaps-and-islands
+    * sessionization + a BETWEEN join. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val sess = graft.streaming.StreamingOps.userSessions(events)
+    val binned = sess.select(col("user_id"), col("session_start"),
+        col("session_end"), col("n_events"),
+        explode(sequence(date_trunc("hour", col("session_start")),
+          date_trunc("hour", col("session_end")),
+          expr("interval 1 hour"))).as("bin"))
+    events.select(col("event_id"), col("user_id"), col("ts"),
+        date_trunc("hour", col("ts")).as("bin"))
+      .join(binned, Seq("user_id", "bin"))
+      .filter(col("ts") >= col("session_start") && col("ts") < col("session_end"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("session_start"), col("n_events").as("session_n_events"))
+      .orderBy(col("event_id"))
+  }
+
+  val intervalJoinSql =
+    s"""WITH o AS (SELECT user_id, ts,
+       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+       |m AS (SELECT user_id, ts,
+       |  CASE WHEN prev IS NULL OR ts - prev > INTERVAL '${graft.streaming.StreamingOps.SESSION_GAP}'
+       |       THEN 1 ELSE 0 END AS new_sess FROM o),
+       |s AS (SELECT user_id, ts, sum(new_sess) OVER (
+       |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM m),
+       |sess AS (SELECT user_id, min(ts) AS session_start,
+       |    max(ts) + INTERVAL '${graft.streaming.StreamingOps.SESSION_GAP}' AS session_end,
+       |    count(*) AS n_events
+       |  FROM s GROUP BY user_id, sess)
+       |SELECT e.event_id, e.user_id, e.ts, x.session_start,
+       |  x.n_events AS session_n_events
+       |FROM events e JOIN sess x
+       |  ON e.user_id = x.user_id
+       | AND e.ts >= x.session_start AND e.ts < x.session_end
+       |ORDER BY event_id""".stripMargin
+
   override def entries: Seq[QueryDef] = Seq(
+    QueryDef("interval_join", intervalJoin, Some(intervalJoinSql),
+      "point-in-interval join via time-bin bucketing (no range product)"),
     QueryDef("bucketed_join", bucketedJoin, Some(bucketedJoinSql),
       "co-located join over bucketBy tables (no join exchange)"),
     QueryDef("skew_safe_distinct", skewSafeDistinct, Some(skewSafeDistinctSql),

@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
 class InvariantSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("interval_join: one row per event, equals the naive range form") {
+    val binned = SparkEntry.queries("interval_join")(spark, sfDir)
+    val events = Tables.events(spark, sfDir)
+    assert(binned.count() == events.count())
+    // Independent naive form: equi-join on user + BETWEEN filter (the
+    // per-key range product the binned plan exists to avoid).
+    val sess = streaming.StreamingOps.userSessions(events)
+    val naive = events.select(col("event_id"), col("user_id"), col("ts"))
+      .join(sess, Seq("user_id"))
+      .filter(col("ts") >= col("session_start") && col("ts") < col("session_end"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("session_start"), col("n_events").as("session_n_events"))
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+  }
+
   test("bigram_relfreq: relfreq sums to ~1 per left word") {
     val sums = operators.TextCore.bigramRelfreq(spark, sfDir)
       .groupBy("w1").agg(sum("relfreq").as("s"))
