@@ -346,9 +346,48 @@ object Pipeline extends QueryModule {
       |WHERE r.rk <= b.budget
       |ORDER BY source, doc_id""".stripMargin
 
+  // --- source_cap: fixed per-source cap via bounded-PQ aggregate ---------
+
+  /** Documents kept when every source is capped at [[SOURCE_CAP_K]]. */
+  val SOURCE_CAP_K = 10
+
+  /** The fixed-cap sibling of [[stratifiedSample]] ("at most K docs
+    * per domain"), built on the [[graft.functions.BoundedTopK]]
+    * bounded-PQ Aggregator instead of a window: partial buffers never
+    * exceed K, merge map-side, so capping a billion-document source
+    * costs O(n log K) with a K-sized shuffle record per partition —
+    * no per-source sort at all (`topk_per_group_heap` precedent, now
+    * doing curation work). The pick key is the 56-bit md5 fingerprint
+    * (`TextFns.hash56` idiom) NEGATED — BoundedTopK keeps largest-v,
+    * we want smallest-hash — with doc_id as tiebreak, and the oracle
+    * ranks by the exact same (fingerprint, doc_id) pair, so heap and
+    * window forms are provably identical, not just
+    * collision-improbably identical. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val tk = udaf(new graft.functions.BoundedTopK(SOURCE_CAP_K))
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
+      .cast("long")
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(tk((-h).as("v"), col("doc_id")).as("tk"))
+      .select(col("source"), explode(col("tk.entries.tie")).as("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val sourceCapSql =
+    s"""WITH r AS (SELECT source, doc_id,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT),
+       |             doc_id) AS rk
+       |  FROM documents)
+       |SELECT source, doc_id FROM r WHERE rk <= $SOURCE_CAP_K
+       |ORDER BY source, doc_id""".stripMargin
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic md5-ranked per-source corpus balancing"),
+    QueryDef("source_cap", sourceCap, Some(sourceCapSql),
+      "fixed per-source cap via the bounded-PQ Aggregator (no sort)"),
     QueryDef("exact_dedup", exactDedup, Some(exactDedupSql),
       "content-hash exact dedup: dup group size + canonical flag per doc"),
     QueryDef("json_extract", jsonExtract, Some(jsonExtractSql),

@@ -83,6 +83,22 @@ class CurationSpec extends SparkSpecBase {
     assert(got.filter(_._1 == "big").map(_._2).toSet == expectBig)
   }
 
+  test("source_cap: heap form equals the window form on the same key") {
+    val heap = SparkEntry.queries("source_cap")(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
+      .cast("long")
+    val window = Tables.documents(spark, sfDir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(h, col("doc_id"))))
+      .filter(col("rk") <= Pipeline.SOURCE_CAP_K)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+      .as[(String, Long)].collect().toSeq
+    assert(heap == window)
+  }
+
   test("stratified_sample budget halves the smallest source") {
     val out = SparkEntry.queries("stratified_sample")(spark, sfDir)
       .groupBy("source").agg(count(lit(1)).as("n"))

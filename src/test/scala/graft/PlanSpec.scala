@@ -117,4 +117,22 @@ class PlanSpec extends SparkSpecBase {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"expected partial+final aggregation:\n$p")
   }
+
+  test("interval_join: containment is an equi-join, never a range product") {
+    val p = plan(operators.ScaleOps.intervalJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join:\n$p")
+  }
+
+  test("stratified_sample: scan prunes to (doc_id, source)") {
+    val p = plan(operators.Pipeline.stratifiedSample(spark, sfDir))
+    assert(!p.contains("text"), s"pruning failed: reads the text payload:\n$p")
+  }
+
+  test("source_cap: bounded-PQ aggregation is partial then final") {
+    val p = plan(operators.Pipeline.sourceCap(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"), s"heap form must not window-sort:\n$p")
+  }
 }
