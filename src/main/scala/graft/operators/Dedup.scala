@@ -88,7 +88,12 @@ object Dedup extends QueryModule {
     * latter re-evaluates the tokenizer per shingle per reference once
     * Catalyst's CollapseProject inlines the column, which turns a scan
     * into O(tokens²) regex work per row. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(spark, dir))
+
+  /** (doc_id, hs) for an arbitrary (doc_id, text) frame — the batch
+    * fixture path and the streaming micro-batch path share it. */
+  def shinglesOf(docs: DataFrame): DataFrame = {
     val toks = TextFns.tokenize(col("text"))
     val n = greatest(size(toks) - 2, lit(0))
     val sh = zip_with(
@@ -96,7 +101,7 @@ object Dedup extends QueryModule {
         (a, b) => concat(a, lit(" "), b)),
       slice(toks, lit(3), n),
       (ab, c) => hash56(concat(ab, lit(" "), c)))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), array_distinct(sh).as("hs"))
       .filter(size(col("hs")) > 0)
       // Boundary: the shingle arrays feed the minhash fold AND both
@@ -109,8 +114,11 @@ object Dedup extends QueryModule {
 
   /** The verified near-dup pairs, unordered — shared by the pair query
     * and the connected-components clustering built on top of it. */
-  private def nearDedupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+  /** (doc_id, band_idx, band_key) LSH band keys from a shingle frame.
+    * Two docs share a band key iff all r minhashes of that band agree
+    * — the collision predicate every LSH consumer (batch pair join,
+    * streaming admission state) keys on. */
+  private def bandsOf(spark: SparkSession, sh: DataFrame): DataFrame = {
     // K minhashes in ONE traversal of the shingle array via the native
     // codegen'd expression — see MinHashSignature's scaladoc for why
     // this (and only this) hot loop gets a custom Expression instead
@@ -126,11 +134,21 @@ object Dedup extends QueryModule {
     val mh = sh.withColumn("mh", mhExpr).repartition(col("doc_id"))
     // Band keys: polynomial-combine each band's r minhashes (values < 2^31,
     // so the 31-ary polynomial stays < 2^47 — no overflow, no extra mod).
-    val bands = mh.select(col("doc_id"),
+    mh.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(LSH_BANDS - 1)), b =>
           (0 until LSH_ROWS).map(r => element_at(col("mh"), b * LSH_ROWS + r + 1))
             .reduce((acc, m) => acc * 31 + m))))
       .toDF("doc_id", "band_idx", "band_key")
+  }
+
+  /** Public band-key entry for arbitrary (doc_id, text) docs — the
+    * streaming near-dedup admission path builds its state from this. */
+  def bandKeys(spark: SparkSession, docs: DataFrame): DataFrame =
+    bandsOf(spark, shinglesOf(docs))
+
+  private def nearDedupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val bands = bandsOf(spark, sh)
     val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
@@ -154,12 +172,17 @@ object Dedup extends QueryModule {
     * and the connected-components oracle (MATERIALIZED: `sh` is
     * self-joined and `p` feeds a recursive CTE — DuckDB re-evaluates
     * non-materialized CTEs per reference). */
-  private val nearDedupPairsCtes =
+  /** Tokenize+shingle CTEs alone (the LSH-replay oracle needs these
+    * without paying for the brute-force pair join). */
+  private val shingleCtes =
     s"""t AS MATERIALIZED (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
        |sh AS MATERIALIZED (SELECT doc_id,
        |  list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
        |                 for i in range(1, len(ts) - 1)]) AS s
-       |  FROM t WHERE len(ts) >= 3),
+       |  FROM t WHERE len(ts) >= 3)""".stripMargin
+
+  private val nearDedupPairsCtes =
+    s"""$shingleCtes,
        |p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        |        / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
@@ -512,7 +535,59 @@ object Dedup extends QueryModule {
        |      / len(list_distinct(list_concat(a.g, b.g))) >= $NGRAM_THRESHOLD
        |ORDER BY source, doc_a, doc_b""".stripMargin
 
+  // --- neardedup_ingest: single-batch LSH admission, LSH-exact oracle ----
+
+  /** The streaming admission core ([[graft.streaming.StreamNearDedup]])
+    * run over the whole corpus as one batch with empty state: admit
+    * only the min-doc_id representative of every BAND-COLLISION
+    * cluster. Unlike `near_dedup`, whose oracle sidesteps LSH with a
+    * brute-force Jaccard (recall argument), this oracle replays the
+    * ACTUAL MinHash band math in SQL — all 128 `(a·(x mod p)+b) mod p`
+    * minhashes, the 31-ary band polynomials, the collision graph, and
+    * the component minima — so the two engines must agree on every
+    * band key bit-for-bit, false-positive collisions included. */
+  def neardedupIngest(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamNearDedup.admitBatch(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        graft.streaming.StreamNearDedup.emptyState(spark))
+      ._1.select(col("doc_id")).orderBy(col("doc_id"))
+
+  val neardedupIngestSql: String = {
+    val minhashes = (0 until MINHASH_K).map { j =>
+      s"list_min(list_transform(f, x -> (${MH_A(j)} * (x % $MH_P) + ${MH_B(j)}) % $MH_P))"
+    }.mkString(",\n    ")
+    val bandStructs = (0 until LSH_BANDS).map { b =>
+      val poly = (0 until LSH_ROWS).map(r => s"m[${b * LSH_ROWS + r + 1}]")
+        .reduce((acc, m) => s"($acc * 31 + $m)")
+      s"{'i': $b, 'k': $poly}"
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE $shingleCtes,
+       |f AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(s, t -> ${hash56Sql("t")}) AS f FROM sh),
+       |mh AS MATERIALIZED (SELECT doc_id, [
+       |    $minhashes] AS m FROM f),
+       |bx AS MATERIALIZED (SELECT doc_id, u['i'] AS i, u['k'] AS k FROM (
+       |  SELECT doc_id, unnest([
+       |    $bandStructs]) AS u FROM mh)),
+       |be AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+       |  FROM bx a JOIN bx b ON a.i = b.i AND a.k = b.k AND a.doc_id <> b.doc_id),
+       |r AS (
+       |  SELECT s AS doc_id, s AS comp FROM be
+       |  UNION
+       |  SELECT be.d AS doc_id, r.comp AS comp
+       |  FROM r JOIN be ON be.s = r.doc_id
+       |  WHERE r.comp < be.d
+       |)
+       |SELECT d.doc_id AS doc_id FROM documents d
+       |WHERE d.doc_id NOT IN (
+       |  SELECT doc_id FROM r GROUP BY doc_id HAVING min(comp) < doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override def entries: Seq[QueryDef] = Seq(
+    QueryDef("neardedup_ingest", neardedupIngest, Some(neardedupIngestSql),
+      "LSH band-collision cluster admission (streaming core, one batch)"),
     QueryDef("near_dedup", nearDedup, Some(nearDedupSql),
       "MinHash + banded LSH near-dup pairs, exact-Jaccard verified"),
     QueryDef("simhash", simhash, Some(simhashSql),

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming near-duplicate ingest filter — the MinHash-LSH sibling of
+  * [[StreamingOps.streamingDedup]]'s exact first-touch dedup, and the
+  * shape a 100 TB training-data pipeline runs at the crawl frontier:
+  * admit a document only if nothing NEAR it has been admitted before.
+  *
+  * Semantics (deterministic given the batch boundaries):
+  *
+  *   1. A doc whose band keys collide with any previously ADMITTED
+  *      doc is dropped (cross-batch rule). Band collision is the LSH
+  *      candidate predicate — at the engine's b×r geometry the miss
+  *      probability at planted similarity is < 1e-14 (see [[Dedup]]),
+  *      and state stays O(admitted · bands) longs, with no shingle
+  *      payloads retained.
+  *   2. Within a batch, surviving docs that collide with each other
+  *      form clusters (connected components over the band-collision
+  *      graph); only each cluster's min-doc_id representative is
+  *      admitted (canonical-per-cluster rule — same clustering the
+  *      batch `dedup_components` gate query performs).
+  *
+  * Both rules are join/aggregate shaped: admission state is a band-key
+  * table joined per micro-batch (never broadcast, never collected), so
+  * the operator scales with executors, and the per-batch component
+  * step runs on the (tiny) collision graph, not the corpus. In a
+  * production deployment the state table lives in a transactional
+  * store keyed by (band_idx, band_key); here it is threaded
+  * functionally and the streaming wrapper accumulates it under
+  * `foreachBatch` — the per-batch transform itself is engine-agnostic.
+  */
+object StreamNearDedup {
+
+  /** Empty admission state: zero (band_idx, band_key) rows. */
+  def emptyState(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long)].toDF("band_idx", "band_key")
+  }
+
+  /** One admission step: returns (admitted docs, their band keys).
+    * Union the returned keys into the state before the next batch. */
+  def admitBatch(spark: SparkSession, batch: DataFrame,
+      stateBands: DataFrame): (DataFrame, DataFrame) = {
+    val keys = Dedup.bandKeys(spark, batch)
+    // Cross-batch rule: any collision with admitted state drops the doc.
+    val hitPrior = keys
+      .join(stateBands, Seq("band_idx", "band_key"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val survivors = batch.join(hitPrior, Seq("doc_id"), "left_anti")
+    val skeys = keys.join(hitPrior, Seq("doc_id"), "left_anti")
+    // Intra-batch rule: canonical representative per collision cluster.
+    val pairs = skeys.select(col("doc_id").as("a"), col("band_idx"), col("band_key"))
+      .join(skeys.select(col("doc_id").as("b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val nonCanonical = Dedup.components(pairs)
+      .filter(col("comp") < col("id"))
+      .select(col("id").as("doc_id"))
+    val admitted = survivors.join(nonCanonical, Seq("doc_id"), "left_anti")
+    (admitted, skeys.join(nonCanonical, Seq("doc_id"), "left_anti")
+      .select(col("band_idx"), col("band_key")))
+  }
+
+  /** Run the filter over a streaming (doc_id, text) source. Admitted
+    * docs land in `sink` in arrival order (batch id, then doc_id);
+    * state accumulates across batches with `localCheckpoint` cutting
+    * per-batch lineage. Returns the admitted docs after the stream
+    * drains (Trigger.AvailableNow semantics are the caller's choice
+    * via the writeStream they build on `forEachBatchFn`). */
+  final class Accumulator(spark: SparkSession) {
+    @volatile private var state: DataFrame = emptyState(spark)
+    private val admittedBatches =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+    /** The foreachBatch body. Synchronized: micro-batches arrive
+      * serially per query, but a defensive lock costs nothing. */
+    def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val (admitted, newKeys) = admitBatch(spark, batch, state)
+      val kept = admitted.localCheckpoint()
+      admittedBatches += kept.withColumn("batch_id", lit(batchId))
+      state = state.union(newKeys).localCheckpoint()
+    }
+
+    def admitted: DataFrame =
+      admittedBatches.reduceOption(_ unionAll _)
+        .getOrElse(emptyState(spark).select(
+          lit(0L).as("doc_id"), lit("").as("text"),
+          lit(0L).as("batch_id")).limit(0))
+  }
+}

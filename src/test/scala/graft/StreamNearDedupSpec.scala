@@ -1,0 +1,106 @@
+package graft
+
+import graft.streaming.StreamNearDedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming LSH near-dedup: the distributed admission step must obey
+  * the two documented rules exactly — checked against an independent
+  * plain-Scala replay that shares only the band-key computation — and
+  * the foreachBatch wrapper must respect batch boundaries. */
+class StreamNearDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val doc = (id: Long, text: String) => (id, text)
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again today"
+  private val other =
+    "completely different words about spark clusters shuffling parquet files nightly"
+
+  /** Fixture batches: batch 0 = a mutual near-dup trio (7,3,5 — min 3
+    * wins), one unique doc, one shingle-less doc; batch 1 = dups of
+    * both admitted texts (dropped), a fresh doc, another tiny doc. */
+  private val batches: Seq[Seq[(Long, String)]] = Seq(
+    Seq(doc(7, base + " zebra"), doc(3, base + " yak"), doc(5, base + " emu"),
+      doc(9, other), doc(11, "too short")),
+    Seq(doc(20, base + " zebra"), doc(21, other + " nightly"),
+      doc(22, "brand new content mentioning catalyst optimizer rules and tungsten codegen"),
+      doc(23, "also short")))
+
+  private def keysOf(batch: Seq[(Long, String)]): Map[Long, Set[(Int, Long)]] =
+    operators.Dedup.bandKeys(spark, batch.toDF("doc_id", "text"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+
+  /** Sequential replay of the admission rules (rule 1 then rule 2). */
+  private def replay(bs: Seq[Seq[(Long, String)]]): Set[Long] = {
+    val state = scala.collection.mutable.Set.empty[(Int, Long)]
+    val out = scala.collection.mutable.Set.empty[Long]
+    bs.foreach { b =>
+      val keys = keysOf(b)
+      val survivors = b.map(_._1).filter(id =>
+        keys.getOrElse(id, Set.empty).forall(!state.contains(_)))
+      // union-find over same-key collisions among survivors
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for (a <- survivors; c <- survivors if a < c
+           if keys.getOrElse(a, Set.empty).exists(keys.getOrElse(c, Set.empty))) {
+        val (ra, rc) = (find(a), find(c))
+        if (ra != rc) parent(math.max(ra, rc)) = math.min(ra, rc)
+      }
+      val admitted = survivors.filter(id => find(id) == id)
+      admitted.foreach(id => state ++= keys.getOrElse(id, Set.empty))
+      out ++= admitted
+    }
+    out.toSet
+  }
+
+  test("distributed admission equals the sequential replay") {
+    var state = StreamNearDedup.emptyState(spark)
+    val got = scala.collection.mutable.Set.empty[Long]
+    batches.foreach { b =>
+      val (admitted, newKeys) =
+        StreamNearDedup.admitBatch(spark, b.toDF("doc_id", "text"), state)
+      got ++= admitted.select("doc_id").as[Long].collect()
+      state = state.union(newKeys).localCheckpoint()
+    }
+    assert(got.toSet == replay(batches))
+    // Sanity on the fixture's intent: trio canonical admitted, dups
+    // dropped, shingle-less docs always admitted.
+    assert(got.contains(3L) && !got.contains(7L) && !got.contains(5L))
+    assert(got.contains(9L) && !got.contains(20L) && !got.contains(21L))
+    assert(got.contains(11L) && got.contains(23L) && got.contains(22L))
+  }
+
+  test("batch boundaries matter: a batch admits only cluster canonicals") {
+    // Same docs in ONE batch: intra-batch rule clusters 7/3/5 with the
+    // batch-2 dup 20 — one representative for the whole family.
+    val all = batches.flatten
+    val (admitted, _) = StreamNearDedup.admitBatch(
+      spark, all.toDF("doc_id", "text"), StreamNearDedup.emptyState(spark))
+    val ids = admitted.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(3L) && !ids.contains(20L))
+    assert(ids == replay(Seq(all)))
+  }
+
+  test("foreachBatch wrapper: MemoryStream batches drive the accumulator") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val acc = new StreamNearDedup.Accumulator(spark)
+    val q = ms.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch((b: DataFrame, id: Long) => acc.onBatch(b, id))
+      .start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = acc.admitted.select("doc_id", "batch_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == replay(batches))
+    // Arrival provenance survives: batch-2 admissions carry batch_id 1.
+    assert(got(3L) == 0L && got(22L) == 1L)
+  }
+}
