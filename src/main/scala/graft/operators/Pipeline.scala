@@ -346,6 +346,74 @@ object Pipeline extends QueryModule {
       |WHERE r.rk <= b.budget
       |ORDER BY source, doc_id""".stripMargin
 
+  // --- token_budget_pack: best docs first until the token budget ---------
+
+  /** Quality buckets for the distributed prefix sum: `floor(q·20)` is
+    * monotone in quality, so bucket-major order ≡ global
+    * (quality DESC, doc_id) order and the per-bucket windows can be
+    * offset independently. */
+  val QUALITY_BUCKETS = 20
+
+  /** Pack a global token budget with the highest-quality documents —
+    * the "fill 500B tokens with the best of the crawl" selection step
+    * of a training-data pipeline. Semantics: order docs by
+    * (quality DESC, doc_id), keep while the running token total stays
+    * within budget (= half the corpus tokens here, data-derived).
+    *
+    * A naive `sum() OVER (ORDER BY quality DESC)` global window is a
+    * SINGLE-PARTITION sort — the plan that dies first at 100 TB. This
+    * is the distributed prefix-sum form instead: docs bucket by a
+    * monotone function of the sort key, per-bucket token totals
+    * (tiny, one row per bucket) prefix-sum on a one-partition window
+    * THAT ONLY SEES ~20 ROWS, and each doc's global running total =
+    * its bucket's offset (broadcast join) + a within-bucket running
+    * sum (windows partitioned by bucket, parallel). Same answer,
+    * no global sort — the DuckDB oracle IS the naive global window,
+    * proving the decomposition exact. */
+  def tokenBudgetPack(spark: SparkSession, dir: String): DataFrame = {
+    val q = docQuality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val docs = q.withColumn("bkt",
+      floor(col("quality") * QUALITY_BUCKETS).cast("int"))
+    val wOff = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("tok"))
+      .withColumn("offset", coalesce(sum(col("tok")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("offset"))
+    val budget = q.agg(floor(sum(col("n_tokens")) / 2).cast("long").as("budget"))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), "bkt")
+      .withColumn("cum_tokens",
+        (col("offset") + sum(col("n_tokens")).over(wIn)).cast("long"))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenBudgetPackSql = {
+    val ts = TextFns.tokenizeSql("text")
+    val stopList = STOPWORDS.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, text, $ts AS ts FROM documents),
+       |q0 AS (SELECT doc_id, len(ts) AS n_tokens,
+       |  CASE WHEN len(ts) > 0 THEN CAST(len(list_filter(ts, x -> list_contains($stopList, x))) AS DOUBLE) / len(ts) ELSE 0.0 END AS stop_ratio,
+       |  CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(text) ELSE 0.0 END AS alnum_ratio
+       |  FROM d),
+       |q AS (SELECT doc_id, n_tokens,
+       |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_ratio) * alnum_ratio, 6) AS quality
+       |  FROM q0),
+       |b AS (SELECT CAST(floor(sum(n_tokens) / 2) AS BIGINT) AS budget FROM q),
+       |c AS (SELECT doc_id, n_tokens, quality,
+       |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+       |  CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c, b WHERE cum <= b.budget ORDER BY doc_id""".stripMargin
+  }
+
   // --- source_cap: fixed per-source cap via bounded-PQ aggregate ---------
 
   /** Documents kept when every source is capped at [[SOURCE_CAP_K]]. */
@@ -388,6 +456,8 @@ object Pipeline extends QueryModule {
       "deterministic md5-ranked per-source corpus balancing"),
     QueryDef("source_cap", sourceCap, Some(sourceCapSql),
       "fixed per-source cap via the bounded-PQ Aggregator (no sort)"),
+    QueryDef("token_budget_pack", tokenBudgetPack, Some(tokenBudgetPackSql),
+      "quality-first token-budget packing via distributed prefix sum"),
     QueryDef("exact_dedup", exactDedup, Some(exactDedupSql),
       "content-hash exact dedup: dup group size + canonical flag per doc"),
     QueryDef("json_extract", jsonExtract, Some(jsonExtractSql),

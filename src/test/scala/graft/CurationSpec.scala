@@ -99,6 +99,26 @@ class CurationSpec extends SparkSpecBase {
     assert(heap == window)
   }
 
+  test("token_budget_pack: bucketed prefix sum equals the global window") {
+    val got = SparkEntry.queries("token_budget_pack")(spark, sfDir)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val q = Pipeline.docQuality(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val budget = q.agg(floor(sum(col("n_tokens")) / 2).cast("long"))
+      .collect().head.getLong(0)
+    val naive = q.withColumn("cum_tokens", sum(col("n_tokens")).over(wGlobal).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens").cast("long"), col("quality"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got == naive && got.nonEmpty)
+  }
+
   test("stratified_sample budget halves the smallest source") {
     val out = SparkEntry.queries("stratified_sample")(spark, sfDir)
       .groupBy("source").agg(count(lit(1)).as("n"))
