@@ -44,7 +44,11 @@ object StreamNearDedup {
     * Union the returned keys into the state before the next batch. */
   def admitBatch(spark: SparkSession, batch: DataFrame,
       stateBands: DataFrame): (DataFrame, DataFrame) = {
-    val keys = Dedup.bandKeys(spark, batch)
+    // The shingle→minhash→band pipeline is the expensive part and is
+    // referenced by every downstream branch (prior-hit probe, both
+    // sides of the collision self-join, the new-state projection),
+    // which are consumed by SEPARATE actions — materialize it once.
+    val keys = Dedup.bandKeys(spark, batch).localCheckpoint()
     // Cross-batch rule: any collision with admitted state drops the doc.
     val hitPrior = keys
       .join(stateBands, Seq("band_idx", "band_key"), "left_semi")
@@ -90,5 +94,58 @@ object StreamNearDedup {
         .getOrElse(emptyState(spark).select(
           lit(0L).as("doc_id"), lit("").as("text"),
           lit(0L).as("batch_id")).limit(0))
+  }
+
+  /** Gate/bench query: the admission filter executed by the LIVE
+    * streaming engine — file source over the documents parquet,
+    * `Trigger.AvailableNow`, checkpointed offsets, `foreachBatch`
+    * driving the [[Accumulator]] — in an isolated `newSession` whose
+    * checkpoint dir is reclaimed after the (tiny) admitted id set is
+    * materialized. The source is deliberately left as ONE micro-batch
+    * (no `maxFilesPerTrigger` pacing), which makes the admitted set
+    * batching-independent and lets this query share
+    * `neardedup_ingest`'s LSH-exact DuckDB oracle: the streaming
+    * engine must reproduce the batch engine's answer bit-for-bit.
+    * Multi-batch pacing semantics (where admission legitimately
+    * depends on batch boundaries) are pinned by StreamNearDedupSpec
+    * with MemoryStream-controlled batches instead. */
+  /** The documents table staged as a source DIRECTORY (the file stream
+    * source rejects bare file paths) — input staging, not memoized
+    * compute, so not registered with [[graft.Caches]] (same policy as
+    * StreamingOps.stagedEvents). */
+  private val stagedDocs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def stagedDocsDir(spark: SparkSession, dir: String): String =
+    stagedDocs.getOrElseUpdate((spark, dir), {
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_neardedup_src_").toString
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(dest)
+      dest
+    })
+
+  def streamNearDedupLive(spark: SparkSession, dir: String): DataFrame = {
+    val path = stagedDocsDir(spark, dir)
+    val schema = spark.read.parquet(path).schema
+    val ss = spark.newSession()
+    val acc = new Accumulator(ss)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_neardedup_ckpt_")
+    val ids =
+      try {
+        val q = ss.readStream.schema(schema).parquet(path)
+          .select(col("doc_id"), col("text"))
+          .writeStream
+          .foreachBatch((b: DataFrame, id: Long) => acc.onBatch(b, id))
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        acc.admitted.select(col("doc_id"))
+          .collect().map(_.getLong(0)).toSeq
+      } finally StreamingOps.deleteRecursively(ckpt)
+    import spark.implicits._
+    ids.toDF("doc_id").orderBy(col("doc_id"))
   }
 }

@@ -232,7 +232,7 @@ object StreamingOps extends QueryModule {
       .orderBy(col("window_start"))
   }
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+  private[streaming] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(root)
     try walk.sorted(java.util.Comparator.reverseOrder()).iterator.asScala
@@ -314,5 +314,8 @@ object StreamingOps extends QueryModule {
     QueryDef("trending_arrivals", trendingArrivals, Some(trendingArrivalsSql),
       "10-min windows per event type with doubling alerts"),
     QueryDef("stream_dedup", streamDedupReplay, Some(streamDedupReplaySql),
-      "first-touch dedup per key (batch replay of dropDuplicatesWithinWatermark)"))
+      "first-touch dedup per key (batch replay of dropDuplicatesWithinWatermark)"),
+    QueryDef("stream_neardedup_live", StreamNearDedup.streamNearDedupLive,
+      Some(graft.operators.Dedup.neardedupIngestSql),
+      "LSH near-dedup admission run by the live streaming engine"))
 }
