@@ -225,7 +225,9 @@ object Similarity extends QueryModule {
   val NPROBE = 3
   val IVF_TOP_K = 3
 
-  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** (corpus, centroids) for the IVF family — the deterministic
+    * stride-picked codebook shared by search and the k-means step. */
+  private def ivfParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = corpus(spark, dir)
     val stride = e.agg(
       ceil(count(lit(1)).cast("double") / K_CENTROIDS).cast("long").as("stride"))
@@ -236,18 +238,26 @@ object Similarity extends QueryModule {
     val cent = e.crossJoin(broadcast(stride))
       .filter(col("vec_id") % col("stride") === lit(CENTROID_OFF) % col("stride"))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    def nearestCells(side: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("cid"))
-      side.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
-          round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("ccos"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-    }
-    val assigned = nearestCells(e, 1)
+    (e, cent)
+  }
+
+  /** Rows of `side` tagged with their `keep` nearest centroids. */
+  private def nearestCells(cent: DataFrame)(side: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    side.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("ccos"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+  }
+
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (e, cent) = ivfParts(spark, dir)
+    val nearest = nearestCells(cent) _
+    val assigned = nearest(e, 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-    val probes = nearestCells(queryWorkload(e, e), NPROBE)
+    val probes = nearest(queryWorkload(e, e), NPROBE)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cid").as("cell"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
@@ -261,7 +271,8 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val annIvfTopkSql =
+  /** Shared IVF-assignment CTE prefix (through `assigned`). */
+  private val ivfAssignSql =
     s"""$corpusSql,
        |st AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $K_CENTROIDS) AS BIGINT)
        |         AS stride FROM n),
@@ -273,7 +284,10 @@ object Similarity extends QueryModule {
        |  FROM n CROSS JOIN cent),
        |ar AS (SELECT *, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM ac),
-       |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM ar WHERE crank = 1),
+       |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM ar WHERE crank = 1)""".stripMargin
+
+  val annIvfTopkSql =
+    s"""$ivfAssignSql,
        |probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid AS cell
        |  FROM ar CROSS JOIN qst
        |  WHERE crank <= $NPROBE AND vec_id % qstride = 0),
@@ -288,6 +302,43 @@ object Similarity extends QueryModule {
        |      FROM p)
        |SELECT query_id, vec_id, cosine, rank FROM r
        |WHERE rank <= $IVF_TOP_K ORDER BY query_id, rank""".stripMargin
+
+  // --- ivf_kmeans_step: one codebook-training iteration -------------------
+  /** One k-means refinement of the IVF codebook: assign every vector
+    * to its nearest centroid (the exact assignment `ann_ivf_topk`
+    * uses), then recompute each cell's centroid as the elementwise
+    * mean of its members — the training step a production IVF index
+    * runs a handful of times. Emitted FLAT as (cell, pos, n_members,
+    * mean_val) rows: the scale-correct shape (the new codebook is a
+    * groupBy aggregate, never a driver-side matrix) and the
+    * driver-hash-safe one (no array columns in gate output).
+    *
+    * Determinism across engines without rounding tricks: the inputs
+    * are float32 values widened to double, so every element carries a
+    * 24-bit mantissa; a sum of up to 2^29 such values fits a 53-bit
+    * mantissa EXACTLY, making the mean independent of Spark's
+    * partition-order additions vs DuckDB's sequential ones. */
+  def ivfKmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val (e, cent) = ivfParts(spark, dir)
+    val assigned = nearestCells(cent)(e, 1)
+      .select(col("cid").as("cell"), col("v"))
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(count(lit(1)).as("n_members"), round(avg(col("x")), 6).as("mean_val"))
+      .select(col("cell"), col("pos").cast("int").as("pos"),
+        col("n_members"), col("mean_val"))
+      .orderBy(col("cell"), col("pos"))
+  }
+
+  val ivfKmeansStepSql =
+    s"""$ivfAssignSql,
+       |xs AS (SELECT cell, u['p'] AS pos, u['x'] AS x FROM (
+       |  SELECT cell, unnest(list_transform(range(0, $DIM),
+       |    i -> {'p': i, 'x': v[i + 1]})) AS u FROM assigned))
+       |SELECT cell, CAST(pos AS INT) AS pos, count(*) AS n_members,
+       |  round(avg(x), 6) AS mean_val
+       |FROM xs GROUP BY cell, pos ORDER BY cell, pos""".stripMargin
 
   // --- interactive serving path ------------------------------------------
   /** Exact top-k neighbours of ONE corpus vector — the ad-hoc serving
@@ -543,6 +594,8 @@ object Similarity extends QueryModule {
       "random-hyperplane LSH candidates + exact cosine re-rank"),
     QueryDef("ann_ivf_topk", annIvfTopk, Some(annIvfTopkSql),
       "IVF: deterministic codebook, nprobe cell search + re-rank"),
+    QueryDef("ivf_kmeans_step", ivfKmeansStep, Some(ivfKmeansStepSql),
+      "one k-means codebook refinement: elementwise cell means, flat output"),
     QueryDef("embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
       "embedding-cosine near-dup pairs via sign-LSH buckets"),
     QueryDef("embedding_dedup_auto", embeddingDedupAuto, None,
