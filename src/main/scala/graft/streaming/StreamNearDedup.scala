@@ -69,12 +69,10 @@ object StreamNearDedup {
       .select(col("band_idx"), col("band_key")))
   }
 
-  /** Run the filter over a streaming (doc_id, text) source. Admitted
-    * docs land in `sink` in arrival order (batch id, then doc_id);
-    * state accumulates across batches with `localCheckpoint` cutting
-    * per-batch lineage. Returns the admitted docs after the stream
-    * drains (Trigger.AvailableNow semantics are the caller's choice
-    * via the writeStream they build on `forEachBatchFn`). */
+  /** Accumulates admission across micro-batches: wire [[onBatch]] as a
+    * `foreachBatch` body, read [[admitted]] once the stream drains.
+    * State and per-batch admissions are `localCheckpoint`ed, so
+    * neither lineage nor the source micro-batch outlives its trigger. */
   final class Accumulator(spark: SparkSession) {
     @volatile private var state: DataFrame = emptyState(spark)
     private val admittedBatches =
@@ -132,7 +130,7 @@ object StreamNearDedup {
     val ss = spark.newSession()
     val acc = new Accumulator(ss)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_neardedup_ckpt_")
-    val ids =
+    val admitted =
       try {
         val q = ss.readStream.schema(schema).parquet(path)
           .select(col("doc_id"), col("text"))
@@ -143,9 +141,12 @@ object StreamNearDedup {
           .start()
         try q.awaitTermination() finally q.stop()
         acc.admitted.select(col("doc_id"))
-          .collect().map(_.getLong(0)).toSeq
       } finally StreamingOps.deleteRecursively(ckpt)
-    import spark.implicits._
-    ids.toDF("doc_id").orderBy(col("doc_id"))
+    // Re-base onto the caller's session WITHOUT a driver collect: the
+    // admitted set is O(corpus) — the per-batch localCheckpoints
+    // already hold the rows in executor storage, and the checkpoint
+    // dir above is only stream metadata, safe to reclaim first.
+    spark.createDataFrame(admitted.rdd, admitted.schema)
+      .orderBy(col("doc_id"))
   }
 }
