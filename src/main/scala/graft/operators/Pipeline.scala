@@ -371,8 +371,16 @@ object Pipeline extends QueryModule {
     * no global sort — the DuckDB oracle IS the naive global window,
     * proving the decomposition exact. */
   def tokenBudgetPack(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the scored frame once: it feeds THREE branches (the
+    // budget scalar, the bucket offsets, the doc rows), and per-branch
+    // column pruning defeats exchange reuse, so an un-materialized q
+    // re-runs the regex tokenizer over the corpus per branch (measured
+    // 6 scans / 18 regex subtrees in the plan). The scored projection
+    // is 3 narrow columns — the cheap thing to hold; the text payload
+    // is dropped before the boundary.
     val q = docQuality(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .localCheckpoint()
     val docs = q.withColumn("bkt",
       floor(col("quality") * QUALITY_BUCKETS).cast("int"))
     val wOff = Window.orderBy(col("bkt").desc)
