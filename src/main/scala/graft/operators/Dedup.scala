@@ -256,12 +256,13 @@ object Dedup extends QueryModule {
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy(col("doc_id"))
 
-  /** Oracle: transitive min-label closure of the brute-force pair set.
-    * The recursive term only propagates labels smaller than the target
-    * node (larger ones can never win the final `min`), which keeps the
-    * closure linear in (node, useful-label) pairs. */
-  val dedupComponentsSql =
-    s"""WITH RECURSIVE $nearDedupPairsCtes,
+  /** Transitive min-label closure CTEs over the brute-force pair set
+    * (`e` = symmetrized edges, `r` = the closure). The recursive term
+    * only propagates labels smaller than the target node (larger ones
+    * can never win the final `min`), which keeps the closure linear in
+    * (node, useful-label) pairs. Requires `WITH RECURSIVE`. */
+  private val componentClosureCtes =
+    s"""$nearDedupPairsCtes,
        |e AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM p
        |                   UNION SELECT doc_b AS s, doc_a AS d FROM p),
        |r AS (
@@ -270,9 +271,27 @@ object Dedup extends QueryModule {
        |  SELECT e.d AS doc_id, r.comp AS comp
        |  FROM r JOIN e ON e.s = r.doc_id
        |  WHERE r.comp < e.d
-       |)
+       |)""".stripMargin
+
+  /** CTE bundle for oracle composition (curation_pipeline): everything
+    * through `nonc` = the docs a near-dup-clustering dedup DROPS. */
+  val nearDupNonCanonicalCtes: String =
+    s"""$componentClosureCtes,
+       |nonc AS MATERIALIZED (
+       |  SELECT doc_id FROM r GROUP BY doc_id HAVING min(comp) < doc_id)""".stripMargin
+
+  /** Oracle: min label per node from the closure. */
+  val dedupComponentsSql =
+    s"""WITH RECURSIVE $componentClosureCtes
        |SELECT doc_id, min(comp) AS comp FROM r GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** Docs a near-dup-clustering dedup DROPS (non-canonical cluster
+    * members) — the pipeline-composable form of [[dedupComponents]]. */
+  def nearDupNonCanonical(spark: SparkSession, dir: String): DataFrame =
+    components(nearDedupPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      .filter(col("comp") < col("id"))
+      .select(col("id").as("doc_id"))
 
   // --- simhash: per-doc 56-bit signature ---------------------------------
 

@@ -370,6 +370,30 @@ object Pipeline extends QueryModule {
     * sum (windows partitioned by bucket, parallel). Same answer,
     * no global sort — the DuckDB oracle IS the naive global window,
     * proving the decomposition exact. */
+  /** The bucketed prefix-sum core: `scored` must carry (doc_id,
+    * n_tokens, quality); extra columns pass through. Adds
+    * `cum_tokens` (the global running total in (quality DESC, doc_id)
+    * order) and keeps rows within `floor(total/2)`. */
+  private[operators] def packTokenBudget(scored: DataFrame): DataFrame = {
+    val docs = scored.withColumn("bkt",
+      floor(col("quality") * QUALITY_BUCKETS).cast("int"))
+    val wOff = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("tok"))
+      .withColumn("offset", coalesce(sum(col("tok")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("offset"))
+    val budget = scored.agg(floor(sum(col("n_tokens")) / 2).cast("long").as("budget"))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), "bkt")
+      .withColumn("cum_tokens",
+        (col("offset") + sum(col("n_tokens")).over(wIn)).cast("long"))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .drop("bkt", "offset", "budget")
+  }
+
   def tokenBudgetPack(spark: SparkSession, dir: String): DataFrame = {
     // Materialize the scored frame once: it feeds THREE branches (the
     // budget scalar, the bucket offsets, the doc rows), and per-branch
@@ -381,22 +405,7 @@ object Pipeline extends QueryModule {
     val q = docQuality(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .localCheckpoint()
-    val docs = q.withColumn("bkt",
-      floor(col("quality") * QUALITY_BUCKETS).cast("int"))
-    val wOff = Window.orderBy(col("bkt").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = docs.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("tok"))
-      .withColumn("offset", coalesce(sum(col("tok")).over(wOff), lit(0L)))
-      .select(col("bkt"), col("offset"))
-    val budget = q.agg(floor(sum(col("n_tokens")) / 2).cast("long").as("budget"))
-    val wIn = Window.partitionBy(col("bkt"))
-      .orderBy(col("quality").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.join(broadcast(offsets), "bkt")
-      .withColumn("cum_tokens",
-        (col("offset") + sum(col("n_tokens")).over(wIn)).cast("long"))
-      .crossJoin(broadcast(budget))
-      .filter(col("cum_tokens") <= col("budget"))
+    packTokenBudget(q)
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         col("quality"), col("cum_tokens"))
       .orderBy(col("doc_id"))
@@ -459,7 +468,83 @@ object Pipeline extends QueryModule {
        |SELECT source, doc_id FROM r WHERE rk <= $SOURCE_CAP_K
        |ORDER BY source, doc_id""".stripMargin
 
+  // --- curation_pipeline: the whole selection pipeline as ONE plan -------
+
+  /** Minimum quality a document needs to enter the curated corpus
+    * (keeps 456/500 on the fixture — a floor, not a cliff). */
+  val QUALITY_FLOOR = 0.15
+
+  /** The end-to-end training-corpus selection, composed as ONE
+    * declarative plan: quality floor → exact-dedup canonical (sha256
+    * groups among survivors) → near-dup cluster exclusion (the
+    * `dedup_components` map as an anti-join) → per-source cap →
+    * token-budget pack. This is the query a 100 TB curation run
+    * actually executes; expressing it as one DataFrame lets Catalyst
+    * fuse the stages (one tokenizer pass feeds quality scoring, the
+    * shared near-dup exclusion list is O(duplicates) and anti-joined,
+    * never collected) — and the DuckDB oracle replays every stage in
+    * a single WITH RECURSIVE chain, so the gate certifies the WHOLE
+    * pipeline end-to-end, not just its pieces. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docQuality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .localCheckpoint() // one tokenizer pass across all branches
+    val whash = Window.partitionBy(col("text_hash"))
+    val s2 = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .join(scored, Seq("doc_id"))
+      .filter(col("quality") >= QUALITY_FLOOR)
+      .withColumn("text_hash", sha2(col("text"), 256))
+      .withColumn("canon", col("doc_id") === min(col("doc_id")).over(whash))
+      .filter(col("canon"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
+    val s3 = s2.join(Dedup.nearDupNonCanonical(spark, dir),
+      Seq("doc_id"), "left_anti")
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
+      .cast("long")
+    val s4 = s3.withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(h, col("doc_id"))))
+      .filter(col("rk") <= SOURCE_CAP_K).drop("rk")
+    packTokenBudget(s4)
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("quality"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationPipelineSql = {
+    val ts = TextFns.tokenizeSql("text")
+    val stopList = STOPWORDS.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE ${Dedup.nearDupNonCanonicalCtes},
+       |q1 AS (SELECT d.doc_id, d.source, d.text, len(t.ts) AS n_tokens,
+       |  CASE WHEN len(t.ts) > 0 THEN CAST(len(list_filter(t.ts, x -> list_contains($stopList, x))) AS DOUBLE) / len(t.ts) ELSE 0.0 END AS stop_ratio,
+       |  CASE WHEN len(d.text) > 0 THEN CAST(len(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / len(d.text) ELSE 0.0 END AS alnum_ratio
+       |  FROM documents d JOIN t ON d.doc_id = t.doc_id),
+       |q AS (SELECT doc_id, source, text, n_tokens,
+       |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_ratio) * alnum_ratio, 6) AS quality
+       |  FROM q1),
+       |s2 AS (SELECT doc_id, source, n_tokens, quality FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS canon
+       |    FROM q WHERE quality >= $QUALITY_FLOOR)
+       |  WHERE doc_id = canon),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM nonc)),
+       |s4 AS (SELECT doc_id, source, n_tokens, quality FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT),
+       |               doc_id) AS rk FROM s3)
+       |  WHERE rk <= $SOURCE_CAP_K),
+       |b AS (SELECT CAST(floor(sum(n_tokens) / 2) AS BIGINT) AS budget FROM s4),
+       |c AS (SELECT doc_id, source, n_tokens, quality,
+       |  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM s4)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+       |  CAST(cum AS BIGINT) AS cum_tokens
+       |FROM c, b WHERE cum <= b.budget ORDER BY doc_id""".stripMargin
+  }
+
   override def entries: Seq[QueryDef] = Seq(
+    QueryDef("curation_pipeline", curationPipeline, Some(curationPipelineSql),
+      "end-to-end corpus selection: quality -> dedups -> cap -> budget"),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic md5-ranked per-source corpus balancing"),
     QueryDef("source_cap", sourceCap, Some(sourceCapSql),

@@ -119,6 +119,29 @@ class CurationSpec extends SparkSpecBase {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("curation_pipeline output satisfies every stage's constraint") {
+    val out = SparkEntry.queries("curation_pipeline")(spark, sfDir)
+      .as[(Long, String, Long, Double, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // Stage 1: quality floor.
+    assert(out.forall(_._4 >= Pipeline.QUALITY_FLOOR))
+    // Stage 4: per-source cap.
+    assert(out.groupBy(_._2).values.forall(_.size <= Pipeline.SOURCE_CAP_K))
+    // Stage 3: no non-canonical near-dup cluster member survives.
+    val dropped = operators.Dedup.nearDupNonCanonical(spark, sfDir)
+      .as[Long].collect().toSet
+    assert(out.forall(r => !dropped.contains(r._1)))
+    // Stage 5: the kept set is a PREFIX of the (quality DESC, doc_id)
+    // order (cum is non-decreasing, so the budget cut can't skip),
+    // hence each cum_tokens is exactly the previous plus n_tokens.
+    val packed = out.sortBy(r => (-r._4, r._1))
+    assert(packed.head._5 == packed.head._3)
+    packed.sliding(2).foreach {
+      case Seq(a, b) => assert(b._5 == a._5 + b._3)
+      case _ =>
+    }
+  }
+
   test("stratified_sample budget halves the smallest source") {
     val out = SparkEntry.queries("stratified_sample")(spark, sfDir)
       .groupBy("source").agg(count(lit(1)).as("n"))
