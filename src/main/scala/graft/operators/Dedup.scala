@@ -112,8 +112,6 @@ object Dedup extends QueryModule {
   def nearDedup(spark: SparkSession, dir: String): DataFrame =
     nearDedupPairs(spark, dir).orderBy(col("doc_a"), col("doc_b"))
 
-  /** The verified near-dup pairs, unordered — shared by the pair query
-    * and the connected-components clustering built on top of it. */
   /** (doc_id, band_idx, band_key) LSH band keys from a shingle frame.
     * Two docs share a band key iff all r minhashes of that band agree
     * — the collision predicate every LSH consumer (batch pair join,
@@ -146,6 +144,8 @@ object Dedup extends QueryModule {
   def bandKeys(spark: SparkSession, docs: DataFrame): DataFrame =
     bandsOf(spark, shinglesOf(docs))
 
+  /** The verified near-dup pairs, unordered — shared by the pair query
+    * and the connected-components clustering built on top of it. */
   private def nearDedupPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
     val bands = bandsOf(spark, sh)
@@ -168,12 +168,10 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= JACCARD_THRESHOLD)
   }
 
-  /** Brute-force shingle-Jaccard pair CTEs, shared by the pair oracle
-    * and the connected-components oracle (MATERIALIZED: `sh` is
-    * self-joined and `p` feeds a recursive CTE — DuckDB re-evaluates
-    * non-materialized CTEs per reference). */
   /** Tokenize+shingle CTEs alone (the LSH-replay oracle needs these
-    * without paying for the brute-force pair join). */
+    * without paying for the brute-force pair join). MATERIALIZED:
+    * `sh` is self-joined downstream and DuckDB re-evaluates
+    * non-materialized CTEs per reference. */
   private val shingleCtes =
     s"""t AS MATERIALIZED (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
        |sh AS MATERIALIZED (SELECT doc_id,
@@ -181,6 +179,9 @@ object Dedup extends QueryModule {
        |                 for i in range(1, len(ts) - 1)]) AS s
        |  FROM t WHERE len(ts) >= 3)""".stripMargin
 
+  /** Brute-force shingle-Jaccard pair CTEs (`p` on top of the shingle
+    * CTEs), shared by the pair oracle and the connected-components
+    * oracle — `p` feeds a recursive CTE there, hence MATERIALIZED. */
   private val nearDedupPairsCtes =
     s"""$shingleCtes,
        |p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

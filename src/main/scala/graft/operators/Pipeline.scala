@@ -450,8 +450,7 @@ object Pipeline extends QueryModule {
     * collision-improbably identical. */
   def sourceCap(spark: SparkSession, dir: String): DataFrame = {
     val tk = udaf(new graft.functions.BoundedTopK(SOURCE_CAP_K))
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
-      .cast("long")
+    val h = TextFns.hash56(col("doc_id").cast("string"))
     Tables.documents(spark, dir)
       .groupBy(col("source"))
       .agg(tk((-h).as("v"), col("doc_id")).as("tk"))
@@ -462,7 +461,7 @@ object Pipeline extends QueryModule {
   val sourceCapSql =
     s"""WITH r AS (SELECT source, doc_id,
        |  row_number() OVER (PARTITION BY source
-       |    ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT),
+       |    ORDER BY ${TextFns.hash56Sql("CAST(doc_id AS VARCHAR)")},
        |             doc_id) AS rk
        |  FROM documents)
        |SELECT source, doc_id FROM r WHERE rk <= $SOURCE_CAP_K
@@ -500,11 +499,15 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
     val s3 = s2.join(Dedup.nearDupNonCanonical(spark, dir),
       Seq("doc_id"), "left_anti")
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
-      .cast("long")
+    val h = TextFns.hash56(col("doc_id").cast("string"))
+    // Same boundary rationale as tokenBudgetPack's: packTokenBudget
+    // fans s4 into three branches, and without a materialization each
+    // one re-executes the whole stage-2..4 subtree (text scan, sha256
+    // window, anti-join, cap window). Four narrow columns — cheap.
     val s4 = s3.withColumn("rk", row_number().over(
         Window.partitionBy(col("source")).orderBy(h, col("doc_id"))))
       .filter(col("rk") <= SOURCE_CAP_K).drop("rk")
+      .localCheckpoint()
     packTokenBudget(s4)
       .select(col("doc_id"), col("source"),
         col("n_tokens").cast("long").as("n_tokens"),
@@ -530,7 +533,7 @@ object Pipeline extends QueryModule {
        |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM nonc)),
        |s4 AS (SELECT doc_id, source, n_tokens, quality FROM (
        |    SELECT *, row_number() OVER (PARTITION BY source
-       |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT),
+       |      ORDER BY ${TextFns.hash56Sql("CAST(doc_id AS VARCHAR)")},
        |               doc_id) AS rk FROM s3)
        |  WHERE rk <= $SOURCE_CAP_K),
        |b AS (SELECT CAST(floor(sum(n_tokens) / 2) AS BIGINT) AS budget FROM s4),

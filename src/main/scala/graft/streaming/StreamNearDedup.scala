@@ -88,10 +88,18 @@ object StreamNearDedup {
     }
 
     def admitted: DataFrame =
-      admittedBatches.reduceOption(_ unionAll _)
-        .getOrElse(emptyState(spark).select(
-          lit(0L).as("doc_id"), lit("").as("text"),
-          lit(0L).as("batch_id")).limit(0))
+      admittedBatches.reduceOption(_ unionAll _).getOrElse(
+        // Zero batches arrived: an explicitly-typed empty frame with
+        // the minimal documented (doc_id, text, batch_id) schema.
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("batch_id",
+              org.apache.spark.sql.types.LongType, nullable = false)))))
   }
 
   /** Gate/bench query: the admission filter executed by the LIVE
@@ -109,20 +117,13 @@ object StreamNearDedup {
     * with MemoryStream-controlled batches instead. */
   /** The documents table staged as a source DIRECTORY (the file stream
     * source rejects bare file paths) — input staging, not memoized
-    * compute, so not registered with [[graft.Caches]] (same policy as
-    * StreamingOps.stagedEvents). */
-  private val stagedDocs =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-
+    * compute, so not registered with [[graft.Caches]] (see
+    * [[StreamingOps.stageOnce]]). */
   private def stagedDocsDir(spark: SparkSession, dir: String): String =
-    stagedDocs.getOrElseUpdate((spark, dir), {
-      val dest = java.nio.file.Files
-        .createTempDirectory("graft_neardedup_src_").toString
+    StreamingOps.stageOnce(spark, dir, "graft_neardedup_src_") {
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
-        .write.mode("overwrite").parquet(dest)
-      dest
-    })
+    }
 
   def streamNearDedupLive(spark: SparkSession, dir: String): DataFrame = {
     val path = stagedDocsDir(spark, dir)

@@ -167,18 +167,24 @@ object StreamingOps extends QueryModule {
     * staging, not memoized compute, so it deliberately is NOT
     * registered with [[graft.Caches]]: the bench must time the
     * streaming run, not a parquet copy. */
-  private val stagedEvents =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val staged = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
 
-  private def stagedEventsDir(spark: SparkSession, dir: String): String =
-    stagedEvents.getOrElseUpdate((spark, dir), {
-      val dest = java.nio.file.Files
-        .createTempDirectory("graft_stream_src_").toString
-      Tables.events(spark, dir)
-        .repartitionByRange(8, col("ts"))
-        .write.mode("overwrite").parquet(dest)
+  /** Stage `build`'s output once per (session, sfDir) under a fresh
+    * temp dir and return the path — shared by every file-source live
+    * query (events here, documents in [[StreamNearDedup]]). */
+  private[streaming] def stageOnce(spark: SparkSession, dir: String,
+      prefix: String)(build: => DataFrame): String =
+    staged.getOrElseUpdate((spark, dir, prefix), {
+      val dest = java.nio.file.Files.createTempDirectory(prefix).toString
+      build.write.mode("overwrite").parquet(dest)
       dest
     })
+
+  private def stagedEventsDir(spark: SparkSession, dir: String): String =
+    stageOnce(spark, dir, "graft_stream_src_") {
+      Tables.events(spark, dir).repartitionByRange(8, col("ts"))
+    }
 
   private val liveRuns = new java.util.concurrent.atomic.AtomicLong()
 

@@ -86,8 +86,7 @@ class CurationSpec extends SparkSpecBase {
   test("source_cap: heap form equals the window form on the same key") {
     val heap = SparkEntry.queries("source_cap")(spark, sfDir)
       .as[(String, Long)].collect().toSeq
-    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 14), 16, 10)
-      .cast("long")
+    val h = graft.functions.TextFns.hash56(col("doc_id").cast("string"))
     val window = Tables.documents(spark, sfDir)
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
