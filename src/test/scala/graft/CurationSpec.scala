@@ -53,6 +53,23 @@ class CurationSpec extends SparkSpecBase {
     assert(got == Map(7L -> 2L, 2L -> 2L))
   }
 
+  test("components: random multigraphs agree with union-find") {
+    // Randomized tail coverage past the hand-built shapes: duplicate
+    // edges, reversed duplicates, self-contained islands, and merge
+    // chains. Few samples — each drives the real distributed loop.
+    val rnd = new scala.util.Random(7)
+    (1 to 8).foreach { _ =>
+      val n = 2 + rnd.nextInt(9)
+      val edges = Seq.fill(1 + rnd.nextInt(14)) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        if (a == b) (a, b + 100L) else (a, b) // avoid self-loop, keep node
+      }
+      assert(runComponents(edges) == ufComponents(edges),
+        s"mismatch on edges $edges")
+    }
+  }
+
   test("dedup_components clusters agree with the pair query at sf0.001") {
     val pairs = SparkEntry.queries("near_dedup")(spark, sfDir)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
