@@ -346,6 +346,45 @@ object Pipeline extends QueryModule {
       |WHERE r.rk <= b.budget
       |ORDER BY source, doc_id""".stripMargin
 
+  // --- mix_weights: temperature-scaled source mixing table ----------------
+
+  /** Mixing temperature: weights ∝ (n_s/N)^T with T < 1 upweight small
+    * curated sources against mega-crawls (the multilingual-corpus
+    * sampling trick). */
+  val MIX_TEMPERATURE = 0.7
+
+  /** Per-source mixing weights and document targets — the ~|sources|-row
+    * control table a weighted interleave consumes. All scalars flow
+    * through 1-row broadcasts (corpus total, normalizer); the only
+    * per-doc work is one count. `floor(x + 0.5)` instead of round():
+    * exact half-up in BOTH engines (double round() ties differ). */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("total"))
+    val raw = counts.crossJoin(broadcast(total))
+      .withColumn("w_raw",
+        pow(col("n_docs").cast("double") / col("total"), MIX_TEMPERATURE))
+    val z = raw.agg(sum(col("w_raw")).as("z"))
+    raw.crossJoin(broadcast(z))
+      .withColumn("weight", round(col("w_raw") / col("z"), 6))
+      .withColumn("target_docs",
+        floor(col("w_raw") / col("z") * col("total") + 0.5).cast("long"))
+      .select(col("source"), col("n_docs"), col("weight"), col("target_docs"))
+      .orderBy(col("source"))
+  }
+
+  val mixWeightsSql =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
+       |r AS (SELECT source, n_docs,
+       |  pow(CAST(n_docs AS DOUBLE) / total, $MIX_TEMPERATURE) AS w_raw
+       |  FROM c, t),
+       |z AS (SELECT sum(w_raw) AS z FROM r)
+       |SELECT source, n_docs, round(w_raw / z.z, 6) AS weight,
+       |  CAST(floor(w_raw / z.z * t.total + 0.5) AS BIGINT) AS target_docs
+       |FROM r, z, t ORDER BY source""".stripMargin
+
   // --- token_budget_pack: best docs first until the token budget ---------
 
   /** Quality buckets for the distributed prefix sum: `floor(q·20)` is
@@ -554,6 +593,8 @@ object Pipeline extends QueryModule {
       "fixed per-source cap via the bounded-PQ Aggregator (no sort)"),
     QueryDef("token_budget_pack", tokenBudgetPack, Some(tokenBudgetPackSql),
       "quality-first token-budget packing via distributed prefix sum"),
+    QueryDef("mix_weights", mixWeights, Some(mixWeightsSql),
+      "temperature-scaled per-source mixing weights and doc targets"),
     QueryDef("exact_dedup", exactDedup, Some(exactDedupSql),
       "content-hash exact dedup: dup group size + canonical flag per doc"),
     QueryDef("json_extract", jsonExtract, Some(jsonExtractSql),

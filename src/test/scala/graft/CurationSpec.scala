@@ -158,6 +158,21 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("mix_weights: weights normalize and targets re-fill the corpus") {
+    val out = SparkEntry.queries("mix_weights")(spark, sfDir)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    val total = out.map(_._2).sum
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4)
+    // Half-up per-source rounding drifts by at most half a doc each.
+    assert(math.abs(out.map(_._4).sum - total) <= out.size / 2 + 1)
+    // T<1 flattens: no source's target may deviate from proportional
+    // in the WRONG direction (small sources gain, large ones lose).
+    val avg = total.toDouble / out.size
+    out.foreach { case (_, n, _, tgt) =>
+      if (n < avg) assert(tgt >= n) else if (n > avg) assert(tgt <= n)
+    }
+  }
+
   test("stratified_sample budget halves the smallest source") {
     val out = SparkEntry.queries("stratified_sample")(spark, sfDir)
       .groupBy("source").agg(count(lit(1)).as("n"))
