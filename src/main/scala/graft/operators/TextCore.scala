@@ -70,6 +70,47 @@ object TextCore extends QueryModule {
     s"""$tokCte, w AS (SELECT unnest(ts) AS word FROM t)
        |SELECT word, count(*) AS cnt FROM w GROUP BY word ORDER BY word""".stripMargin
 
+  // --- heavy_hitters: Misra–Gries candidates + exact recount --------------
+
+  /** Sketch counters; the mergeable-summary error bound is
+    * total/(HH_K+1), far below the report threshold, so no qualifying
+    * token can be missed. */
+  val HH_K = 64
+  /** Heavy = cnt · HH_DENOM ≥ total (integer arithmetic — no float
+    * threshold to disagree across engines). */
+  val HH_DENOM = 30L
+
+  /** Tokens occupying ≥ 1/[[HH_DENOM]] of the corpus, found the
+    * scale-correct way: a [[graft.functions.MisraGries]] sketch pass
+    * bounds the candidate set to [[HH_K]] entries per partial buffer
+    * (map-side combine, O(k) shuffle records — a billion-distinct
+    * column never materializes a billion-row aggregate), then an EXACT
+    * recount of the ≤ k candidates (broadcast semi-join, never a
+    * collect) yields the deterministic final answer. `wordcount`+HAVING
+    * gives the same rows on a corpus whose distinct count fits memory
+    * — which is exactly what the DuckDB oracle does, so the gate
+    * proves the sketch path drops nothing. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = toks(spark, dir).select(explode(col("tokens")).as("word"))
+    val mg = udaf(new graft.functions.MisraGries(HH_K))
+    val cand = words.agg(mg(col("word")).as("sk"))
+      .select(explode(map_keys(col("sk.m"))).as("word"))
+    val total = words.agg(count(lit(1)).as("total"))
+    words.join(broadcast(cand), Seq("word"), "left_semi")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * HH_DENOM >= col("total"))
+      .select(col("word"), col("cnt"))
+      .orderBy(col("word"))
+  }
+
+  val heavyHittersSql =
+    s"""$tokCte, w AS (SELECT unnest(ts) AS word FROM t),
+       |tot AS (SELECT count(*) AS total FROM w)
+       |SELECT word, count(*) AS cnt FROM w, tot
+       |GROUP BY word, tot.total HAVING count(*) * $HH_DENOM >= tot.total
+       |ORDER BY word""".stripMargin
+
   // --- perfectx (PerfectX.java:58-73: count words after the trigger,
   //     keep those seen more than once, `:122-124`) ----------------------
   def perfectx(spark: SparkSession, dir: String): DataFrame =
@@ -234,6 +275,8 @@ object TextCore extends QueryModule {
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("wordcount", wordcount, Some(wordcountSql),
       "word → total occurrences over documents.text"),
+    QueryDef("heavy_hitters", heavyHitters, Some(heavyHittersSql),
+      "Misra-Gries sketch candidates + exact recount (two-phase)"),
     QueryDef("perfectx", perfectx, Some(perfectxSql),
       s"words following '$TRIGGER', kept when seen more than once"),
     QueryDef("bigram_relfreq", bigramRelfreq, Some(bigramRelfreqSql),

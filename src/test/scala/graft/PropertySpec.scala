@@ -111,6 +111,34 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("MisraGries: candidates cover every above-bound item, any split") {
+    import graft.functions.{MisraGries, MGBuffer}
+    val k = 5
+    val agg = new MisraGries(k)
+    val stream = Gen.listOfN(60,
+      Gen.frequency(6 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+        4 -> Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")))
+    val cut = Gen.listOfN(3, Gen.chooseNum(0, 60))
+    forAll2(stream, cut, 60) { (xs, cuts) =>
+      // arbitrary 4-way split, sequential reduce per part, tree merge
+      val bounds = (0 +: cuts.sorted :+ xs.length).distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) =>
+        xs.slice(a, b).foldLeft(agg.zero)(agg.reduce)
+      }
+      val merged = parts.foldLeft(agg.zero)(agg.merge)
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      // Mergeable-summary guarantee: true count > n/(k+1) => surfaced,
+      // and no counter ever exceeds its true count.
+      exact.foreach { case (item, cnt) =>
+        if (cnt * (k + 1) > xs.length)
+          assert(merged.m.contains(item), s"missed $item ($cnt/${xs.length})")
+      }
+      merged.m.foreach { case (item, c) =>
+        assert(c <= exact.getOrElse(item, 0L), s"overcount $item")
+      }
+    }
+  }
+
   test("SGD fold: permutation changes weights but not the feature set") {
     val inst = Gen.listOfN(20, for {
       id <- Gen.choose(0L, 1000L)
