@@ -147,7 +147,13 @@ object Dedup extends QueryModule {
   /** The verified near-dup pairs, unordered — shared by the pair query
     * and the connected-components clustering built on top of it. */
   private def nearDedupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    // Materialize the shingle frame: it feeds the band pipeline AND
+    // both sides of the exact-verify join, and per-branch column
+    // pruning defeats exchange reuse — un-materialized, the tokenize+
+    // hash pipeline runs up to 8× per execution (measured: 8 parquet
+    // scans, 0 ReusedExchange). The frame is (doc_id, 56-bit gram
+    // array) — a few MB per million docs per executor.
+    val sh = shingles(spark, dir).localCheckpoint()
     val bands = bandsOf(spark, sh)
     val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
