@@ -129,6 +129,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("text"), s"pruning failed: reads the text payload:\n$p")
   }
 
+  test("heavy_hitters: sketch aggregates partial-then-final, candidates broadcast") {
+    val p = plan(operators.TextCore.heavyHitters(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final sketch aggregation:\n$p")
+    assert(p.contains("BroadcastExchange"), s"candidate set not broadcast:\n$p")
+  }
+
   test("source_cap: bounded-PQ aggregation is partial then final") {
     val p = plan(operators.Pipeline.sourceCap(spark, sfDir))
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
