@@ -25,36 +25,67 @@ object Bench {
     * below the 2–20× bursts the noise produces. */
   private val OUTLIER_RATIO = 1.25
 
-  /** queries map of the newest BENCH_r*.json in `dir`, hand-parsed (no
-    * JSON lib on the classpath): the bench writes flat name:number
-    * pairs, so a regex scan of the "queries" object is exact. The
-    * driver's BENCH_r{N}.json embeds the bench line as an escaped
-    * string inside a "tail" field (quotes arrive as `\"`), so the
-    * patterns accept an optional backslash before each quote. */
+  /** queries map of the newest prior-round bench JSON in `dir`,
+    * hand-parsed (no JSON lib on the classpath): the bench writes flat
+    * name:number pairs, so a regex scan of the "queries" object is
+    * exact. Two artifact families exist per round: `BENCH_FULL_r{N}
+    * .json` — written whole by the bench itself (below), always
+    * parseable — and the driver's `BENCH_r{N}.json`, which embeds the
+    * bench line as an escaped string inside a "tail" field (quotes
+    * arrive as `\"`, hence the optional backslash in the patterns) and
+    * has arrived TAIL-TRUNCATED past parseability (round 7's empty
+    * prev/delta). Within a round the FULL file wins; rounds are
+    * compared driver-to-driver otherwise. */
+  private val benchRx = """BENCH(_FULL)?_r(\d+)\.json""".r
+
   private[graft] def prevBench(
       dir: java.io.File,
       currentRound: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND")
         .flatMap(_.toIntOption)): Map[String, Double] = {
-    val rx = """BENCH_r(\d+)\.json""".r
     val newest = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
-        case rx(n) => Some((n.toInt, f))
+        case benchRx(full, n) => Some((n.toInt, full != null, f))
         case _ => None
       })
       // On a re-run after the driver already wrote this round's file,
       // the newest BENCH would be the run itself and every delta ~0
       // (round-6 advice): when the round number is known
       // (SPARK_GRAFT_ROUND), only strictly earlier rounds qualify.
-      .filter { case (n, _) => currentRound.forall(n < _) }
-      .sortBy(-_._1).headOption.map(_._2)
+      .filter { case (n, _, _) => currentRound.forall(n < _) }
+      // Newest round first; within a round the FULL artifact first.
+      .sortBy { case (n, full, _) => (-n, !full) }
+      .headOption.map(_._3)
     newest.fold(Map.empty[String, Double]) { f =>
       val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
       val qobj = """\\?"queries\\?"\s*:\s*\{([^}]*)\}""".r
-        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        .findFirstMatchIn(txt).map(_.group(1))
+        // Driver files hold only the LAST ~2KB of stdout, so the
+        // `"queries":{` opening anchor is routinely cut off mid-object
+        // (this is exactly what emptied round 7's prev/delta). The
+        // queries object is everything before the `"prev"` key, so
+        // fall back to that prefix: its entries are still well-formed
+        // pairs except possibly the first (name truncated → a junk key
+        // no real query name collides with, and prev/delta lookups
+        // only ever probe real names).
+        .orElse("""\\?"prev\\?"\s*:""".r.findFirstMatchIn(txt)
+          .map(m => txt.substring(0, m.start)))
+        .getOrElse("")
       """\\?"([^"\\]+)\\?"\s*:\s*([0-9.eE+\-]+)""".r.findAllMatchIn(qobj)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
   }
+
+  /** This run's round number: the driver's SPARK_GRAFT_ROUND when set,
+    * else one past the newest bench artifact on disk (the round the
+    * driver will record this run as). */
+  private def currentRoundOrInferred(dir: java.io.File): Int =
+    sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case benchRx(_, n) => Some(n.toInt)
+          case _ => None
+        }).maxOption.getOrElse(0) + 1
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,7 +139,22 @@ object Bench {
         s"${jstr(k)}:${math.round((timings(k) - p) * 1000) / 1000.0}"))
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prev":$prevs,"delta":$deltas,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prev":$prevs,"delta":$deltas,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the line WHOLE under a round-stamped name: the driver's
+    // BENCH_r{N}.json snapshot of stdout has arrived tail-truncated
+    // (round 7 lost 10 query entries and the total), which broke the
+    // next round's prev/delta self-compare. Best-effort — a read-only
+    // working dir must not fail the bench. Full-suite runs only: a
+    // subset run (args filter) would masquerade as the round's record.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Path.of(
+          s"BENCH_FULL_r${currentRoundOrInferred(new java.io.File("."))}.json"),
+        line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_FULL write skipped: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

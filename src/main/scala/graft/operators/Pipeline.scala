@@ -357,15 +357,24 @@ object Pipeline extends QueryModule {
     * control table a weighted interleave consumes. All scalars flow
     * through 1-row broadcasts (corpus total, normalizer); the only
     * per-doc work is one count. `floor(x + 0.5)` instead of round():
-    * exact half-up in BOTH engines (double round() ties differ). */
+    * exact half-up in BOTH engines (double round() ties differ).
+    *
+    * `pow` parity: JVM `Math.pow` and DuckDB's libm pow are not
+    * guaranteed bit-identical, so `w_raw` is rounded to 9 decimals the
+    * moment it is born — a 1-ulp (~1e-16) divergence then only matters
+    * if the true value sits within an ulp of a 9th-decimal grid
+    * midpoint, instead of at EVERY downstream 6-decimal near-tie — and
+    * the normalizer sums those grid points exactly in DECIMAL, so both
+    * engines derive every weight and target from bit-identical inputs. */
   def mixWeights(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val total = counts.agg(sum(col("n_docs")).as("total"))
     val raw = counts.crossJoin(broadcast(total))
       .withColumn("w_raw",
-        pow(col("n_docs").cast("double") / col("total"), MIX_TEMPERATURE))
-    val z = raw.agg(sum(col("w_raw")).as("z"))
+        round(pow(col("n_docs").cast("double") / col("total"), MIX_TEMPERATURE), 9))
+    val z = raw.agg(
+      sum(col("w_raw").cast(DecimalType(28, 9))).cast("double").as("z"))
     raw.crossJoin(broadcast(z))
       .withColumn("weight", round(col("w_raw") / col("z"), 6))
       .withColumn("target_docs",
@@ -378,9 +387,9 @@ object Pipeline extends QueryModule {
     s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
        |r AS (SELECT source, n_docs,
-       |  pow(CAST(n_docs AS DOUBLE) / total, $MIX_TEMPERATURE) AS w_raw
+       |  round(pow(CAST(n_docs AS DOUBLE) / total, $MIX_TEMPERATURE), 9) AS w_raw
        |  FROM c, t),
-       |z AS (SELECT sum(w_raw) AS z FROM r)
+       |z AS (SELECT CAST(sum(CAST(w_raw AS DECIMAL(28,9))) AS DOUBLE) AS z FROM r)
        |SELECT source, n_docs, round(w_raw / z.z, 6) AS weight,
        |  CAST(floor(w_raw / z.z * t.total + 0.5) AS BIGINT) AS target_docs
        |FROM r, z, t ORDER BY source""".stripMargin

@@ -313,11 +313,17 @@ object Similarity extends QueryModule {
     * groupBy aggregate, never a driver-side matrix) and the
     * driver-hash-safe one (no array columns in gate output).
     *
-    * Determinism across engines without rounding tricks: the inputs
-    * are float32 values widened to double, so every element carries a
-    * 24-bit mantissa; a sum of up to 2^29 such values fits a 53-bit
-    * mantissa EXACTLY, making the mean independent of Spark's
-    * partition-order additions vs DuckDB's sequential ones. */
+    * Cross-engine determinism rests on `round(avg, 6)` absorbing the
+    * ulp-level noise of Spark's partition-order additions vs DuckDB's
+    * sequential ones — NOT on exact summation: the summands are
+    * float32-widened doubles (24-bit mantissas), but a running sum is
+    * only reorder-exact while every PARTIAL sum stays within 53
+    * mantissa bits of the smallest summand's exponent, which mixed
+    * magnitudes break. Reorder drift is ≤ a few ulps (~1e-16 relative);
+    * a mean landing within that of a 6th-decimal rounding boundary
+    * could in principle flip the rounded value — accepted and
+    * documented rather than papered over (the alternative, an exact
+    * decimal sum, costs a non-codegen aggregate in the hot path). */
   def ivfKmeansStep(spark: SparkSession, dir: String): DataFrame = {
     val (e, cent) = ivfParts(spark, dir)
     val assigned = nearestCells(cent)(e, 1)
