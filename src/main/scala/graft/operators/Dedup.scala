@@ -210,47 +210,87 @@ object Dedup extends QueryModule {
     * canonical doc per component, drop the rest), which is what a
     * training-data pipeline actually executes at 100 TB.
     *
-    * Min-label propagation: every node starts as its own label; each
-    * round a node adopts the minimum label among itself and its
-    * neighbours, until a round changes nothing. Rounds = graph
-    * diameter; near-dup components are dense low-diameter clusters
-    * (near-cliques of mutual duplicates), so convergence is a handful
-    * of rounds — the alternating large-star/small-star scheme is the
-    * documented escape hatch if a pathological long-chain graph ever
-    * shows up. Per-round shape: one shuffle join edges⋈labels + one
-    * min-aggregate, both keyed on the node id; `localCheckpoint` cuts
-    * the lineage each round (PageRank precedent) so the plan does not
+    * Alternating large-star/small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round rewires
+    * every node's strictly-larger neighbours (large-star) then its
+    * smaller-or-equal ones (small-star) to the minimum of the local
+    * neighbourhood, until the edge set stops changing — at which point
+    * the edges form a star forest rooted at each component's minimum
+    * node. Rounds are O(log² n) on ANY graph shape — this replaces the
+    * earlier min-label propagation, whose round count equals the graph
+    * DIAMETER: near-dup components are usually dense near-cliques, but
+    * crawl shingling also produces long duplicate CHAINS (A≈B≈C≈…
+    * where A and Z share nothing), and a 100 TB chain would grind a
+    * diameter-bound loop (CurationSpec pins a 64-node path converging
+    * in a handful of rounds vs 63 propagation rounds).
+    *
+    * Per-round shape: each star op is one shuffle join edges⋈minima +
+    * one min-aggregate, both keyed on the node id — the same cost
+    * envelope as one propagation round; `localCheckpoint` cuts the
+    * lineage every round (PageRank precedent) so the plan does not
     * grow with the iteration count; the convergence probe is a
-    * driver-side scalar count, never a collect of the labels.
+    * driver-side count + empty-difference check over the canonical
+    * (greater, lesser) edge sets, never a collect of the edges.
     *
     * Returns (id, comp) with comp = min doc_id of the component. */
   def components(edges: DataFrame): DataFrame = {
     val Seq(a, b) = edges.columns.toSeq.take(2)
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var labels = sym.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("comp"))
-        .localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val prop = sym.join(labels.select(col("id").as("src"), col("comp")), "src")
-          .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
-        val next = labels.join(prop, Seq("id"), "left")
-          .select(col("id"),
-            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-          .localCheckpoint()
-        // Labels only ever decrease, so "any row strictly smaller"
-        // is exactly "not yet converged".
-        changed = next
-          .join(labels.select(col("id"), col("comp").as("prev")), "id")
-          .filter(col("comp") < col("prev")).count()
-        labels = next
-      }
-      labels
-    } finally sym.unpersist(false)
+    // Canonical orientation (u > v), self-loops dropped, exact-set
+    // semantics via distinct — both star ops preserve the invariant.
+    var e = edges.select(col(a).as("x"), col(b).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"),
+        least(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      rounds += 1
+      // Both sides are canonical distinct sets, so equality reduces to
+      // equal counts + empty one-sided difference.
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+    }
+    lastComponentsRounds.set(rounds)
+    // Fixed point = star forest: v IS the component minimum for every
+    // member u; roots label themselves.
+    e.select(col("u").as("id"), col("v").as("comp"))
+      .union(e.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+  }
+
+  /** Rounds taken by the most recent [[components]] call on this JVM —
+    * a test-only probe (CurationSpec asserts the chain bound); not
+    * part of the operator contract. */
+  private[graft] val lastComponentsRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Large-star: for every node n with neighbourhood Γ(n) (symmetric),
+    * connect each strictly-larger neighbour to m = min(Γ(n) ∪ {n}).
+    * Output stays canonical: emitted (big, m) always has big > n ≥ m. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star: for every node n over its SMALLER neighbours N(n)
+    * (edges arrive canonical, so N(n) = {v : (n,v) ∈ e}), connect
+    * every member of N(n) ∪ {n} except m = min N(n) to m. Canonical:
+    * v > m within a neighbourhood, and n > m always. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val rewired = e.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    rewired.union(mins.select(col("u"), col("m").as("v")))
+      .distinct()
   }
 
   /** Gate query: components of the verified near-dup pair graph.

@@ -30,11 +30,35 @@ class CurationSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().toMap
 
   test("components: a long path needs multiple propagation rounds") {
-    // 0-1-2-...-9 is diameter 9: min-label needs several rounds, so
-    // this exercises the convergence loop, not just one iteration.
+    // 0-1-2-...-9 is diameter 9: this exercises the convergence loop,
+    // not just one iteration.
     val path = (0L until 9L).map(i => (i, i + 1))
     assert(runComponents(path) == ufComponents(path))
     assert(runComponents(path).values.toSet == Set(0L))
+  }
+
+  test("components: star alternation is diameter-proof on a 64-node chain") {
+    // Diameter 63 — min-label propagation would need 63 rounds; the
+    // large-star/small-star alternation must land in O(log² n).
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    assert(runComponents(chain) == ufComponents(chain))
+    val rounds = operators.Dedup.lastComponentsRounds.get
+    assert(rounds <= 12, s"chain took $rounds rounds — diameter-bound?")
+  }
+
+  test("components: chain-of-cliques (the crawl near-dup pathology)") {
+    // Cliques {0..3},{10..13},... bridged into one long component:
+    // dense local clusters + a global chain, the shape crawl shingling
+    // produces. Must collapse to comp 0 for every node.
+    val cliques = (0 until 8).flatMap { c =>
+      val base = c * 10L
+      for (i <- 0 until 4; j <- i + 1 until 4) yield (base + i, base + j)
+    }
+    val bridges = (0 until 7).map(c => (c * 10L + 3, (c + 1) * 10L))
+    val edges = scala.util.Random.shuffle(cliques ++ bridges)
+    val got = runComponents(edges)
+    assert(got == ufComponents(edges))
+    assert(got.values.toSet == Set(0L))
   }
 
   test("components: disjoint cliques, a bridge, and reversed edges") {
