@@ -545,22 +545,37 @@ object Pipeline extends QueryModule {
       .withColumn("canon", col("doc_id") === min(col("doc_id")).over(whash))
       .filter(col("canon"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("quality"))
+    // Boundary: stage 4 references s3 TWICE (the cap aggregate and the
+    // semi-join probe), and packTokenBudget fans its output into three
+    // more branches — without a materialization each consumer would
+    // re-execute the whole stage-2..3 subtree (text scan, sha256
+    // window, near-dup anti-join). Four narrow columns — cheap.
     val s3 = s2.join(Dedup.nearDupNonCanonical(spark, dir),
-      Seq("doc_id"), "left_anti")
-    val h = TextFns.hash56(col("doc_id").cast("string"))
-    // Same boundary rationale as tokenBudgetPack's: packTokenBudget
-    // fans s4 into three branches, and without a materialization each
-    // one re-executes the whole stage-2..4 subtree (text scan, sha256
-    // window, anti-join, cap window). Four narrow columns — cheap.
-    val s4 = s3.withColumn("rk", row_number().over(
-        Window.partitionBy(col("source")).orderBy(h, col("doc_id"))))
-      .filter(col("rk") <= SOURCE_CAP_K).drop("rk")
+        Seq("doc_id"), "left_anti")
       .localCheckpoint()
+    val s4 = capStageBoundedTopK(s3).localCheckpoint()
     packTokenBudget(s4)
       .select(col("doc_id"), col("source"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("quality"), col("cum_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Stage 4 of the curation pipeline, split out so PlanSpec can pin
+    * its physical shape: per-source cap via the [[graft.functions
+    * .BoundedTopK]] bounded-PQ aggregate (the `source_cap` form,
+    * proved ≡ the window form there) — partial buffers never exceed K
+    * and merge map-side, so the flagship pipeline carries NO per-source
+    * sort. Kept ids semi-join back to recover the row payload; the
+    * aggregate output is O(sources · K). `rows` must carry (doc_id,
+    * source); extra columns pass through. */
+  private[graft] def capStageBoundedTopK(rows: DataFrame): DataFrame = {
+    val h = TextFns.hash56(col("doc_id").cast("string"))
+    val tk = udaf(new graft.functions.BoundedTopK(SOURCE_CAP_K))
+    val keptIds = rows.groupBy(col("source"))
+      .agg(tk((-h).as("v"), col("doc_id")).as("tk"))
+      .select(explode(col("tk.entries.tie")).as("doc_id"))
+    rows.join(keptIds, Seq("doc_id"), "left_semi")
   }
 
   val curationPipelineSql = {

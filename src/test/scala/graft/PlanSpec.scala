@@ -142,4 +142,14 @@ class PlanSpec extends SparkSpecBase {
       s"expected partial+final ObjectHashAggregate:\n$p")
     assert(!p.contains("Window"), s"heap form must not window-sort:\n$p")
   }
+
+  test("curation_pipeline stage 4: cap is a bounded-PQ aggregate, no window sort") {
+    val p = plan(operators.Pipeline.capStageBoundedTopK(
+      Tables.documents(spark, sfDir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("source"))))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"), s"cap stage must not window-sort:\n$p")
+  }
 }
