@@ -269,6 +269,42 @@ object Pipeline extends QueryModule {
       |  round(quantile_cont(value, 0.95), 6) AS p95
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- value_quantiles_approx: the registered 100 TB swap ----------------
+  /** Sketch accuracy for the registered swap. Rank error is bounded by
+    * n/accuracy per group; at the fixture scales (≤4·10^5 rows per
+    * event type at sf0.1) that band is < 1 rank, so the GK sketch
+    * retains every sample and its answer IS the exact discrete
+    * quantile — the value at 1-based rank ⌈p·n⌉, which is precisely
+    * DuckDB's `quantile_disc` (both semantics probed and matched at
+    * n = 10/11/40000). At 100 TB the same call ships with accuracy
+    * dialed to the memory budget and the rank-error bound takes over —
+    * InvariantSpec runs that regime (accuracy 100 against 10^4 rows)
+    * and asserts the bound holds. */
+  val PCTL_ACCURACY = 1000000
+
+  /** `value_quantiles` with `percentile_approx` — the documented scale
+    * swap as a first-class gate query: the per-group sort the exact
+    * `percentile` pays becomes a mergeable fixed-size sketch (partial
+    * aggregation applies, no group ever materializes). Same call
+    * shape, one function-name + accuracy change. */
+  def valueQuantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        expr(s"percentile_approx(value, 0.5, $PCTL_ACCURACY)").as("p50_approx"),
+        expr(s"percentile_approx(value, 0.95, $PCTL_ACCURACY)").as("p95_approx"))
+      .orderBy(col("event_type"))
+
+  /** Oracle: the exact discrete quantile — see [[PCTL_ACCURACY]] for
+    * why the sketch must equal it at fixture scale. No rounding: both
+    * sides return untouched data values. */
+  val valueQuantilesApproxSql =
+    """SELECT event_type, count(*) AS cnt,
+      |  quantile_disc(value, 0.5) AS p50_approx,
+      |  quantile_disc(value, 0.95) AS p95_approx
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- doc_fingerprint: polynomial rolling hash --------------------------
   /** Order-sensitive rolling hash over the token stream: each token is
     * fingerprinted portably (first 14 hex digits of its md5 → bigint)
@@ -636,5 +672,8 @@ object Pipeline extends QueryModule {
     QueryDef("logsumexp_by_type", logsumexpByType, Some(logsumexpByTypeSql),
       "numerically-stable log-space sum via a typed Aggregator"),
     QueryDef("value_quantiles", valueQuantiles, Some(valueQuantilesSql),
-      "exact p50/p95 per event type (percentile_approx is the 100 TB swap)"))
+      "exact p50/p95 per event type (percentile_approx is the 100 TB swap)"),
+    QueryDef("value_quantiles_approx", valueQuantilesApprox,
+      Some(valueQuantilesApproxSql),
+      "the 100 TB swap itself: percentile_approx sketch p50/p95 per type"))
 }

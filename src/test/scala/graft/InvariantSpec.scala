@@ -79,6 +79,41 @@ class InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("value_quantiles_approx: rank error within n/accuracy when the sketch compresses") {
+    // The gate runs the sketch in its exact regime (accuracy >> n); this
+    // drives the 100 TB regime instead — accuracy far below the group
+    // size, forcing real GK compression — and asserts the sketch's
+    // contract: the returned value's rank interval lies within
+    // n/accuracy of the target rank ceil(p*n).
+    val acc = 100
+    val events = Tables.events(spark, sfDir)
+    val rows = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile_approx(value, 0.5, $acc)").as("v50"),
+        expr(s"percentile_approx(value, 0.95, $acc)").as("v95"))
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, v50, v95) =>
+      assert(n > acc, s"group $et too small ($n) to exercise compression")
+      for ((v, p) <- Seq((v50, 0.5), (v95, 0.95))) {
+        val below = events
+          .filter(col("event_type") === et && col("value") < v).count()
+        val atOrBelow = events
+          .filter(col("event_type") === et && col("value") <= v).count()
+        val target = math.ceil(p * n)
+        // Distance from the target rank to the value's [min, max] rank
+        // interval (duplicates give a value a rank RANGE, not a point).
+        val dist =
+          if (target < below + 1) below + 1 - target
+          else if (target > atOrBelow) target - atOrBelow
+          else 0L
+        assert(dist <= n.toDouble / acc + 1,
+          s"$et p=$p: value $v rank interval [${below + 1}, $atOrBelow] " +
+            s"is $dist ranks from target $target (bound ${n / acc})")
+      }
+    }
+  }
+
   test("cosine_topk: ranks contiguous from 1, cosine non-increasing") {
     val byQuery = operators.Similarity.cosineTopk(spark, sfDir)
       .select("query_id", "rank", "cosine")
