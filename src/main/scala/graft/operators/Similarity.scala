@@ -254,6 +254,14 @@ object Similarity extends QueryModule {
 
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     val (e, cent) = ivfParts(spark, dir)
+    ivfServe(e, cent)
+  }
+
+  /** The IVF serving tail against an arbitrary codebook: assign the
+    * corpus (nearest cell), probe the query workload's NPROBE nearest
+    * cells, exact re-rank within probed cells. Shared by the stride
+    * codebook (`ann_ivf_topk`) and the trained one (`ann_ivf_trained`). */
+  private def ivfServe(e: DataFrame, cent: DataFrame): DataFrame = {
     val nearest = nearestCells(cent) _
     val assigned = nearest(e, 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
@@ -345,6 +353,108 @@ object Similarity extends QueryModule {
        |SELECT cell, CAST(pos AS INT) AS pos, count(*) AS n_members,
        |  round(avg(x), 6) AS mean_val
        |FROM xs GROUP BY cell, pos ORDER BY cell, pos""".stripMargin
+
+  // --- ann_ivf_trained: serve from an iterated k-means codebook -----------
+  /** Training iterations for the served codebook — the "production
+    * would train" note on [[annIvfTopk]] made real. Two refinements are
+    * where the fixture's assignment churn flattens; more iterations
+    * change the oracle's CTE count, nothing structural. */
+  val IVF_TRAIN_ITERS = 2
+
+  /** The codebook after `iters` k-means refinements of the stride
+    * codebook: each iteration re-runs the exact nearest-centroid
+    * assignment (`ivf_kmeans_step`'s math — rounded-cosine ranking,
+    * `round(avg, 6)` means, empty cells drop) and rebuilds (cid, cv,
+    * cnrm). The codebook never leaves the cluster: O(K) rows flowing
+    * DataFrame→broadcast→aggregate each round, `localCheckpoint` per
+    * iteration so the plan does not nest iterations. Cross-engine
+    * parity: the per-dimension means are rounded to 6 decimals, so
+    * both engines re-assign against bit-identical trained centroids
+    * (same absorb-the-ulps contract `ivf_kmeans_step` pins). */
+  private def trainedCodebook(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    val (e, cent0) = ivfParts(spark, dir)
+    var cent = cent0
+    for (_ <- 1 to iters) {
+      val assigned = nearestCells(cent)(e, 1)
+        .select(col("cid").as("cell"), col("v"))
+      cent = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .select(col("cell").as("cid"), col("cv"),
+          sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0),
+            (a, x) => a + x)).as("cnrm"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** The IVF serving query against the TRAINED codebook — identical
+    * dataflow to [[annIvfTopk]] (assignment O(n·K), codebook
+    * broadcast, NPROBE cell search, exact re-rank); only the codebook
+    * differs. SimilaritySpec asserts its recall against exact ground
+    * truth is ≥ the stride codebook's on the fixture. */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    ivfServe(corpus(spark, dir),
+      trainedCodebook(spark, dir, IVF_TRAIN_ITERS))
+
+  /** One k-means refinement in SQL: assignment vs `centIn` → per-cell
+    * 6-decimal means reassembled into list centroids with norms, as
+    * `centOut`. Chained [[IVF_TRAIN_ITERS]] times by the oracle —
+    * PageRank's unrolled-iteration MATERIALIZED-CTE pattern. */
+  private def kmeansIterSql(centIn: String, tag: String, centOut: String): String =
+    s"""a${tag}c AS MATERIALIZED (SELECT n.vec_id, n.v, c.cid,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> n.v[i] * c.cv[i]))
+       |        / (n.nrm * c.cnrm), 6) AS ccos
+       |  FROM n CROSS JOIN $centIn c),
+       |a${tag}r AS MATERIALIZED (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM a${tag}c),
+       |a$tag AS MATERIALIZED (SELECT vec_id, v, cid AS cell FROM a${tag}r WHERE crank = 1),
+       |m$tag AS MATERIALIZED (SELECT cell, u['p'] AS pos, round(avg(u['x']), 6) AS m
+       |  FROM (SELECT cell, unnest(list_transform(range(0, $DIM),
+       |    i -> {'p': i, 'x': v[i + 1]})) AS u FROM a$tag)
+       |  GROUP BY cell, pos),
+       |$centOut AS MATERIALIZED (SELECT cid, cv,
+       |  sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM (
+       |  SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m$tag GROUP BY cell))""".stripMargin
+
+  val annIvfTrainedSql = {
+    val iters = (1 to IVF_TRAIN_ITERS).map { i =>
+      kmeansIterSql(if (i == 1) "cent" else s"cent$i", i.toString, s"cent${i + 1}")
+    }.mkString(",\n")
+    val served = s"cent${IVF_TRAIN_ITERS + 1}"
+    s"""$corpusSql,
+       |st AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $K_CENTROIDS) AS BIGINT)
+       |         AS stride FROM n),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n CROSS JOIN st
+       |         WHERE vec_id % stride = $CENTROID_OFF % stride),
+       |$iters,
+       |sc AS MATERIALIZED (SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> n.v[i] * c.cv[i]))
+       |        / (n.nrm * c.cnrm), 6) AS ccos
+       |  FROM n CROSS JOIN $served c),
+       |sr AS MATERIALIZED (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM sc),
+       |assigned AS (SELECT vec_id, v, nrm, cid AS cell FROM sr WHERE crank = 1),
+       |probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cid AS cell
+       |  FROM sr CROSS JOIN qst
+       |  WHERE crank <= $NPROBE AND vec_id % qstride = 0),
+       |p AS (SELECT probes.query_id, assigned.vec_id,
+       |  round(list_sum(list_transform(range(1, $DIM + 1),
+       |          i -> probes.qv[i] * assigned.v[i]))
+       |        / (probes.qnrm * assigned.nrm), 6) AS cosine
+       |  FROM assigned JOIN probes ON assigned.cell = probes.cell
+       |  WHERE assigned.vec_id <> probes.query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT query_id, vec_id, cosine, rank FROM r
+       |WHERE rank <= $IVF_TOP_K ORDER BY query_id, rank""".stripMargin
+  }
 
   // --- interactive serving path ------------------------------------------
   /** Exact top-k neighbours of ONE corpus vector — the ad-hoc serving
@@ -602,6 +712,8 @@ object Similarity extends QueryModule {
       "IVF: deterministic codebook, nprobe cell search + re-rank"),
     QueryDef("ivf_kmeans_step", ivfKmeansStep, Some(ivfKmeansStepSql),
       "one k-means codebook refinement: elementwise cell means, flat output"),
+    QueryDef("ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql),
+      "IVF served from the k-means-trained codebook (unrolled-CTE oracle)"),
     QueryDef("embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
       "embedding-cosine near-dup pairs via sign-LSH buckets"),
     QueryDef("embedding_dedup_auto", embeddingDedupAuto, None,

@@ -28,4 +28,26 @@ class SimilaritySpec extends SparkSpecBase {
       cA > cB || (cA == cB && idA < idB)
     })
   }
+
+  /** Fraction of exact top-IVF_TOP_K neighbours an IVF run recovers. */
+  private def ivfRecall(served: org.apache.spark.sql.DataFrame): Double = {
+    val truth = Similarity.cosineTopk(spark, sfDir)
+      .filter(col("rank") <= Similarity.IVF_TOP_K)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val got = served.select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    (truth & got).size.toDouble / truth.size
+  }
+
+  test("ann_ivf_trained: recall vs exact truth >= the stride codebook's") {
+    // The training iterations must not LOSE recall relative to the
+    // untrained stride codebook (they tighten cells around the data,
+    // so probed cells cover true neighbours at least as well here).
+    val stride = ivfRecall(Similarity.annIvfTopk(spark, sfDir))
+    val trained = ivfRecall(Similarity.annIvfTrained(spark, sfDir))
+    assert(trained >= stride,
+      s"trained recall $trained < stride recall $stride")
+    assert(trained > 0.0)
+  }
 }
