@@ -161,7 +161,14 @@ object Dedup extends QueryModule {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // Exact verification within candidates only.
+    verifiedPairs(cand, sh)
+  }
+
+  /** Exact verification within candidates only: fetch both shingle
+    * arrays for each (doc_a, doc_b) candidate, keep pairs at or above
+    * the Jaccard threshold. Shared by the plain and salted candidate
+    * generators. */
+  private def verifiedPairs(cand: DataFrame, sh: DataFrame): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
@@ -172,6 +179,68 @@ object Dedup extends QueryModule {
         round(col("inter")
           / (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= JACCARD_THRESHOLD)
+
+  // --- near_dedup_salted: hot-bucket salting for the candidate join -------
+
+  /** Buckets with more than this many members take the salted path.
+    * Set low here so the fixture's planted duplicate clusters actually
+    * route through it; a production run sets it to the occupancy where
+    * one bucket's m² pair work no longer fits a task (10³–10⁴), which
+    * also keeps the hot-key set a handful of true outliers. */
+  val HOT_BUCKET_THRESHOLD = 2
+  val SALT_FACTOR = 4
+
+  /** Candidate pairs from an (id, band_idx, band_key) bucket frame with
+    * HOT buckets salted — the `skew_safe_distinct` two-phase move
+    * applied where it matters at 100 TB: one boilerplate band key
+    * shared by 10⁵ crawl pages turns the plain self-join into a single
+    * 10¹⁰-pair straggler task. Phase 1 counts bucket occupancy; keys
+    * above `hotThreshold` (a tiny outlier set by construction —
+    * broadcast) split their m² work `saltFactor` ways: side A salts on
+    * a hash of its OWN id, side B replicates across all salt values,
+    * and the join key becomes (band, salt) — so a hot bucket's pairs
+    * spread over `saltFactor` shuffle partitions at the cost of
+    * replicating only the hot rows. Every unordered pair still meets
+    * exactly once per bucket (it joins at salt(a) in the a<b
+    * orientation and at salt(b) in the dropped one); cold buckets take
+    * the plain equi-join untouched. Same candidate SET as the plain
+    * generator — the oracle doesn't change. */
+  def saltedBucketPairs(bands: DataFrame, idCol: String,
+      hotThreshold: Int, saltFactor: Int): DataFrame = {
+    require(hotThreshold >= 1 && saltFactor >= 2)
+    val hot = bands.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bkt_n"))
+      .filter(col("bkt_n") > hotThreshold)
+      .select(col("band_idx"), col("band_key"))
+    val cold = bands.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
+    val coldPairs = cold
+      .select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
+      .join(cold.select(col(idCol).as("doc_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val hotRows = bands.join(broadcast(hot), Seq("band_idx", "band_key"), "left_semi")
+    val sideA = hotRows.select(col(idCol).as("doc_a"),
+      col("band_idx"), col("band_key"),
+      pmod(hash(col(idCol)), lit(saltFactor)).as("salt"))
+    val sideB = hotRows.select(col(idCol).as("doc_b"),
+      col("band_idx"), col("band_key"),
+      explode(sequence(lit(0), lit(saltFactor - 1))).as("salt"))
+    val hotPairs = sideA.join(sideB, Seq("band_idx", "band_key", "salt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    coldPairs.union(hotPairs).distinct()
+  }
+
+  /** `near_dedup` with the salted candidate join — identical output
+    * (same LSH, same exact verify, same oracle); only the hot buckets'
+    * pair work is redistributed. SaltedJoinSpec pins candidate-set
+    * equality on a planted hot bucket and the plan shape. */
+  def nearDedupSalted(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir).localCheckpoint()
+    val cand = saltedBucketPairs(bandsOf(spark, sh), "doc_id",
+      HOT_BUCKET_THRESHOLD, SALT_FACTOR)
+    verifiedPairs(cand, sh).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Tokenize+shingle CTEs alone (the LSH-replay oracle needs these
@@ -656,6 +725,8 @@ object Dedup extends QueryModule {
       "LSH band-collision cluster admission (streaming core, one batch)"),
     QueryDef("near_dedup", nearDedup, Some(nearDedupSql),
       "MinHash + banded LSH near-dup pairs, exact-Jaccard verified"),
+    QueryDef("near_dedup_salted", nearDedupSalted, Some(nearDedupSql),
+      "the same pairs with hot LSH buckets salted across the shuffle"),
     QueryDef("simhash", simhash, Some(simhashSql),
       "56-bit SimHash signature per document"),
     QueryDef("simhash_dedup", simhashDedup, Some(simhashDedupSql),
