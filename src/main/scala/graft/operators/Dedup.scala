@@ -687,7 +687,12 @@ object Dedup extends QueryModule {
         graft.streaming.StreamNearDedup.emptyState(spark))
       ._1.select(col("doc_id")).orderBy(col("doc_id"))
 
-  val neardedupIngestSql: String = {
+  /** CTEs replaying the engine's ACTUAL band math in SQL — all 128
+    * `(a·(x mod p)+b) mod p` minhashes and the 31-ary band polynomials
+    * — ending in `bx` = every document's (doc_id, i = band_idx,
+    * k = band_key) rows. Shared by the one-batch ingest oracle and the
+    * paced multi-batch replay. */
+  private val bandReplayCtes: String = {
     val minhashes = (0 until MINHASH_K).map { j =>
       s"list_min(list_transform(f, x -> (${MH_A(j)} * (x % $MH_P) + ${MH_B(j)}) % $MH_P))"
     }.mkString(",\n    ")
@@ -696,14 +701,18 @@ object Dedup extends QueryModule {
         .reduce((acc, m) => s"($acc * 31 + $m)")
       s"{'i': $b, 'k': $poly}"
     }.mkString(",\n    ")
-    s"""WITH RECURSIVE $shingleCtes,
+    s"""$shingleCtes,
        |f AS MATERIALIZED (SELECT doc_id,
        |  list_transform(s, t -> ${hash56Sql("t")}) AS f FROM sh),
        |mh AS MATERIALIZED (SELECT doc_id, [
        |    $minhashes] AS m FROM f),
        |bx AS MATERIALIZED (SELECT doc_id, u['i'] AS i, u['k'] AS k FROM (
        |  SELECT doc_id, unnest([
-       |    $bandStructs]) AS u FROM mh)),
+       |    $bandStructs]) AS u FROM mh))""".stripMargin
+  }
+
+  val neardedupIngestSql: String =
+    s"""WITH RECURSIVE $bandReplayCtes,
        |be AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
        |  FROM bx a JOIN bx b ON a.i = b.i AND a.k = b.k AND a.doc_id <> b.doc_id),
@@ -718,6 +727,67 @@ object Dedup extends QueryModule {
        |WHERE d.doc_id NOT IN (
        |  SELECT doc_id FROM r GROUP BY doc_id HAVING min(comp) < doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Number of staged files (= micro-batches) for the PACED streaming
+    * gate query; batch k holds doc_id ≡ k (mod PACED_BATCHES), which is
+    * what lets the oracle replay the exact batch boundaries in SQL. */
+  val PACED_BATCHES = 3
+
+  /** Oracle for `stream_neardedup_paced`: the [[neardedupIngestSql]]
+    * replay UNROLLED over the staged batch boundaries. Per batch k —
+    * docs with doc_id ≡ k (mod [[PACED_BATCHES]]) — the replay drops
+    * docs whose band keys collide with the accumulated admitted state
+    * (`stK`), clusters the survivors' intra-batch collision graph
+    * (recursive min-label closure `rK`), admits each cluster's minimum,
+    * and folds the admitted docs' band keys into the state for batch
+    * k+1. Emitting `batch_id = doc_id % PACED_BATCHES` makes the gate
+    * sensitive to the ENGINE's batching: if the file source lumped two
+    * staged files into one trigger (or reordered them), the admitted
+    * set itself would shift wherever a cross-batch drop should have
+    * been an intra-batch clustering (or vice versa). This certifies the
+    * live engine's cross-batch state path — the piece the one-batch
+    * `stream_neardedup_live` gate deliberately leaves to MemoryStream
+    * tests. */
+  val streamNearDedupPacedSql: String = {
+    val perBatch = (0 until PACED_BATCHES).map { k =>
+      val docs = s"SELECT doc_id FROM documents WHERE doc_id % $PACED_BATCHES = $k"
+      val surv =
+        if (k == 0) s"sv0 AS MATERIALIZED ($docs)"
+        else
+          s"""sv$k AS MATERIALIZED (SELECT doc_id FROM ($docs)
+             |  WHERE doc_id NOT IN (
+             |    SELECT DISTINCT bx.doc_id FROM bx
+             |    JOIN st${k - 1} ON bx.i = st${k - 1}.i AND bx.k = st${k - 1}.k))""".stripMargin
+      val newState =
+        s"SELECT bx.i, bx.k FROM bx WHERE bx.doc_id IN (SELECT doc_id FROM adm$k)"
+      val state =
+        if (k == 0) s"st0 AS MATERIALIZED ($newState)"
+        else
+          s"""st$k AS MATERIALIZED (
+             |  SELECT i, k FROM st${k - 1} UNION $newState)""".stripMargin
+      s"""$surv,
+         |be$k AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+         |  FROM bx a JOIN bx b ON a.i = b.i AND a.k = b.k AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM sv$k)
+         |    AND b.doc_id IN (SELECT doc_id FROM sv$k)),
+         |r$k AS (
+         |  SELECT s AS doc_id, s AS comp FROM be$k
+         |  UNION
+         |  SELECT be$k.d AS doc_id, r$k.comp AS comp
+         |  FROM r$k JOIN be$k ON be$k.s = r$k.doc_id
+         |  WHERE r$k.comp < be$k.d
+         |),
+         |adm$k AS MATERIALIZED (SELECT doc_id FROM sv$k WHERE doc_id NOT IN (
+         |  SELECT doc_id FROM r$k GROUP BY doc_id HAVING min(comp) < doc_id)),
+         |$state""".stripMargin
+    }.mkString(",\n")
+    val admitted = (0 until PACED_BATCHES)
+      .map(k => s"SELECT doc_id FROM adm$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $bandReplayCtes,
+       |$perBatch
+       |SELECT doc_id, doc_id % $PACED_BATCHES AS batch_id
+       |FROM ($admitted) ORDER BY doc_id""".stripMargin
   }
 
   override def entries: Seq[QueryDef] = Seq(

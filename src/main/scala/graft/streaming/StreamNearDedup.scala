@@ -125,15 +125,29 @@ object StreamNearDedup {
         .select(col("doc_id"), col("text"))
     }
 
-  def streamNearDedupLive(spark: SparkSession, dir: String): DataFrame = {
-    val path = stagedDocsDir(spark, dir)
+  def streamNearDedupLive(spark: SparkSession, dir: String): DataFrame =
+    runLive(spark, stagedDocsDir(spark, dir), paced = false)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+
+  /** Drive the admission accumulator under the live engine over a
+    * staged source directory; `paced` throttles to one file per
+    * micro-batch. Returns the admitted (doc_id, text, batch_id) rows
+    * re-based onto the caller's session WITHOUT a driver collect: the
+    * admitted set is O(corpus) — the per-batch localCheckpoints
+    * already hold the rows in executor storage, and the stream
+    * checkpoint dir is only metadata, safe to reclaim first. */
+  private def runLive(spark: SparkSession, path: String,
+      paced: Boolean): DataFrame = {
     val schema = spark.read.parquet(path).schema
     val ss = spark.newSession()
     val acc = new Accumulator(ss)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_neardedup_ckpt_")
     val admitted =
       try {
-        val q = ss.readStream.schema(schema).parquet(path)
+        val reader = ss.readStream.schema(schema)
+        val src = (if (paced) reader.option("maxFilesPerTrigger", 1) else reader)
+          .parquet(path)
+        val q = src
           .select(col("doc_id"), col("text"))
           .writeStream
           .foreachBatch((b: DataFrame, id: Long) => acc.onBatch(b, id))
@@ -141,13 +155,57 @@ object StreamNearDedup {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
-        acc.admitted.select(col("doc_id"))
+        acc.admitted
       } finally StreamingOps.deleteRecursively(ckpt)
-    // Re-base onto the caller's session WITHOUT a driver collect: the
-    // admitted set is O(corpus) — the per-batch localCheckpoints
-    // already hold the rows in executor storage, and the checkpoint
-    // dir above is only stream metadata, safe to reclaim first.
     spark.createDataFrame(admitted.rdd, admitted.schema)
-      .orderBy(col("doc_id"))
   }
+
+  // --- stream_neardedup_paced: the cross-batch state path, live ----------
+
+  /** The documents table staged as [[graft.operators.Dedup.PACED_BATCHES]]
+    * single-file parquets — file k holds doc_id ≡ k (mod PACED_BATCHES)
+    * with strictly increasing fixed modification times, so the file
+    * source's oldest-first listing yields batch k = file k under
+    * `maxFilesPerTrigger = 1`. Deterministic staging is what lets the
+    * paced oracle replay the batch boundaries in SQL. */
+  private val pacedStaged = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private def stagedPacedDocsDir(spark: SparkSession, dir: String): String =
+    pacedStaged.getOrElseUpdate((spark, dir), {
+      import scala.jdk.CollectionConverters._
+      val nb = Dedup.PACED_BATCHES
+      val dest = java.nio.file.Files.createTempDirectory("graft_neardedup_paced_")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      (0 until nb).foreach { k =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_paced_tmp_")
+        docs.filter(pmod(col("doc_id"), lit(nb)) === k)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).iterator().asScala
+          .find { p =>
+            val n = p.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet")
+          }.getOrElse(sys.error(s"no part file staged under $tmp"))
+        val target = dest.resolve(f"batch$k%02d.parquet")
+        java.nio.file.Files.move(part, target)
+        // Fixed, strictly increasing mtimes: the source lists
+        // oldest-first, so processing order is the staging order on
+        // every run (no same-mtime ties to break).
+        target.toFile.setLastModified(1000000000000L + k * 60000L)
+        StreamingOps.deleteRecursively(tmp)
+      }
+      dest.toString
+    })
+
+  /** Gate/bench query: the admission filter under the live engine with
+    * REAL batch boundaries — one staged file per micro-batch — so the
+    * engine's cross-batch state path (drop-on-prior-admission) is what
+    * produces the answer, not one big intra-batch clustering. The
+    * emitted batch_id makes the oracle (which replays the same
+    * boundaries in SQL, [[graft.operators.Dedup.streamNearDedupPacedSql]])
+    * sensitive to batch lumping or reordering. */
+  def streamNearDedupPaced(spark: SparkSession, dir: String): DataFrame =
+    runLive(spark, stagedPacedDocsDir(spark, dir), paced = true)
+      .select(col("doc_id"), col("batch_id")).orderBy(col("doc_id"))
 }

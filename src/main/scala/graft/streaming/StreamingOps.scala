@@ -323,5 +323,8 @@ object StreamingOps extends QueryModule {
       "first-touch dedup per key (batch replay of dropDuplicatesWithinWatermark)"),
     QueryDef("stream_neardedup_live", StreamNearDedup.streamNearDedupLive,
       Some(graft.operators.Dedup.neardedupIngestSql),
-      "LSH near-dedup admission run by the live streaming engine"))
+      "LSH near-dedup admission run by the live streaming engine"),
+    QueryDef("stream_neardedup_paced", StreamNearDedup.streamNearDedupPaced,
+      Some(graft.operators.Dedup.streamNearDedupPacedSql),
+      "the same admission paced one file per micro-batch (cross-batch state live)"))
 }
