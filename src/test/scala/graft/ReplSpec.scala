@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The REPL's dispatcher must route to the same library entries the
+  * gate queries certify — so these only pin routing and argument
+  * handling, not retrieval semantics (RetrievalSpec / SimilaritySpec
+  * own those). */
+class ReplSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("q routes to boolean retrieval and returns the query's row") {
+    val df = Repl.dispatch(spark, sfDir, "  q fast table AND slow OR ").get
+    val row = df.select(col("query"), col("n_docs")).collect().head
+    assert(row.getString(0) == "fast table AND slow OR")
+    val expect = operators.InvertedIndex
+      .retrieve(spark, sfDir, "fast table AND slow OR")
+      .select(col("n_docs")).as[Int].head()
+    assert(row.getInt(1) == expect)
+  }
+
+  test("sim routes to nearestTo with default and explicit k") {
+    val dflt = Repl.dispatch(spark, sfDir, "sim 0").get
+    assert(dflt.count() == operators.Similarity.TOP_K)
+    val k3 = Repl.dispatch(spark, sfDir, "sim 0 3").get.as[(Long, Double)]
+      .collect().toSeq
+    assert(k3.size == 3)
+    val direct = operators.Similarity.nearestTo(spark, sfDir, 0L, 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(k3 == direct)
+  }
+
+  test("blank and unknown input dispatch to None") {
+    assert(Repl.dispatch(spark, sfDir, "   ").isEmpty)
+    assert(Repl.dispatch(spark, sfDir, "frobnicate 1").isEmpty)
+    assert(Repl.dispatch(spark, sfDir, "sim notanumber").isEmpty)
+    assert(Repl.dispatch(spark, sfDir, "q").isEmpty)
+  }
+}
