@@ -150,7 +150,7 @@ object Bench {
     if (only.isEmpty) {
       try java.nio.file.Files.writeString(
         java.nio.file.Path.of(
-          s"BENCH_FULL_r${currentRoundOrInferred(new java.io.File("."))}.json"),
+          f"BENCH_FULL_r${currentRoundOrInferred(new java.io.File("."))}%02d.json"),
         line + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCH_FULL write skipped: ${e.getMessage}") }

@@ -228,6 +228,12 @@ object StreamingOps extends QueryModule {
         // Materialize (720 hourly windows — tiny) so the sink view and
         // checkpoint can be reclaimed before returning: repeated bench
         // invocations used to leak both for the session's lifetime.
+        // The collect is bounded at O(windows) BY THE MEMORY SINK'S OWN
+        // CONTRACT (complete mode holds the result table on the
+        // driver); at 100 TB with years of windows the production form
+        // is the parquet/foreachBatch sink FileStreamSpec exercises —
+        // this query's job is to wall-clock the live engine on a
+        // driver-safe aggregate.
         (out.schema, out.collect().toSeq)
       } finally {
         ss.catalog.dropTempView(name)
