@@ -238,7 +238,13 @@ object Dedup extends QueryModule {
     * equality on a planted hot bucket and the plan shape. */
   def nearDedupSalted(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).localCheckpoint()
-    val cand = saltedBucketPairs(bandsOf(spark, sh), "doc_id",
+    // Materialize the band frame: the salted generator consumes it FIVE
+    // times (occupancy count, both cold join sides, both hot sides) and
+    // per-branch pruning defeats exchange reuse — un-materialized, the
+    // 128-minhash pipeline runs per consumer (measured ~1s of the
+    // ~4.4s bench). O(docs · bands · 16B) rows — cheap to hold.
+    val bands = bandsOf(spark, sh).localCheckpoint()
+    val cand = saltedBucketPairs(bands, "doc_id",
       HOT_BUCKET_THRESHOLD, SALT_FACTOR)
     verifiedPairs(cand, sh).orderBy(col("doc_a"), col("doc_b"))
   }
