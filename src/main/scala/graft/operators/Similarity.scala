@@ -225,20 +225,24 @@ object Similarity extends QueryModule {
   val NPROBE = 3
   val IVF_TOP_K = 3
 
-  /** (corpus, centroids) for the IVF family — the deterministic
-    * stride-picked codebook shared by search and the k-means step. */
-  private def ivfParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = corpus(spark, dir)
+  /** The deterministic stride-picked codebook over a corpus frame. */
+  private def strideCodebook(e: DataFrame): DataFrame = {
     val stride = e.agg(
       ceil(count(lit(1)).cast("double") / K_CENTROIDS).cast("long").as("stride"))
     // offset reduced mod stride: at n ≤ K the stride degenerates to 1
     // and a fixed offset of 1 would select NOTHING (x % 1 is always 0);
     // reduced, every vector becomes its own centroid — the correct
     // tiny-corpus limit.
-    val cent = e.crossJoin(broadcast(stride))
+    e.crossJoin(broadcast(stride))
       .filter(col("vec_id") % col("stride") === lit(CENTROID_OFF) % col("stride"))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    (e, cent)
+  }
+
+  /** (corpus, centroids) for the IVF family — the deterministic
+    * stride-picked codebook shared by search and the k-means step. */
+  private def ivfParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = corpus(spark, dir)
+    (e, strideCodebook(e))
   }
 
   /** Rows of `side` tagged with their `keep` nearest centroids. */
@@ -371,9 +375,8 @@ object Similarity extends QueryModule {
     * parity: the per-dimension means are rounded to 6 decimals, so
     * both engines re-assign against bit-identical trained centroids
     * (same absorb-the-ulps contract `ivf_kmeans_step` pins). */
-  private def trainedCodebook(spark: SparkSession, dir: String,
+  private def trainedCodebook(e: DataFrame, cent0: DataFrame,
       iters: Int): DataFrame = {
-    val (e, cent0) = ivfParts(spark, dir)
     var cent = cent0
     for (_ <- 1 to iters) {
       val assigned = nearestCells(cent)(e, 1)
@@ -398,9 +401,16 @@ object Similarity extends QueryModule {
     * broadcast, NPROBE cell search, exact re-rank); only the codebook
     * differs. SimilaritySpec asserts its recall against exact ground
     * truth is ≥ the stride codebook's on the fixture. */
-  def annIvfTrained(spark: SparkSession, dir: String): DataFrame =
-    ivfServe(corpus(spark, dir),
-      trainedCodebook(spark, dir, IVF_TRAIN_ITERS))
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    // One materialization of the normalized corpus feeds every
+    // consumer (stride count, codebook pick, each training
+    // assignment, serve assignment, probe workload — seven references,
+    // each a full scan + norm recompute otherwise). At 100 TB this is
+    // a deliberate cluster-wide spill of (vec_id, v, nrm) — the right
+    // trade for a pass that sweeps the corpus per reference anyway.
+    val e = corpus(spark, dir).localCheckpoint()
+    ivfServe(e, trainedCodebook(e, strideCodebook(e), IVF_TRAIN_ITERS))
+  }
 
   /** One k-means refinement in SQL: assignment vs `centIn` → per-cell
     * 6-decimal means reassembled into list centroids with norms, as
