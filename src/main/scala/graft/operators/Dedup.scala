@@ -319,14 +319,20 @@ object Dedup extends QueryModule {
       .distinct()
       .localCheckpoint()
     var rounds = 0
-    var converged = e.isEmpty
+    var eCount = e.count()
+    var converged = eCount == 0
     while (!converged) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       rounds += 1
       // Both sides are canonical distinct sets, so equality reduces to
-      // equal counts + empty one-sided difference.
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      // equal counts + empty one-sided difference; the previous count
+      // is carried across rounds (one comparison job, not two — the
+      // collision graphs the streaming admission runs this on are tiny
+      // and per-round job overhead dominates there).
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
       e = next
+      eCount = nextCount
     }
     lastComponentsRounds.set(rounds)
     // Fixed point = star forest: v IS the component minimum for every
