@@ -154,7 +154,10 @@ object Dedup extends QueryModule {
     // scans, 0 ReusedExchange). The frame is (doc_id, 56-bit gram
     // array) — a few MB per million docs per executor.
     val sh = shingles(spark, dir).localCheckpoint()
-    val bands = bandsOf(spark, sh)
+    // Same boundary as the salted variant: both candidate join sides
+    // consume the band frame and per-side pruning defeats exchange
+    // reuse — materialized, the minhash pipeline runs once.
+    val bands = bandsOf(spark, sh).localCheckpoint()
     val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
