@@ -143,6 +143,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"heap form must not window-sort:\n$p")
   }
 
+  test("value_quantiles_approx: sketch aggregates partial then final (mergeable)") {
+    // The whole point of the swap: the percentile sketch must combine
+    // map-side (partial ObjectHashAggregate) and merge at the reducer —
+    // a plan with only a final aggregate would ship raw rows and
+    // reintroduce the per-group sort's shuffle volume.
+    val p = plan(operators.Pipeline.valueQuantilesApprox(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final sketch aggregation:\n$p")
+    assert(!p.contains("Window"), s"approx form must not sort per group:\n$p")
+  }
+
   test("curation_pipeline stage 4: cap is a bounded-PQ aggregate, no window sort") {
     val p = plan(operators.Pipeline.capStageBoundedTopK(
       Tables.documents(spark, sfDir)
