@@ -332,6 +332,86 @@ object Pipeline extends QueryModule {
        |  n_tokens
        |FROM h ORDER BY doc_id""".stripMargin
 
+  // --- doc_repetition: C4/Gopher-style repetition filters ----------------
+  /** Repetition thresholds, set at the fixture distribution's tails
+    * (top-token ≈ p97, top-bigram ≈ p97, distinct-ratio ≈ p05) so the
+    * flag genuinely splits the corpus; production values are the same
+    * knobs (the published C4/Gopher rules use fractions of this
+    * magnitude over lines/n-grams). */
+  val REP_TOP_TOKEN_FRAC = 0.18
+  val REP_TOP_BIGRAM_FRAC = 0.10
+  val REP_MIN_DISTINCT_RATIO = 0.31
+
+  /** Per-document repetition scoring — the C4/Gopher quality-filter
+    * family the length/stopword heuristics of [[docQuality]] don't
+    * cover: most-frequent-token fraction, most-frequent-bigram
+    * fraction, distinct-token ratio, and the combined `is_repetitive`
+    * drop flag. Shape at 100 TB: the per-doc top counts are
+    * explode → two-level hash aggregation on (doc_id, gram) then
+    * doc_id — partial aggregation applies at both levels, nothing ever
+    * sorts, and the joins are on the doc_id the frame is already
+    * partitioned by. The flag compares the ROUNDED fractions on both
+    * engines, so threshold boundaries cannot diverge. */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    // One tokenizer pass feeds three consumers (token counts, bigram
+    // counts, the distinct-ratio projection) — the tokenBudgetPack
+    // boundary rationale.
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokenize(col("text")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") > 0)
+      .localCheckpoint()
+    val topTok = base.select(col("doc_id"), col("n"), explode(col("ts")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_tok"))
+    val topBg = base.filter(col("n") >= 2)
+      .select(col("doc_id"), explode(TextFns.bigrams(col("ts"))).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_bg"))
+    base
+      .select(col("doc_id"), col("n"),
+        size(array_distinct(col("ts"))).as("nd"))
+      .join(topTok, Seq("doc_id"))
+      .join(topBg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        round(col("nd").cast("double") / col("n"), 6).as("distinct_ratio"),
+        round(col("max_tok").cast("double") / col("n"), 6).as("top_token_frac"),
+        round(when(col("n") >= 2,
+          coalesce(col("max_bg"), lit(0L)).cast("double") / (col("n") - 1))
+          .otherwise(0.0), 6).as("top_bigram_frac"))
+      .withColumn("is_repetitive",
+        col("top_token_frac") > REP_TOP_TOKEN_FRAC ||
+          col("top_bigram_frac") > REP_TOP_BIGRAM_FRAC ||
+          col("distinct_ratio") < REP_MIN_DISTINCT_RATIO)
+      .orderBy(col("doc_id"))
+  }
+
+  val docRepetitionSql = {
+    val ts = TextFns.tokenizeSql("text")
+    s"""WITH d AS (SELECT doc_id, $ts AS ts FROM documents),
+       |b AS (SELECT doc_id, ts, len(ts) AS n FROM d WHERE len(ts) > 0),
+       |tok AS (SELECT doc_id, t, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(ts) AS t FROM b) GROUP BY doc_id, t),
+       |mt AS (SELECT doc_id, max(c) AS max_tok FROM tok GROUP BY doc_id),
+       |idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM b WHERE len(ts) > 1),
+       |bgc AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, count(*) AS c
+       |  FROM idx GROUP BY doc_id, w1, w2),
+       |mb AS (SELECT doc_id, max(c) AS max_bg FROM bgc GROUP BY doc_id),
+       |m AS (SELECT b.doc_id, n,
+       |  round(CAST(len(list_distinct(ts)) AS DOUBLE) / n, 6) AS distinct_ratio,
+       |  round(CAST(max_tok AS DOUBLE) / n, 6) AS top_token_frac,
+       |  round(CASE WHEN n >= 2
+       |    THEN CAST(coalesce(max_bg, 0) AS DOUBLE) / (n - 1) ELSE 0.0 END, 6)
+       |    AS top_bigram_frac
+       |  FROM b JOIN mt USING (doc_id) LEFT JOIN mb USING (doc_id))
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, distinct_ratio,
+       |  top_token_frac, top_bigram_frac,
+       |  (top_token_frac > $REP_TOP_TOKEN_FRAC
+       |   OR top_bigram_frac > $REP_TOP_BIGRAM_FRAC
+       |   OR distinct_ratio < $REP_MIN_DISTINCT_RATIO) AS is_repetitive
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   // --- stratified_sample: deterministic per-source corpus balancing ------
 
   /** Cap every source at a common budget, keeping a DETERMINISTIC
@@ -663,6 +743,8 @@ object Pipeline extends QueryModule {
       "corpus stats per language"),
     QueryDef("doc_quality", docQuality, Some(docQualitySql),
       "per-doc quality score: length/stopword/alnum ratios"),
+    QueryDef("doc_repetition", docRepetition, Some(docRepetitionSql),
+      "C4/Gopher repetition filters: top token/bigram fractions + flag"),
     QueryDef("token_count", tokenCount, Some(tokenCountSql),
       "whitespace vs BPE-ish-regex token counts per doc"),
     QueryDef("lang_id", langId, Some(langIdSql),

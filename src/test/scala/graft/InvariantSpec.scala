@@ -79,6 +79,21 @@ class InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("doc_repetition: fractions in range, flag consistent, corpus splits") {
+    val rows = SparkEntry.queries("doc_repetition")(spark, sfDir)
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, dr, tt, tb, flag) =>
+      assert(n > 0 && dr > 0 && dr <= 1 && tt > 0 && tt <= 1 && tb >= 0 && tb <= 1,
+        s"doc $id fractions out of range")
+      assert(flag == (tt > operators.Pipeline.REP_TOP_TOKEN_FRAC ||
+        tb > operators.Pipeline.REP_TOP_BIGRAM_FRAC ||
+        dr < operators.Pipeline.REP_MIN_DISTINCT_RATIO), s"doc $id flag")
+    }
+    // Thresholds sit at the distribution tails, not outside them.
+    assert(rows.exists(_._6) && rows.exists(!_._6))
+  }
+
   test("value_quantiles_approx: rank error within n/accuracy when the sketch compresses") {
     // The gate runs the sketch in its exact regime (accuracy >> n); this
     // drives the 100 TB regime instead — accuracy far below the group
