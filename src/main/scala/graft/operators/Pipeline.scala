@@ -352,7 +352,12 @@ object Pipeline extends QueryModule {
     * sorts, and the joins are on the doc_id the frame is already
     * partitioned by. The flag compares the ROUNDED fractions on both
     * engines, so threshold boundaries cannot diverge. */
-  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(spark, dir).orderBy(col("doc_id"))
+
+  /** The unordered per-doc repetition frame — shared by the gate query
+    * and [[curationPipeline]]'s repetition-exclusion stage. */
+  private[operators] def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
     // One tokenizer pass feeds three consumers (token counts, bigram
     // counts, the distinct-ratio projection) — the tokenBudgetPack
     // boundary rationale.
@@ -383,7 +388,6 @@ object Pipeline extends QueryModule {
         col("top_token_frac") > REP_TOP_TOKEN_FRAC ||
           col("top_bigram_frac") > REP_TOP_BIGRAM_FRAC ||
           col("distinct_ratio") < REP_MIN_DISTINCT_RATIO)
-      .orderBy(col("doc_id"))
   }
 
   val docRepetitionSql = {
@@ -638,10 +642,12 @@ object Pipeline extends QueryModule {
   val QUALITY_FLOOR = 0.15
 
   /** The end-to-end training-corpus selection, composed as ONE
-    * declarative plan: quality floor → exact-dedup canonical (sha256
-    * groups among survivors) → near-dup cluster exclusion (the
-    * `dedup_components` map as an anti-join) → per-source cap →
-    * token-budget pack. This is the query a 100 TB curation run
+    * declarative plan: quality floor + repetition exclusion (the
+    * [[docRepetition]] flag as an O(flagged) anti-join) → exact-dedup
+    * canonical (sha256 groups among survivors) → near-dup cluster
+    * exclusion (the `dedup_components` map as an anti-join) →
+    * per-source cap → token-budget pack. This is the query a 100 TB
+    * curation run
     * actually executes; expressing it as one DataFrame lets Catalyst
     * fuse the stages (one tokenizer pass feeds quality scoring, the
     * shared near-dup exclusion list is O(duplicates) and anti-joined,
@@ -653,10 +659,13 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .localCheckpoint() // one tokenizer pass across all branches
     val whash = Window.partitionBy(col("text_hash"))
+    val repFlagged = repetitionStats(spark, dir)
+      .filter(col("is_repetitive")).select(col("doc_id"))
     val s2 = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
       .join(scored, Seq("doc_id"))
       .filter(col("quality") >= QUALITY_FLOOR)
+      .join(repFlagged, Seq("doc_id"), "left_anti")
       .withColumn("text_hash", sha2(col("text"), 256))
       .withColumn("canon", col("doc_id") === min(col("doc_id")).over(whash))
       .filter(col("canon"))
@@ -705,9 +714,26 @@ object Pipeline extends QueryModule {
        |q AS (SELECT doc_id, source, text, n_tokens,
        |  round(least(1.0, n_tokens / 100.0) * (1.0 - stop_ratio) * alnum_ratio, 6) AS quality
        |  FROM q1),
+       |rtok AS (SELECT doc_id, tt, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(ts) AS tt FROM t) GROUP BY doc_id, tt),
+       |rmt AS (SELECT doc_id, max(c) AS max_tok FROM rtok GROUP BY doc_id),
+       |ridx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM t WHERE len(ts) > 1),
+       |rbgc AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, count(*) AS c
+       |  FROM ridx GROUP BY doc_id, w1, w2),
+       |rmb AS (SELECT doc_id, max(c) AS max_bg FROM rbgc GROUP BY doc_id),
+       |rep AS MATERIALIZED (SELECT t.doc_id FROM t
+       |  JOIN rmt USING (doc_id) LEFT JOIN rmb USING (doc_id)
+       |  WHERE len(ts) > 0 AND (
+       |    round(CAST(max_tok AS DOUBLE) / len(ts), 6) > $REP_TOP_TOKEN_FRAC
+       |    OR round(CASE WHEN len(ts) >= 2
+       |         THEN CAST(coalesce(max_bg, 0) AS DOUBLE) / (len(ts) - 1)
+       |         ELSE 0.0 END, 6) > $REP_TOP_BIGRAM_FRAC
+       |    OR round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6)
+       |       < $REP_MIN_DISTINCT_RATIO)),
        |s2 AS (SELECT doc_id, source, n_tokens, quality FROM (
        |    SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS canon
-       |    FROM q WHERE quality >= $QUALITY_FLOOR)
+       |    FROM q WHERE quality >= $QUALITY_FLOOR
+       |      AND doc_id NOT IN (SELECT doc_id FROM rep))
        |  WHERE doc_id = canon),
        |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM nonc)),
        |s4 AS (SELECT doc_id, source, n_tokens, quality FROM (

@@ -171,6 +171,10 @@ class CurationSpec extends SparkSpecBase {
     val dropped = operators.Dedup.nearDupNonCanonical(spark, sfDir)
       .as[Long].collect().toSet
     assert(out.forall(r => !dropped.contains(r._1)))
+    // Stage 1b: no repetition-flagged doc survives.
+    val repFlagged = SparkEntry.queries("doc_repetition")(spark, sfDir)
+      .filter(col("is_repetitive")).select("doc_id").as[Long].collect().toSet
+    assert(out.forall(r => !repFlagged.contains(r._1)))
     // Stage 5: the kept set is a PREFIX of the (quality DESC, doc_id)
     // order (cum is non-decreasing, so the budget cut can't skip),
     // hence each cum_tokens is exactly the previous plus n_tokens.
