@@ -752,7 +752,7 @@ object Pipeline extends QueryModule {
 
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("curation_pipeline", curationPipeline, Some(curationPipelineSql),
-      "end-to-end corpus selection: quality -> dedups -> cap -> budget"),
+      "end-to-end corpus selection: quality+repetition -> dedups -> cap -> budget"),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic md5-ranked per-source corpus balancing"),
     QueryDef("source_cap", sourceCap, Some(sourceCapSql),
