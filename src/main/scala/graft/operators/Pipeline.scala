@@ -503,16 +503,67 @@ object Pipeline extends QueryModule {
       .orderBy(col("source"))
   }
 
-  val mixWeightsSql =
-    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+  /** Shared CTE prefix deriving the per-source targets (c → t → r → z),
+    * used by the weights table and by [[mixApply]]'s oracle. */
+  private val mixWeightsCtes =
+    s"""c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c),
        |r AS (SELECT source, n_docs,
        |  round(pow(CAST(n_docs AS DOUBLE) / total, $MIX_TEMPERATURE), 9) AS w_raw
        |  FROM c, t),
-       |z AS (SELECT CAST(sum(CAST(w_raw AS DECIMAL(28,9))) AS DOUBLE) AS z FROM r)
+       |z AS (SELECT CAST(sum(CAST(w_raw AS DECIMAL(28,9))) AS DOUBLE) AS z FROM r)""".stripMargin
+
+  val mixWeightsSql =
+    s"""WITH $mixWeightsCtes
        |SELECT source, n_docs, round(w_raw / z.z, 6) AS weight,
        |  CAST(floor(w_raw / z.z * t.total + 0.5) AS BIGINT) AS target_docs
        |FROM r, z, t ORDER BY source""".stripMargin
+
+  // --- mix_apply: materialize the mixture the weights table describes ----
+
+  /** The weighted interleave [[mixWeights]] parameterizes, executed:
+    * every source keeps its `target_docs` deterministically-picked
+    * documents (the [[capPerSource]] md5-rank order — stable across
+    * runs and partitionings), so the output IS the temperature-mixed
+    * corpus. Targets exceeding a source's size truncate to the
+    * available documents — upsampling (repeating small-source docs) is
+    * an epoch-schedule concern, not a corpus-materialization one.
+    * Shape at 100 TB: the 1-row-per-source target table broadcast-joins
+    * onto the ranked docs; one window shuffle per source, same envelope
+    * (and same hot-source escape hatch) as [[stratifiedSample]]. */
+  def mixApply(spark: SparkSession, dir: String): DataFrame =
+    applyMixTargets(
+      Tables.documents(spark, dir).select(col("source"), col("doc_id")),
+      mixWeights(spark, dir).select(col("source"), col("target_docs")))
+      .orderBy(col("source"), col("doc_id"))
+
+  /** The target-driven sampler alone, over arbitrary (source, doc_id)
+    * docs and (source, target_docs) targets — split out so CurationSpec
+    * can drive the truncation path on a SKEWED corpus (the gate
+    * fixture's sources are balanced, so its targets equal the source
+    * sizes and the rank filter never bites there). */
+  private[graft] def applyMixTargets(docs: DataFrame, targets: DataFrame): DataFrame = {
+    val rk = row_number().over(Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+    docs.withColumn("rk", rk)
+      .join(broadcast(targets), "source")
+      .filter(col("rk") <= col("target_docs"))
+      .select(col("source"), col("doc_id"))
+  }
+
+  val mixApplySql =
+    s"""WITH $mixWeightsCtes,
+       |w AS (SELECT source,
+       |  CAST(floor(w_raw / z.z * t.total + 0.5) AS BIGINT) AS target_docs
+       |  FROM r, z, t),
+       |rk AS (SELECT source, doc_id,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |SELECT rk.source AS source, rk.doc_id AS doc_id
+       |FROM rk JOIN w USING (source)
+       |WHERE rk.rk <= w.target_docs
+       |ORDER BY source, doc_id""".stripMargin
 
   // --- token_budget_pack: best docs first until the token budget ---------
 
@@ -761,6 +812,8 @@ object Pipeline extends QueryModule {
       "quality-first token-budget packing via distributed prefix sum"),
     QueryDef("mix_weights", mixWeights, Some(mixWeightsSql),
       "temperature-scaled per-source mixing weights and doc targets"),
+    QueryDef("mix_apply", mixApply, Some(mixApplySql),
+      "the mixture materialized: md5-ranked docs kept up to each target"),
     QueryDef("exact_dedup", exactDedup, Some(exactDedupSql),
       "content-hash exact dedup: dup group size + canonical flag per doc"),
     QueryDef("json_extract", jsonExtract, Some(jsonExtractSql),

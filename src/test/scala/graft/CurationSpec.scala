@@ -186,6 +186,26 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("applyMixTargets: downsampling truncates by md5 rank, small sources keep all") {
+    // The gate fixture is balanced (targets == source sizes), so the
+    // truncation path only fires here: a skewed corpus with explicit
+    // targets — the big source must keep EXACTLY its target, picked by
+    // md5-rank prefix; a target past the source size keeps everything.
+    val docs = ((1L to 100L).map(i => ("big", i)) ++
+        (201L to 210L).map(i => ("small", i))).toDF("source", "doc_id")
+    val targets = Seq(("big", 40L), ("small", 12L)).toDF("source", "target_docs")
+    val got = Pipeline.applyMixTargets(docs, targets)
+      .as[(String, Long)].collect().toSeq
+    val bySource = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(bySource("big").size == 40 && bySource("small") == (201L to 210L).toSet)
+    val expectBig = (1L to 100L)
+      .sortBy(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .take(40).toSet
+    assert(bySource("big") == expectBig)
+  }
+
   test("mix_weights: weights normalize and targets re-fill the corpus") {
     val out = SparkEntry.queries("mix_weights")(spark, sfDir)
       .as[(String, Long, Double, Long)].collect().toSeq
