@@ -416,6 +416,79 @@ object Pipeline extends QueryModule {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // --- decontaminate: n-gram overlap against a held-out eval slice -------
+  /** Decontamination window: the published recipes flag training docs
+    * sharing any ~8–13-token n-gram with an evaluation benchmark; 8
+    * here. The "benchmark" is the doc_id ≡ EVAL_RES (mod EVAL_MOD)
+    * slice of the corpus — a stand-in whose planted near-duplicates
+    * guarantee the fixture genuinely exercises the hit path. */
+  val DECON_NGRAM = 8
+  val EVAL_MOD = 10
+  val EVAL_RES = 5
+
+  /** Benchmark decontamination — flag every training document sharing
+    * at least one [[DECON_NGRAM]]-token n-gram with the eval slice.
+    * Shape at 100 TB: the eval side's distinct gram set is SMALL BY
+    * CONSTRUCTION (benchmarks are thousands of rows, not billions) and
+    * broadcasts; the corpus side streams its exploded grams through
+    * one broadcast semi-join + a doc_id re-aggregation — no shuffle of
+    * the corpus gram set, no join on the unbounded side. Grams travel
+    * as plain strings here for oracle transparency; the production
+    * swap is the 56-bit [[TextFns.hash56]] fingerprint (the near_dedup
+    * idiom), one expression on each side. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // Token arrays materialized once (the shinglesOf boundary
+    // rationale: element_at over a physical attribute, not an inlined
+    // tokenizer pipeline).
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokenize(col("text")).as("ts"))
+      .localCheckpoint()
+    val isEval = col("doc_id") % EVAL_MOD === EVAL_RES
+    val gram = (i: Column) => concat_ws(" ",
+      (0 until DECON_NGRAM).map(o => element_at(col("ts"), i + o)): _*)
+    val grams = base
+      .filter(size(col("ts")) >= DECON_NGRAM)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("ts")) - (DECON_NGRAM - 1)), gram))
+        .as("gs"))
+    val exploded = grams.select(col("doc_id"), explode(col("gs")).as("g"))
+    val evalGrams = exploded.filter(isEval).select(col("g")).distinct()
+    val shared = exploded.filter(!isEval)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+    base.filter(!isEval).select(col("doc_id"))
+      .join(grams.select(col("doc_id"), size(col("gs")).as("ng")), Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ng"), lit(0)).cast("long").as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql = {
+    val ts = TextFns.tokenizeSql("text")
+    val gramExpr = (0 until DECON_NGRAM)
+      .map(o => s"ts[i + $o]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, $ts AS ts FROM documents),
+       |g AS (SELECT doc_id, list_distinct(
+       |    [$gramExpr for i in range(1, len(ts) - ${DECON_NGRAM - 2})]) AS gs
+       |  FROM d WHERE len(ts) >= $DECON_NGRAM),
+       |ex AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+       |ev AS (SELECT DISTINCT gr FROM ex WHERE doc_id % $EVAL_MOD = $EVAL_RES),
+       |sh AS (SELECT ex.doc_id, count(DISTINCT ex.gr) AS n_shared
+       |  FROM ex JOIN ev USING (gr)
+       |  WHERE ex.doc_id % $EVAL_MOD <> $EVAL_RES GROUP BY ex.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(len(g.gs), 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+       |  coalesce(sh.n_shared, 0) > 0 AS is_contaminated
+       |FROM d LEFT JOIN g USING (doc_id) LEFT JOIN sh USING (doc_id)
+       |WHERE d.doc_id % $EVAL_MOD <> $EVAL_RES
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --- stratified_sample: deterministic per-source corpus balancing ------
 
   /** Cap every source at a common budget, keeping a DETERMINISTIC
@@ -824,6 +897,8 @@ object Pipeline extends QueryModule {
       "per-doc quality score: length/stopword/alnum ratios"),
     QueryDef("doc_repetition", docRepetition, Some(docRepetitionSql),
       "C4/Gopher repetition filters: top token/bigram fractions + flag"),
+    QueryDef("decontaminate", decontaminate, Some(decontaminateSql),
+      "benchmark decontamination: 8-gram overlap vs the eval slice"),
     QueryDef("token_count", tokenCount, Some(tokenCountSql),
       "whitespace vs BPE-ish-regex token counts per doc"),
     QueryDef("lang_id", langId, Some(langIdSql),

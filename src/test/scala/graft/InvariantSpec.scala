@@ -79,6 +79,20 @@ class InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("decontaminate: eval slice absent, flag consistent, hits exist") {
+    val rows = SparkEntry.queries("decontaminate")(spark, sfDir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ng, ns, flag) =>
+      assert(id % operators.Pipeline.EVAL_MOD != operators.Pipeline.EVAL_RES,
+        s"eval doc $id leaked into the output")
+      assert(ns >= 0 && ns <= ng, s"doc $id shares more grams than it has")
+      assert(flag == (ns > 0), s"doc $id flag")
+    }
+    // The planted near-duplicates of eval-slice docs must register.
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
   test("doc_repetition: fractions in range, flag consistent, corpus splits") {
     val rows = SparkEntry.queries("doc_repetition")(spark, sfDir)
       .as[(Long, Long, Double, Double, Double, Boolean)].collect().toSeq
