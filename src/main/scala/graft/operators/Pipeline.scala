@@ -723,6 +723,63 @@ object Pipeline extends QueryModule {
        |FROM c, b WHERE cum <= b.budget ORDER BY doc_id""".stripMargin
   }
 
+  // --- sequence_pack: concat-and-split training-sequence layout ----------
+  /** Fixed training-sequence length for the packed layout. */
+  val SEQ_LEN = 512
+  /** doc_id-range bucket width for the distributed prefix sum. */
+  val SEQ_BUCKET = 64L
+
+  /** Sequence packing — the GPT-style pretraining layout: documents
+    * concatenate in doc_id order into one token stream that splits
+    * into fixed-[[SEQ_LEN]] sequences; each document gets the sequence
+    * it STARTS in, its offset there, and whether it spills across a
+    * boundary. The global running offset is the [[packTokenBudget]]
+    * distributed prefix sum with doc_id-range buckets
+    * (`floor(doc_id / SEQ_BUCKET)` is monotone in the concat order, so
+    * bucket offsets — one row per bucket on a tiny window — plus
+    * per-bucket running sums reproduce the single global window the
+    * DuckDB oracle runs, proving the decomposition exact a second
+    * time on a second ordering). No global sort anywhere. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextFns.tokenize(col("text"))).as("n_tokens"))
+      .withColumn("bkt", floor(col("doc_id") / SEQ_BUCKET))
+      .localCheckpoint() // one tokenizer pass for the offsets + rows branches
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("tok"))
+      .withColumn("offset", coalesce(sum(col("tok")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("offset"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(offsets), "bkt")
+      .withColumn("start",
+        (col("offset") + sum(col("n_tokens")).over(wIn) - col("n_tokens")).cast("long"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        floor(col("start") / SEQ_LEN).cast("long").as("seq_id"),
+        (col("start") % SEQ_LEN).as("seq_offset"),
+        (col("n_tokens") > 0 &&
+          floor((col("start") + col("n_tokens") - 1) / SEQ_LEN) =!=
+            floor(col("start") / SEQ_LEN)).as("crosses_boundary"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the naive single-partition global window — the form the
+    * distributed plan must equal. */
+  val sequencePackSql = {
+    val ts = TextFns.tokenizeSql("text")
+    s"""WITH d AS (SELECT doc_id, len($ts) AS n FROM documents),
+       |c AS (SELECT doc_id, n,
+       |  sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS start
+       |  FROM d)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(floor(start / $SEQ_LEN) AS BIGINT) AS seq_id,
+       |  CAST(start % $SEQ_LEN AS BIGINT) AS seq_offset,
+       |  (n > 0 AND floor((start + n - 1) / $SEQ_LEN) <> floor(start / $SEQ_LEN))
+       |    AS crosses_boundary
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   // --- source_cap: fixed per-source cap via bounded-PQ aggregate ---------
 
   /** Documents kept when every source is capped at [[SOURCE_CAP_K]]. */
@@ -883,6 +940,8 @@ object Pipeline extends QueryModule {
       "fixed per-source cap via the bounded-PQ Aggregator (no sort)"),
     QueryDef("token_budget_pack", tokenBudgetPack, Some(tokenBudgetPackSql),
       "quality-first token-budget packing via distributed prefix sum"),
+    QueryDef("sequence_pack", sequencePack, Some(sequencePackSql),
+      "concat-and-split training-sequence layout (seq id/offset per doc)"),
     QueryDef("mix_weights", mixWeights, Some(mixWeightsSql),
       "temperature-scaled per-source mixing weights and doc targets"),
     QueryDef("mix_apply", mixApply, Some(mixApplySql),
