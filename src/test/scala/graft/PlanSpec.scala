@@ -154,6 +154,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"approx form must not sort per group:\n$p")
   }
 
+  test("decontaminate: the eval gram set broadcasts, the corpus side streams") {
+    val p = plan(operators.Pipeline.decontaminate(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), s"eval gram set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("mix_apply: the target table broadcasts onto the ranked corpus") {
+    val p = plan(operators.Pipeline.mixApply(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), s"targets not broadcast:\n$p")
+  }
+
   test("curation_pipeline stage 4: cap is a bounded-PQ aggregate, no window sort") {
     val p = plan(operators.Pipeline.capStageBoundedTopK(
       Tables.documents(spark, sfDir)

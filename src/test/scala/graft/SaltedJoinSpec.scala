@@ -67,6 +67,31 @@ class SaltedJoinSpec extends SparkSpecBase {
       s"a pair join broadcast a row side:\n$p")
   }
 
+  test("salted pairs equal naive pairs on random band frames") {
+    // Randomized tail coverage past the planted shapes: occupancies
+    // straddling the threshold, ids colliding across buckets, salt
+    // factors 2..6. Few samples — each drives the real join pipeline.
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val rows = Seq.fill(30 + rnd.nextInt(60))(
+        (rnd.nextInt(25).toLong, rnd.nextInt(3), 100L + rnd.nextInt(6)))
+        .distinct
+      val df = rows.toDF("doc_id", "band_idx", "band_key")
+      val thresh = 1 + rnd.nextInt(4)
+      val saltF = 2 + rnd.nextInt(5)
+      val salted = Dedup.saltedBucketPairs(df, "doc_id", thresh, saltF)
+        .as[(Long, Long)].collect().toSet
+      val naive = df.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+        .join(df.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
+          Seq("band_idx", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(salted == naive,
+        s"mismatch at thresh=$thresh salt=$saltF on ${rows.size} rows")
+    }
+  }
+
   test("near_dedup_salted equals near_dedup on the fixture") {
     val plain = SparkEntry.queries("near_dedup")(spark, sfDir)
       .as[(Long, Long, Double)].collect().toSeq
