@@ -42,16 +42,21 @@ object Bench {
       dir: java.io.File,
       currentRound: Option[Int] = sys.env.get("SPARK_GRAFT_ROUND")
         .flatMap(_.toIntOption)): Map[String, Double] = {
+    // On a re-run after the driver already wrote this round's file (or
+    // after this bench's own BENCH_FULL write), the newest artifact
+    // would be the run itself and every delta ~0 (round-6 advice):
+    // only rounds strictly before the current one qualify. The round
+    // comes from SPARK_GRAFT_ROUND when the driver provides it, else
+    // from the driver's own BENCH_r files ([[currentRoundOrInferred]]
+    // — deliberately ignoring BENCH_FULL, which this bench writes
+    // BEFORE the driver stamps the round).
+    val cur = currentRound.getOrElse(currentRoundOrInferred(dir))
     val newest = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case benchRx(full, n) => Some((n.toInt, full != null, f))
         case _ => None
       })
-      // On a re-run after the driver already wrote this round's file,
-      // the newest BENCH would be the run itself and every delta ~0
-      // (round-6 advice): when the round number is known
-      // (SPARK_GRAFT_ROUND), only strictly earlier rounds qualify.
-      .filter { case (n, _, _) => currentRound.forall(n < _) }
+      .filter { case (n, _, _) => n < cur }
       // Newest round first; within a round the FULL artifact first.
       .sortBy { case (n, full, _) => (-n, !full) }
       .headOption.map(_._3)
@@ -76,13 +81,17 @@ object Bench {
   }
 
   /** This run's round number: the driver's SPARK_GRAFT_ROUND when set,
-    * else one past the newest bench artifact on disk (the round the
-    * driver will record this run as). */
+    * else one past the newest DRIVER-written BENCH_r file (the round
+    * the driver will record this run as). BENCH_FULL files are
+    * excluded from the inference: the bench writes them itself before
+    * the driver stamps the round, so counting them would inflate the
+    * round on every in-round re-run (and let a run see its own
+    * artifact as the previous round). */
   private def currentRoundOrInferred(dir: java.io.File): Int =
     sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption).getOrElse {
       Option(dir.listFiles()).getOrElse(Array.empty)
         .flatMap(f => f.getName match {
-          case benchRx(_, n) => Some(n.toInt)
+          case benchRx(full, n) if full == null => Some(n.toInt)
           case _ => None
         }).maxOption.getOrElse(0) + 1
     }
