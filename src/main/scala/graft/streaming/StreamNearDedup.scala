@@ -171,7 +171,7 @@ object StreamNearDedup {
   private val pacedStaged = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
-  private def stagedPacedDocsDir(spark: SparkSession, dir: String): String =
+  private[graft] def stagedPacedDocsDir(spark: SparkSession, dir: String): String =
     pacedStaged.getOrElseUpdate((spark, dir), {
       import scala.jdk.CollectionConverters._
       val nb = Dedup.PACED_BATCHES

@@ -103,4 +103,24 @@ class StreamNearDedupSpec extends SparkSpecBase {
     // Arrival provenance survives: batch-2 admissions carry batch_id 1.
     assert(got(3L) == 0L && got(22L) == 1L)
   }
+
+  test("paced staging: one file per residue class, mtimes strictly increasing") {
+    // The paced gate's ORACLE replays batch k = doc_id mod PACED_BATCHES
+    // in file-mtime order, so this layout is load-bearing: a staging
+    // regression must fail here with a named cause, not as an opaque
+    // hash mismatch at the gate.
+    val dir = StreamNearDedup.stagedPacedDocsDir(spark, sfDir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == operators.Dedup.PACED_BATCHES)
+    assert(files.map(_.lastModified).sliding(2).forall { case Array(a, b) => a < b })
+    files.zipWithIndex.foreach { case (f, k) =>
+      val residues = spark.read.parquet(f.getPath)
+        .select((col("doc_id") % operators.Dedup.PACED_BATCHES).as("r"))
+        .distinct().as[Long].collect().toSet
+      assert(residues == Set(k.toLong), s"file ${f.getName} holds residues $residues")
+    }
+    val staged = files.map(f => spark.read.parquet(f.getPath).count()).sum
+    assert(staged == Tables.documents(spark, sfDir).count())
+  }
 }
