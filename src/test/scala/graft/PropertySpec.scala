@@ -139,6 +139,38 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("star components equal union-find on generated graphs") {
+    // Generated multigraphs past CurationSpec's hand-built shapes:
+    // denser, larger id space, duplicate/reversed edges. Few samples —
+    // each drives the full distributed alternation loop.
+    val graph: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(3, 18)
+      m <- Gen.chooseNum(2, 30)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1)
+        b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield es.filter { case (a, b) => a != b }
+    import spark.implicits._
+    forAll(graph, 6) { es =>
+      if (es.nonEmpty) {
+        val got = operators.Dedup.components(es.toDF("a", "b"))
+          .as[(Long, Long)].collect().toMap
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        assert(got == parent.keys.map(k => k -> find(k)).toMap,
+          s"mismatch on $es")
+      }
+    }
+  }
+
   test("SGD fold: permutation changes weights but not the feature set") {
     val inst = Gen.listOfN(20, for {
       id <- Gen.choose(0L, 1000L)
