@@ -416,6 +416,49 @@ object Pipeline extends QueryModule {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // --- lm_logprob: unigram-LM scoring (the perplexity-filter shape) ------
+  /** Mean unigram log-probability per document under the corpus's own
+    * unigram LM — the perplexity-filtering quality signal (low mean
+    * log-prob ⇒ unusual token distribution ⇒ candidate drop), with the
+    * LM trained and applied in the same plan. Shape at 100 TB: token
+    * counts are one hash aggregation; scoring joins the exploded
+    * corpus back to the count table ON THE TOKEN — a shuffle equi-join
+    * that never assumes the vocabulary fits a broadcast (AQE may still
+    * choose one when it does) — then re-aggregates per doc. The corpus
+    * total rides a 1-row broadcast. log/avg parity: both engines
+    * evaluate ln(c/total) per occurrence and round the mean to 6
+    * decimals (the pairs_pmi/ivf precedent — reorder and libm-ulp
+    * noise live far below the rounding grid). */
+  def lmLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val occurrences = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFns.tokenize(col("text"))).as("t"))
+      // One tokenize+explode pass feeds the LM counts AND the scoring
+      // join (the usual two-consumer boundary).
+      .localCheckpoint()
+    val counts = occurrences.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    occurrences
+      .join(counts, "t")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("total"))), 6)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmLogprobSql = {
+    val ts = TextFns.tokenizeSql("text")
+    s"""WITH d AS (SELECT doc_id, $ts AS ts FROM documents),
+       |x AS (SELECT doc_id, unnest(ts) AS t FROM d),
+       |c AS (SELECT t, count(*) AS c FROM x GROUP BY t),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c)
+       |SELECT x.doc_id, count(*) AS n_tokens,
+       |  round(avg(ln(CAST(c.c AS DOUBLE) / total)), 6) AS avg_logprob
+       |FROM x JOIN c USING (t) CROSS JOIN tot
+       |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin
+  }
+
   // --- decontaminate: n-gram overlap against a held-out eval slice -------
   /** Decontamination window: the published recipes flag training docs
     * sharing any ~8–13-token n-gram with an evaluation benchmark; 8
@@ -958,6 +1001,8 @@ object Pipeline extends QueryModule {
       "C4/Gopher repetition filters: top token/bigram fractions + flag"),
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql),
       "benchmark decontamination: 8-gram overlap vs the eval slice"),
+    QueryDef("lm_logprob", lmLogprob, Some(lmLogprobSql),
+      "unigram-LM mean log-prob per doc (the perplexity-filter signal)"),
     QueryDef("token_count", tokenCount, Some(tokenCountSql),
       "whitespace vs BPE-ish-regex token counts per doc"),
     QueryDef("lang_id", langId, Some(langIdSql),
