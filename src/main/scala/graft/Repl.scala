@@ -24,15 +24,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Repl {
 
   /** Parse one REPL line into the DataFrame it queries, or None for
-    * blank/unrecognized input. Split out of the stdin loop for tests. */
+    * blank/unrecognized input (including out-of-range numbers). Split
+    * out of the stdin loop for tests. Query-construction errors a
+    * valid-looking line can still raise (a malformed postfix
+    * expression) are the CALLER's to catch — the loop must survive
+    * them. */
   def dispatch(spark: SparkSession, sfDir: String, line: String): Option[DataFrame] =
     line.trim.split("\\s+").toSeq match {
       case Seq("") => None
-      case Seq("sim", id) if id.forall(_.isDigit) =>
-        Some(operators.Similarity.nearestTo(spark, sfDir, id.toLong,
+      case Seq("sim", id) =>
+        id.toLongOption.map(operators.Similarity.nearestTo(spark, sfDir, _,
           operators.Similarity.TOP_K))
-      case Seq("sim", id, k) if id.forall(_.isDigit) && k.forall(_.isDigit) =>
-        Some(operators.Similarity.nearestTo(spark, sfDir, id.toLong, k.toInt))
+      case Seq("sim", id, k) =>
+        for (i <- id.toLongOption; n <- k.toIntOption; if n > 0)
+          yield operators.Similarity.nearestTo(spark, sfDir, i, n)
       case "q" +: rest if rest.nonEmpty =>
         Some(operators.InvertedIndex.retrieve(spark, sfDir, rest.mkString(" ")))
       case _ => None
@@ -52,12 +57,13 @@ object Repl {
     println(s"graft repl over $sfDir — `q <postfix boolean>`, `sim <vec_id> [k]`, `quit`")
     var line = scala.io.StdIn.readLine("graft> ")
     while (line != null && line.trim != "quit" && line.trim != "exit") {
-      dispatch(spark, sfDir, line) match {
-        case Some(df) =>
-          try df.show(50, truncate = false)
-          catch { case e: Exception => println(s"error: ${e.getMessage}") }
+      // One guard around dispatch AND show: a malformed-but-plausible
+      // line (bad postfix expression) throws during query CONSTRUCTION,
+      // and an interactive loop must print and re-prompt, never die.
+      try dispatch(spark, sfDir, line) match {
+        case Some(df) => df.show(50, truncate = false)
         case None => println("commands: q <postfix boolean query> | sim <vec_id> [k] | quit")
-      }
+      } catch { case e: Exception => println(s"error: ${e.getMessage}") }
       line = scala.io.StdIn.readLine("graft> ")
     }
     spark.stop()

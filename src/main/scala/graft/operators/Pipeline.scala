@@ -499,7 +499,11 @@ object Pipeline extends QueryModule {
     val shared = exploded.filter(!isEval)
       .join(broadcast(evalGrams), "g")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("n_shared"))
+      // (doc_id, g) rows are distinct by construction (per-doc
+      // array_distinct upstream), so a plain count equals the distinct
+      // count without the distinct-aggregate expansion on the
+      // corpus-side stream.
+      .agg(count(lit(1)).as("n_shared"))
     base.filter(!isEval).select(col("doc_id"))
       .join(grams.select(col("doc_id"), size(col("gs")).as("ng")), Seq("doc_id"), "left")
       .join(shared, Seq("doc_id"), "left")

@@ -155,7 +155,12 @@ object StreamNearDedup {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
-        acc.admitted
+        // Prune the text payload BEFORE the RDD conversion: column
+        // pruning cannot push through an .rdd boundary, and both gate
+        // queries drop the text anyway — without this the re-base
+        // deserializes O(admitted corpus) bytes it immediately throws
+        // away.
+        acc.admitted.select(col("doc_id"), col("batch_id"))
       } finally StreamingOps.deleteRecursively(ckpt)
     spark.createDataFrame(admitted.rdd, admitted.schema)
   }
@@ -191,8 +196,12 @@ object StreamNearDedup {
         java.nio.file.Files.move(part, target)
         // Fixed, strictly increasing mtimes: the source lists
         // oldest-first, so processing order is the staging order on
-        // every run (no same-mtime ties to break).
-        target.toFile.setLastModified(1000000000000L + k * 60000L)
+        // every run (no same-mtime ties to break). The whole paced
+        // oracle rests on this ordering — fail loudly if the
+        // filesystem refuses the stamp rather than let write-time
+        // mtimes tie and surface as an opaque gate mismatch.
+        require(target.toFile.setLastModified(1000000000000L + k * 60000L),
+          s"paced staging could not set mtime on $target")
         StreamingOps.deleteRecursively(tmp)
       }
       dest.toString
