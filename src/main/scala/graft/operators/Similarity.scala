@@ -466,6 +466,140 @@ object Similarity extends QueryModule {
        |WHERE rank <= $IVF_TOP_K ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- product quantization: pq_encode + ann_pq_topk ----------------------
+  /** PQ geometry: [[DIM]] splits into [[PQ_M]] subspaces of
+    * [[PQ_SUBDIM]] dims; each subspace has a [[PQ_KSUB]]-entry
+    * codebook, so a vector stores as M small codes — 16× smaller than
+    * the float payload, the compression that lets a 100 TB embedding
+    * corpus live in memory. Codebooks are stride-picked vector slices
+    * (the deterministic [[annIvfTopk]] codebook idiom, per subspace);
+    * production would k-means them exactly as [[annIvfTrained]] does. */
+  val PQ_M = 8
+  val PQ_SUBDIM = DIM / PQ_M
+  val PQ_KSUB = 16
+  val PQ_OFF = 1
+
+  /** Squared L2 distance between two equal-length array columns. */
+  private def sqdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+
+  /** (m, cid, cw): per-subspace codebooks — centroid `cid` of subspace
+    * `m` is the stride-picked corpus vector's m-th slice. */
+  private def pqCodebooks(e: DataFrame): DataFrame = {
+    val stride = e.agg(
+      ceil(count(lit(1)).cast("double") / PQ_KSUB).cast("long").as("stride"))
+    e.crossJoin(broadcast(stride))
+      .filter(col("vec_id") % col("stride") === lit(PQ_OFF) % col("stride"))
+      .select(col("vec_id").as("cid"),
+        posexplode(array((0 until PQ_M).map(m =>
+          slice(col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)): _*)))
+      .toDF("cid", "m", "cw")
+  }
+
+  /** Per-(vector, subspace) code assignment: nearest codebook entry by
+    * squared L2 over the slice, rounded-distance rank with cid
+    * tiebreak (the [[nearestCells]] determinism contract). */
+  private def pqAssign(e: DataFrame, books: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d"), col("cid"))
+    e.select(col("vec_id"),
+        posexplode(array((0 until PQ_M).map(m =>
+          slice(col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)): _*)))
+      .toDF("vec_id", "m", "sub")
+      .join(broadcast(books), "m")
+      .select(col("vec_id"), col("m"), col("cid"),
+        round(sqdist(col("sub"), col("cw")), 6).as("d"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+  }
+
+  /** Gate query: the PQ code table — M small codes per vector, the
+    * compressed representation itself. */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).repartition(col("vec_id"))
+    pqAssign(e, pqCodebooks(e)).orderBy(col("vec_id"), col("m"))
+  }
+
+  /** Shared CTE prefix through the code assignment (`codes`), mirroring
+    * [[pqAssign]] in SQL: subspace slices via per-index lambdas, the
+    * same rounded-distance rank. */
+  private val pqAssignSql =
+    s"""$corpusSql,
+       |pst AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $PQ_KSUB) AS BIGINT)
+       |          AS stride FROM n),
+       |books AS MATERIALIZED (SELECT vec_id AS cid, u AS m,
+       |    list_transform(range(1, $PQ_SUBDIM + 1), j -> v[u * $PQ_SUBDIM + j]) AS cw
+       |  FROM n CROSS JOIN pst CROSS JOIN unnest(range(0, $PQ_M)) AS t(u)
+       |  WHERE vec_id % stride = $PQ_OFF % stride),
+       |subs AS MATERIALIZED (SELECT vec_id, u AS m,
+       |    list_transform(range(1, $PQ_SUBDIM + 1), j -> v[u * $PQ_SUBDIM + j]) AS sub
+       |  FROM n CROSS JOIN unnest(range(0, $PQ_M)) AS t(u)),
+       |ad AS MATERIALIZED (SELECT s.vec_id, s.m, b.cid,
+       |    round(list_sum(list_transform(range(1, $PQ_SUBDIM + 1),
+       |      j -> (s.sub[j] - b.cw[j]) * (s.sub[j] - b.cw[j]))), 6) AS d
+       |  FROM subs s JOIN books b ON s.m = b.m),
+       |ar2 AS MATERIALIZED (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id, m ORDER BY d, cid) AS rk FROM ad),
+       |codes AS MATERIALIZED (SELECT vec_id, m, cid AS code FROM ar2 WHERE rk = 1)""".stripMargin
+
+  val pqEncodeSql =
+    s"""$pqAssignSql
+       |SELECT vec_id, CAST(m AS INT) AS m, code FROM codes
+       |ORDER BY vec_id, m""".stripMargin
+
+  /** PQ serving via asymmetric distance computation (ADC): each query
+    * builds a (subspace × codebook-entry) dot-product lookup table —
+    * Q·M·K rows, broadcast — and every corpus vector scores as the SUM
+    * OF M TABLE LOOKUPS over its codes, never touching the float
+    * payload. That is the PQ bargain at 100 TB: the scan reads M small
+    * codes per vector instead of [[DIM]] floats, at approximation
+    * cost. Approximate by construction, so the oracle replays the
+    * identical algorithm (the ann_lsh_topk contract: the candidate
+    * math IS the spec); sums of the M partials round to 6 before
+    * ranking with vec_id tiebreaks. */
+  def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir).repartition(col("vec_id"))
+    val books = pqCodebooks(e)
+    val codes = pqAssign(e, books)
+    val qsubs = queryWorkload(e, e)
+      .select(col("vec_id").as("query_id"),
+        posexplode(array((0 until PQ_M).map(m =>
+          slice(col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)): _*)))
+      .toDF("query_id", "m", "qsub")
+    val lut = qsubs.join(broadcast(books), "m")
+      .select(col("query_id"), col("m"), col("cid").as("code"),
+        dot(col("qsub"), col("cw")).as("p"))
+    val scored = codes.join(broadcast(lut), Seq("m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("p")), 6).as("score"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annPqTopkSql =
+    s"""$pqAssignSql,
+       |qsubs AS MATERIALIZED (SELECT vec_id AS query_id, m, sub AS qsub
+       |  FROM subs CROSS JOIN qst WHERE vec_id % qstride = 0),
+       |lut AS MATERIALIZED (SELECT q.query_id, q.m, b.cid AS code,
+       |    list_sum(list_transform(range(1, $PQ_SUBDIM + 1),
+       |      j -> q.qsub[j] * b.cw[j])) AS p
+       |  FROM qsubs q JOIN books b ON q.m = b.m),
+       |sc AS MATERIALIZED (SELECT l.query_id, c.vec_id,
+       |    round(sum(l.p), 6) AS score
+       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+       |  WHERE c.vec_id <> l.query_id
+       |  GROUP BY l.query_id, c.vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY score DESC, vec_id) AS INT) AS rank
+       |      FROM sc)
+       |SELECT query_id, vec_id, score, rank FROM r
+       |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+
   // --- interactive serving path ------------------------------------------
   /** Exact top-k neighbours of ONE corpus vector — the ad-hoc serving
     * entry point (the similarity analogue of
@@ -724,6 +858,10 @@ object Similarity extends QueryModule {
       "one k-means codebook refinement: elementwise cell means, flat output"),
     QueryDef("ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql),
       "IVF served from the k-means-trained codebook (unrolled-CTE oracle)"),
+    QueryDef("pq_encode", pqEncode, Some(pqEncodeSql),
+      "product-quantization codes: M subspace codebook ids per vector"),
+    QueryDef("ann_pq_topk", annPqTopk, Some(annPqTopkSql),
+      "PQ serving via ADC: M table lookups per vector, floats untouched"),
     QueryDef("embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
       "embedding-cosine near-dup pairs via sign-LSH buckets"),
     QueryDef("embedding_dedup_auto", embeddingDedupAuto, None,

@@ -40,6 +40,21 @@ class SimilaritySpec extends SparkSpecBase {
     (truth & got).size.toDouble / truth.size
   }
 
+  test("ann_pq_topk: ADC recall is far above chance") {
+    // PQ is deliberately lossy (16 centroids per 8-dim subspace, stride
+    // codebooks): 0.22 measured on the fixture vs ~1% chance
+    // (TOP_K / corpus). Pin an order of magnitude above chance, not the
+    // measured point value.
+    val truth = Similarity.cosineTopk(spark, sfDir)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val pq = Similarity.annPqTopk(spark, sfDir)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = (truth & pq).size.toDouble / truth.size
+    assert(recall >= 0.1, s"ADC recall $recall indistinguishable from chance")
+  }
+
   test("ann_ivf_trained: recall vs exact truth >= the stride codebook's") {
     // The training iterations must not LOSE recall relative to the
     // untrained stride codebook (they tighten cells around the data,
