@@ -24,8 +24,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Repl {
 
   /** Parse one REPL line into the DataFrame it queries, or None for
-    * blank/unrecognized input (including out-of-range numbers). Split
-    * out of the stdin loop for tests. Query-construction errors a
+    * blank/unrecognized input — including numbers that parse but are
+    * out of range (negative vec_id, non-positive k), which get the
+    * help line rather than a real-looking empty result. Split out of
+    * the stdin loop for tests. Query-construction errors a
     * valid-looking line can still raise (a malformed postfix
     * expression) are the CALLER's to catch — the loop must survive
     * them. */
@@ -33,10 +35,11 @@ object Repl {
     line.trim.split("\\s+").toSeq match {
       case Seq("") => None
       case Seq("sim", id) =>
-        id.toLongOption.map(operators.Similarity.nearestTo(spark, sfDir, _,
-          operators.Similarity.TOP_K))
+        for (i <- id.toLongOption; if i >= 0)
+          yield operators.Similarity.nearestTo(spark, sfDir, i,
+            operators.Similarity.TOP_K)
       case Seq("sim", id, k) =>
-        for (i <- id.toLongOption; n <- k.toIntOption; if n > 0)
+        for (i <- id.toLongOption; if i >= 0; n <- k.toIntOption; if n > 0)
           yield operators.Similarity.nearestTo(spark, sfDir, i, n)
       case "q" +: rest if rest.nonEmpty =>
         Some(operators.InvertedIndex.retrieve(spark, sfDir, rest.mkString(" ")))

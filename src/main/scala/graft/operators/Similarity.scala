@@ -225,16 +225,19 @@ object Similarity extends QueryModule {
   val NPROBE = 3
   val IVF_TOP_K = 3
 
-  /** The deterministic stride-picked codebook over a corpus frame. */
-  private def strideCodebook(e: DataFrame): DataFrame = {
+  /** The deterministic stride-picked codebook over a corpus frame —
+    * every ⌈n/k⌉-th vec_id. Shared by the IVF family (k = K_CENTROIDS)
+    * and the PQ codebooks (k = PQ_KSUB). */
+  private def strideCodebook(e: DataFrame, k: Int = K_CENTROIDS,
+      off: Int = CENTROID_OFF): DataFrame = {
     val stride = e.agg(
-      ceil(count(lit(1)).cast("double") / K_CENTROIDS).cast("long").as("stride"))
-    // offset reduced mod stride: at n ≤ K the stride degenerates to 1
+      ceil(count(lit(1)).cast("double") / k).cast("long").as("stride"))
+    // offset reduced mod stride: at n ≤ k the stride degenerates to 1
     // and a fixed offset of 1 would select NOTHING (x % 1 is always 0);
     // reduced, every vector becomes its own centroid — the correct
     // tiny-corpus limit.
     e.crossJoin(broadcast(stride))
-      .filter(col("vec_id") % col("stride") === lit(CENTROID_OFF) % col("stride"))
+      .filter(col("vec_id") % col("stride") === lit(off) % col("stride"))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
   }
 
@@ -483,18 +486,34 @@ object Similarity extends QueryModule {
   private def sqdist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
 
-  /** (m, cid, cw): per-subspace codebooks — centroid `cid` of subspace
-    * `m` is the stride-picked corpus vector's m-th slice. */
-  private def pqCodebooks(e: DataFrame): DataFrame = {
-    val stride = e.agg(
-      ceil(count(lit(1)).cast("double") / PQ_KSUB).cast("long").as("stride"))
-    e.crossJoin(broadcast(stride))
-      .filter(col("vec_id") % col("stride") === lit(PQ_OFF) % col("stride"))
-      .select(col("vec_id").as("cid"),
+  /** The L2-NORMALIZED corpus the whole PQ family quantizes: PQ here
+    * serves COSINE (the engine's similarity metric throughout), so
+    * vectors are projected to the unit sphere before slicing — an
+    * unnormalized ADC inner product would rank large-norm vectors
+    * above true angular neighbours. Division parity: nrm is the same
+    * sequential-sum sqrt on both engines, so the normalized components
+    * are bit-identical too. */
+  private def pqCorpus(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("vec_id"), transform(col("v"), _ / col("nrm")).as("v"))
+      .repartition(col("vec_id"))
+
+  /** (id column + (m, sub)): every subspace slice of a vector column —
+    * THE single definition of the PQ subspace geometry on the Spark
+    * side (assignment, codebooks, and query LUTs all consume it). */
+  private def subspaces(df: DataFrame, idAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs),
         posexplode(array((0 until PQ_M).map(m =>
           slice(col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)): _*)))
-      .toDF("cid", "m", "cw")
-  }
+      .toDF(idAs, "m", "sub")
+
+  /** (m, cid, cw): per-subspace codebooks — centroid `cid` of subspace
+    * `m` is the stride-picked normalized vector's m-th slice
+    * ([[strideCodebook]] with the PQ geometry). */
+  private def pqCodebooks(e: DataFrame): DataFrame =
+    subspaces(strideCodebook(e.withColumn("nrm", lit(1.0)), PQ_KSUB, PQ_OFF)
+      .select(col("cid").as("vec_id"), col("cv").as("v")), "cid")
+      .select(col("cid"), col("m"), col("sub").as("cw"))
 
   /** Per-(vector, subspace) code assignment: nearest codebook entry by
     * squared L2 over the slice, rounded-distance rank with cid
@@ -502,10 +521,7 @@ object Similarity extends QueryModule {
   private def pqAssign(e: DataFrame, books: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d"), col("cid"))
-    e.select(col("vec_id"),
-        posexplode(array((0 until PQ_M).map(m =>
-          slice(col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)): _*)))
-      .toDF("vec_id", "m", "sub")
+    subspaces(e, "vec_id")
       .join(broadcast(books), "m")
       .select(col("vec_id"), col("m"), col("cid"),
         round(sqdist(col("sub"), col("cw")), 6).as("d"))
@@ -517,24 +533,27 @@ object Similarity extends QueryModule {
   /** Gate query: the PQ code table — M small codes per vector, the
     * compressed representation itself. */
   def pqEncode(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir).repartition(col("vec_id"))
+    val e = pqCorpus(spark, dir)
     pqAssign(e, pqCodebooks(e)).orderBy(col("vec_id"), col("m"))
   }
 
   /** Shared CTE prefix through the code assignment (`codes`), mirroring
-    * [[pqAssign]] in SQL: subspace slices via per-index lambdas, the
-    * same rounded-distance rank. */
+    * the Spark side exactly: `pn` = the normalized corpus, `subs` = THE
+    * single subspace-slice definition ([[subspaces]]'s mirror — books
+    * and query LUTs both derive from it), then the same
+    * rounded-distance rank. */
   private val pqAssignSql =
     s"""$corpusSql,
+       |pn AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(v, x -> x / nrm) AS v FROM n),
        |pst AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $PQ_KSUB) AS BIGINT)
-       |          AS stride FROM n),
-       |books AS MATERIALIZED (SELECT vec_id AS cid, u AS m,
-       |    list_transform(range(1, $PQ_SUBDIM + 1), j -> v[u * $PQ_SUBDIM + j]) AS cw
-       |  FROM n CROSS JOIN pst CROSS JOIN unnest(range(0, $PQ_M)) AS t(u)
-       |  WHERE vec_id % stride = $PQ_OFF % stride),
+       |          AS stride FROM pn),
        |subs AS MATERIALIZED (SELECT vec_id, u AS m,
        |    list_transform(range(1, $PQ_SUBDIM + 1), j -> v[u * $PQ_SUBDIM + j]) AS sub
-       |  FROM n CROSS JOIN unnest(range(0, $PQ_M)) AS t(u)),
+       |  FROM pn CROSS JOIN unnest(range(0, $PQ_M)) AS t(u)),
+       |books AS MATERIALIZED (SELECT vec_id AS cid, m, sub AS cw
+       |  FROM subs CROSS JOIN pst
+       |  WHERE vec_id % stride = $PQ_OFF % stride),
        |ad AS MATERIALIZED (SELECT s.vec_id, s.m, b.cid,
        |    round(list_sum(list_transform(range(1, $PQ_SUBDIM + 1),
        |      j -> (s.sub[j] - b.cw[j]) * (s.sub[j] - b.cw[j]))), 6) AS d
@@ -554,19 +573,23 @@ object Similarity extends QueryModule {
     * OF M TABLE LOOKUPS over its codes, never touching the float
     * payload. That is the PQ bargain at 100 TB: the scan reads M small
     * codes per vector instead of [[DIM]] floats, at approximation
-    * cost. Approximate by construction, so the oracle replays the
-    * identical algorithm (the ann_lsh_topk contract: the candidate
-    * math IS the spec); sums of the M partials round to 6 before
-    * ranking with vec_id tiebreaks. */
+    * cost. The quantized corpus is L2-NORMALIZED ([[pqCorpus]]), so
+    * the ADC sum approximates the COSINE the rest of the similarity
+    * family ranks by — an unnormalized inner product would favour
+    * large-norm vectors over true angular neighbours on a general
+    * corpus (the fixture's embeddings happen to arrive unit-norm, so
+    * recall there — 0.22 vs exact truth, ~20× above chance with these
+    * untrained 16-entry codebooks — is normalization-invariant; the
+    * contract is not). Approximate by construction, so the oracle
+    * replays the identical algorithm (the ann_lsh_topk contract: the
+    * candidate math IS the spec); sums of the M partials round to 6
+    * before ranking with vec_id tiebreaks. */
   def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir).repartition(col("vec_id"))
+    val e = pqCorpus(spark, dir)
     val books = pqCodebooks(e)
     val codes = pqAssign(e, books)
-    val qsubs = queryWorkload(e, e)
-      .select(col("vec_id").as("query_id"),
-        posexplode(array((0 until PQ_M).map(m =>
-          slice(col("v"), m * PQ_SUBDIM + 1, PQ_SUBDIM)): _*)))
-      .toDF("query_id", "m", "qsub")
+    val qsubs = subspaces(queryWorkload(e, e), "query_id")
+      .withColumnRenamed("sub", "qsub")
     val lut = qsubs.join(broadcast(books), "m")
       .select(col("query_id"), col("m"), col("cid").as("code"),
         dot(col("qsub"), col("cw")).as("p"))

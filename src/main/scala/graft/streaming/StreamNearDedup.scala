@@ -131,7 +131,8 @@ object StreamNearDedup {
 
   /** Drive the admission accumulator under the live engine over a
     * staged source directory; `paced` throttles to one file per
-    * micro-batch. Returns the admitted (doc_id, text, batch_id) rows
+    * micro-batch. Returns the admitted (doc_id, batch_id) rows — the
+    * text payload is pruned before the RDD boundary (see below) —
     * re-based onto the caller's session WITHOUT a driver collect: the
     * admitted set is O(corpus) — the per-batch localCheckpoints
     * already hold the rows in executor storage, and the stream
