@@ -206,6 +206,30 @@ class CurationSpec extends SparkSpecBase {
     assert(bySource("big") == expectBig)
   }
 
+  test("md5 bucketed selection == naive per-source window, mid-bucket targets") {
+    // The decomposition's exactness proof at spec level: a corpus big
+    // enough that every source spans many md5 buckets, targets chosen
+    // to land strictly inside a bucket, compared against the naive
+    // single-window form the DuckDB oracle runs.
+    val docs = ((1L to 2800L).map(i => ("big", i)) ++
+        (3001L to 3190L).map(i => ("mid", i)) ++
+        Seq(("tiny", 4001L))).toDF("source", "doc_id")
+    val targets = Seq(("big", 977L), ("mid", 55L), ("tiny", 100L))
+      .toDF("source", "target_docs")
+    val got = Pipeline.applyMixTargets(docs, targets)
+      .as[(String, Long)].collect().toSet
+    val naive = docs.join(broadcast(targets), "source")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rk") <= col("target_docs"))
+      .select(col("source"), col("doc_id"))
+      .as[(String, Long)].collect().toSet
+    assert(got == naive)
+    assert(got.count(_._1 == "big") == 977 && got.count(_._1 == "mid") == 55)
+    assert(got.count(_._1 == "tiny") == 1)
+  }
+
   test("mix_weights: weights normalize and targets re-fill the corpus") {
     val out = SparkEntry.queries("mix_weights")(spark, sfDir)
       .as[(String, Long, Double, Long)].collect().toSeq

@@ -165,6 +165,24 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastExchange"), s"targets not broadcast:\n$p")
   }
 
+  test("md5-rank selection: every row_number window is bucket-partitioned") {
+    // The scale pin for stratified_sample / mix_apply: no window may
+    // partition by source alone (one task sorting a whole source); the
+    // bucketed prefix-count decomposition partitions every corpus-sized
+    // window by (source, bkt). The only source-partitioned window left
+    // is the offsets prefix-sum, which sees <=256 COUNT rows per source.
+    for (df <- Seq(operators.Pipeline.stratifiedSample(spark, sfDir),
+        operators.Pipeline.mixApply(spark, sfDir))) {
+      val p = plan(df)
+      val rowNumberSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(rowNumberSpecs.nonEmpty, s"expected a boundary-bucket window:\n$p")
+      rowNumberSpecs.foreach(spec =>
+        assert(spec.contains("bkt"),
+          s"row_number window not bucket-partitioned: $spec\n$p"))
+    }
+  }
+
   test("curation_pipeline stage 4: cap is a bounded-PQ aggregate, no window sort") {
     val p = plan(operators.Pipeline.capStageBoundedTopK(
       Tables.documents(spark, sfDir)
