@@ -104,6 +104,59 @@ class StreamNearDedupSpec extends SparkSpecBase {
     assert(got(3L) == 0L && got(22L) == 1L)
   }
 
+  test("paced stream stopped mid-sequence resumes from persisted state") {
+    // The externalized-state contract: kill the JVM-held query after
+    // two of the three paced batches, then run a FRESH query on the
+    // same checkpoint + state dirs over the full file set. The resumed
+    // run must process only the remaining file, with admission state
+    // read back from the parquet band-key table — and the combined
+    // admitted set must equal the single-run paced gate's, batch ids
+    // included.
+    import scala.jdk.CollectionConverters._
+    val full = java.nio.file.Paths.get(
+      StreamNearDedup.stagedPacedDocsDir(spark, sfDir))
+    val src = java.nio.file.Files.createTempDirectory("graft_resume_src_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_resume_ckpt_")
+    val state = java.nio.file.Files.createTempDirectory("graft_resume_state_")
+    try {
+      val files = java.nio.file.Files.list(full).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      def arrive(p: java.nio.file.Path): Unit = {
+        val t = src.resolve(p.getFileName.toString)
+        java.nio.file.Files.copy(p, t)
+        assert(t.toFile.setLastModified(p.toFile.lastModified))
+      }
+      files.take(2).foreach(arrive)
+      StreamNearDedup.runLiveAgainst(spark, src.toString, paced = true,
+        ckpt.toString, state.toString)
+      val phase1 = spark.read.parquet(s"$state/admitted")
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      assert(phase1.map(_._2) == Set(0L, 1L), "two batches before the stop")
+      files.drop(2).foreach(arrive)
+      StreamNearDedup.runLiveAgainst(spark, src.toString, paced = true,
+        ckpt.toString, state.toString)
+      val resumed = spark.read.parquet(s"$state/admitted")
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      // No re-emission of phase-1 batches, and the new batch continues
+      // the checkpoint's numbering.
+      assert(resumed.filter(_._2 <= 1L) == phase1)
+      val single = SparkEntry.queries("stream_neardedup_paced")(spark, sfDir)
+        .as[(Long, Long)].collect().toSet
+      assert(resumed == single,
+        s"resumed run diverges from the single-run answer: " +
+          s"only-resumed=${(resumed -- single).take(5)} " +
+          s"only-single=${(single -- resumed).take(5)}")
+    } finally {
+      def rmTree(root: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      Seq(src, ckpt, state).foreach(rmTree)
+    }
+  }
+
   test("paced staging: one file per residue class, mtimes strictly increasing") {
     // The paced gate's ORACLE replays batch k = doc_id mod PACED_BATCHES
     // in file-mtime order, so this layout is load-bearing: a staging
