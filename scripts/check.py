@@ -25,6 +25,17 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # The value_quantiles_approx oracle equates Spark percentile_approx
+    # (exact regime) with DuckDB quantile_disc; both must pick the value
+    # at rank ceil(p*n). Pin DuckDB's convention here so a semantics
+    # drift fails with a NAMED cause instead of an opaque hash mismatch.
+    probe = con.sql(
+        "SELECT quantile_disc(x, 0.95), quantile_disc(x, 0.5), "
+        "quantile_disc(x, 0.05) FROM range(1, 11) t(x)").fetchone()
+    assert probe == (10, 5, 1), (
+        f"DuckDB quantile_disc rank convention drifted: expected value at "
+        f"rank ceil(p*n) == (10, 5, 1) on 1..10, got {probe}; the "
+        f"value_quantiles_approx oracle equivalence no longer holds")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -51,17 +51,34 @@ object Bench {
     // — deliberately ignoring BENCH_FULL, which this bench writes
     // BEFORE the driver stamps the round).
     val cur = currentRound.getOrElse(currentRoundOrInferred(dir))
+    // When the round was INFERRED, an in-round re-run after the driver
+    // already stamped BENCH_r{N} would infer N+1 and admit the current
+    // round's own artifacts as "previous" — exactly the self-compare
+    // the cur filter exists to prevent. Such a round is detectable:
+    // its BENCH_FULL (written by the re-run) is NEWER than the
+    // driver's snapshot (normal order is FULL first, stamp after), so
+    // treat it as still-current and exclude it.
+    def selfRerun(n: Int): Boolean = currentRound.isEmpty && {
+      val driver = new java.io.File(dir, f"BENCH_r$n%02d.json")
+      val full = new java.io.File(dir, f"BENCH_FULL_r$n%02d.json")
+      driver.exists && full.exists && full.lastModified > driver.lastModified
+    }
     val newest = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case benchRx(full, n) => Some((n.toInt, full != null, f))
         case _ => None
       })
-      .filter { case (n, _, _) => n < cur }
+      .filter { case (n, _, _) => n < cur && !selfRerun(n) }
       // Newest round first; within a round the FULL artifact first.
       .sortBy { case (n, full, _) => (-n, !full) }
       .headOption.map(_._3)
     newest.fold(Map.empty[String, Double]) { f =>
-      val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+      val raw = scala.io.Source.fromFile(f, "UTF-8").mkString
+      // Driver BENCH_r files wrap the captured stdout under a "tail"
+      // key next to other scalar keys ("n", "rc"); anchor the scan to
+      // the tail's VALUE so those outer pairs can never enter the map.
+      val txt = """"tail"\s*:\s*"""".r.findFirstMatchIn(raw)
+        .map(m => raw.substring(m.end)).getOrElse(raw)
       val qobj = """\\?"queries\\?"\s*:\s*\{([^}]*)\}""".r
         .findFirstMatchIn(txt).map(_.group(1))
         // Driver files hold only the LAST ~2KB of stdout, so the

@@ -12,6 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   q <postfix boolean query>   e.g.  q fast table AND slow OR
   *   sim <vec_id> [k]            exact top-k neighbours of a vector
+  *   near <doc_id>               the doc's near-duplicate cluster
   *   quit
   * }}}
   *
@@ -41,6 +42,9 @@ object Repl {
       case Seq("sim", id, k) =>
         for (i <- id.toLongOption; if i >= 0; n <- k.toIntOption; if n > 0)
           yield operators.Similarity.nearestTo(spark, sfDir, i, n)
+      case Seq("near", id) =>
+        for (i <- id.toLongOption; if i >= 0)
+          yield operators.Dedup.nearCluster(spark, sfDir, i)
       case "q" +: rest if rest.nonEmpty =>
         Some(operators.InvertedIndex.retrieve(spark, sfDir, rest.mkString(" ")))
       case _ => None
@@ -57,7 +61,8 @@ object Repl {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(s"graft repl over $sfDir — `q <postfix boolean>`, `sim <vec_id> [k]`, `quit`")
+    println(s"graft repl over $sfDir — " +
+      "`q <postfix boolean>`, `sim <vec_id> [k]`, `near <doc_id>`, `quit`")
     var line = scala.io.StdIn.readLine("graft> ")
     while (line != null && line.trim != "quit" && line.trim != "exit") {
       // One guard around dispatch AND show: a malformed-but-plausible
@@ -65,7 +70,8 @@ object Repl {
       // and an interactive loop must print and re-prompt, never die.
       try dispatch(spark, sfDir, line) match {
         case Some(df) => df.show(50, truncate = false)
-        case None => println("commands: q <postfix boolean query> | sim <vec_id> [k] | quit")
+        case None => println(
+          "commands: q <postfix boolean query> | sim <vec_id> [k] | near <doc_id> | quit")
       } catch { case e: Exception => println(s"error: ${e.getMessage}") }
       line = scala.io.StdIn.readLine("graft> ")
     }

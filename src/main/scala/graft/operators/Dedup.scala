@@ -310,7 +310,13 @@ object Dedup extends QueryModule {
     * driver-side count + empty-difference check over the canonical
     * (greater, lesser) edge sets, never a collect of the edges.
     *
-    * Returns (id, comp) with comp = min doc_id of the component. */
+    * Returns (id, comp) with comp = min doc_id of the component.
+    * Self-loops are DROPPED before clustering: a vertex whose only
+    * edges are (x, x) does not appear in the output (it is not a
+    * duplicate of anything — every caller here feeds strict pairs
+    * a < b, for which this is unobservable). Callers needing
+    * isolated-vertex rows must union them back labeled with
+    * themselves. */
   def components(edges: DataFrame): DataFrame = {
     val Seq(a, b) = edges.columns.toSeq.take(2)
     // Canonical orientation (u > v), self-loops dropped, exact-set
@@ -386,6 +392,30 @@ object Dedup extends QueryModule {
     components(nearDedupPairs(spark, dir).select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("comp"))
       .orderBy(col("doc_id"))
+
+  /** One document's near-duplicate cluster — the ad-hoc serving entry
+    * (the dedup analogue of [[graft.operators.Similarity.nearestTo]],
+    * driving the REPL's `near` command): the SAME pair generation and
+    * clustering the `dedup_components` gate runs, restricted to the
+    * component containing `docId` by a 1-row broadcast semi-probe. A
+    * doc in no cluster returns just itself (every doc is trivially its
+    * own duplicate class); an id absent from the corpus returns zero
+    * rows. */
+  def nearCluster(spark: SparkSession, dir: String, docId: Long): DataFrame = {
+    val comps =
+      components(nearDedupPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    val mine = comps.filter(col("id") === docId).select(col("comp"))
+    val members = comps.join(broadcast(mine), "comp")
+      .select(col("id").as("doc_id"), col("comp"))
+    val self = graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") === docId)
+      .select(col("doc_id"), col("doc_id").as("comp"))
+    // Clustered docs come from `members`; otherwise the singleton row.
+    val clustered = comps.filter(col("id") === docId)
+      .select(col("id").as("doc_id"))
+    members.unionAll(self.join(clustered, Seq("doc_id"), "left_anti"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Transitive min-label closure CTEs over the brute-force pair set
     * (`e` = symmetrized edges, `r` = the closure). The recursive term

@@ -514,6 +514,47 @@ object Pipeline extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The documented at-scale variant of [[decontaminate]], real: grams
+    * travel as 56-bit [[TextFns.hash56]] fingerprints (the near_dedup
+    * idiom — 8 bytes instead of ~50-char strings on the shuffle wire)
+    * and the eval∩corpus probe is a plain equi-join with NO broadcast
+    * hint — when an eval suite outgrows the broadcast threshold, the
+    * planner degrades it to a shuffle semi-join on the fingerprint and
+    * the operator keeps working. Same output contract; InvariantSpec
+    * pins result equality with the broadcast form under
+    * `autoBroadcastJoinThreshold = -1` and asserts the no-broadcast
+    * plan shape (56-bit collisions across a corpus gram set are
+    * ~|grams|²/2^57 — absent at any spec-checkable scale, and at 100 TB
+    * a collision only over-flags one doc). */
+  private[graft] def decontaminateShuffled(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokenize(col("text")).as("ts"))
+      .localCheckpoint()
+    val isEval = col("doc_id") % EVAL_MOD === EVAL_RES
+    val gram = (i: Column) => concat_ws(" ",
+      (0 until DECON_NGRAM).map(o => element_at(col("ts"), i + o)): _*)
+    val grams = base
+      .filter(size(col("ts")) >= DECON_NGRAM)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("ts")) - (DECON_NGRAM - 1)), gram))
+        .as("gs"))
+    val exploded = grams.select(col("doc_id"), explode(col("gs")).as("gstr"))
+      .select(col("doc_id"), TextFns.hash56(col("gstr")).as("g"))
+    val evalGrams = exploded.filter(isEval).select(col("g")).distinct()
+    val shared = exploded.filter(!isEval)
+      .join(evalGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    base.filter(!isEval).select(col("doc_id"))
+      .join(grams.select(col("doc_id"), size(col("gs")).as("ng")), Seq("doc_id"), "left")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ng"), lit(0)).cast("long").as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val decontaminateSql = {
     val ts = TextFns.tokenizeSql("text")
     val gramExpr = (0 until DECON_NGRAM)

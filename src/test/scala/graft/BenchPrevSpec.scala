@@ -61,4 +61,39 @@ class BenchPrevSpec extends AnyFunSuite {
   test("no artifacts means no prev") {
     withDir() { dir => assert(Bench.prevBench(dir, Some(1)).isEmpty) }
   }
+
+  test("driver-JSON outer keys (n, rc) never enter the prev map") {
+    // The tail-anchored scan: only pairs inside the "tail" value may
+    // parse, so the wrapper's own numeric keys stay out even when the
+    // queries anchor is cut off and the prefix fallback fires.
+    val tail =
+      """{"n": 7, "rc": 0, "tail": "ame\":0.9,\"q1\":1.5},\"prev\":{\"q1\":9.9},\"delta\":{}}\n"}"""
+    withDir("BENCH_r07.json" -> tail) { dir =>
+      val got = Bench.prevBench(dir, Some(8))
+      assert(!got.contains("n") && !got.contains("rc"), s"outer keys leaked: $got")
+      assert(got("q1") == 1.5)
+    }
+  }
+
+  test("inferred round excludes an in-round re-run (FULL newer than driver stamp)") {
+    // No SPARK_GRAFT_ROUND: after the driver stamps BENCH_r07, a
+    // re-run rewrites BENCH_FULL_r07 (now NEWER than the stamp) and
+    // would otherwise infer round 8 and read its own artifacts as
+    // "previous". The mtime tiebreak must push it back to round 6.
+    val r6 =
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q1":6.0},"prev":{},"delta":{},"errors":{},"sf":"x"}"""
+    withDir(
+      "BENCH_FULL_r06.json" -> r6,
+      "BENCH_r07.json" -> """{"tail": "\"q1\":77.0},\"prev\":{}}"}""",
+      "BENCH_FULL_r07.json" -> fullLine) { dir =>
+      def mtime(name: String, t: Long): Unit =
+        assert(new java.io.File(dir, name).setLastModified(t))
+      mtime("BENCH_FULL_r06.json", 1000000000000L)
+      mtime("BENCH_r07.json", 1000000001000L)
+      mtime("BENCH_FULL_r07.json", 1000000002000L) // re-run after the stamp
+      assert(Bench.prevBench(dir, None)("q1") == 6.0)
+      // With the driver's explicit round, round 7 is legitimately prior.
+      assert(Bench.prevBench(dir, Some(8))("q1") == 1.5)
+    }
+  }
 }

@@ -93,6 +93,29 @@ class InvariantSpec extends SparkSpecBase {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("decontaminate shuffled hash56 path: no broadcast, equals the broadcast form") {
+    // The at-scale variant proven, not just described: with the
+    // broadcast planner disabled outright, the fingerprint join must
+    // degrade to a shuffle join (no BroadcastExchange anywhere in the
+    // plan) and still produce the broadcast form's exact answer.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val rows =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        val df = operators.Pipeline.decontaminateShuffled(spark, sfDir)
+        val p = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        assert(!p.contains("BroadcastExchange"),
+          s"shuffled variant still broadcasts:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"no shuffle join in the no-broadcast plan:\n$p")
+        df.as[(Long, Long, Long, Boolean)].collect().toSeq
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val broadcastForm = SparkEntry.queries("decontaminate")(spark, sfDir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows == broadcastForm)
+  }
+
   test("doc_repetition: fractions in range, flag consistent, corpus splits") {
     val rows = SparkEntry.queries("doc_repetition")(spark, sfDir)
       .as[(Long, Long, Double, Double, Double, Boolean)].collect().toSeq
@@ -106,6 +129,22 @@ class InvariantSpec extends SparkSpecBase {
     }
     // Thresholds sit at the distribution tails, not outside them.
     assert(rows.exists(_._6) && rows.exists(!_._6))
+  }
+
+  test("percentile_approx exact regime: value at rank ceil(p*n), both probe points") {
+    // The Spark half of the value_quantiles_approx oracle equivalence
+    // (scripts/check.py pins the DuckDB quantile_disc half): with
+    // accuracy >= n the sketch is exact and must return the value at
+    // rank ceil(p*n) — 1..10 at p (0.95, 0.5, 0.05) -> (10, 5, 1). A
+    // convention drift in either engine now fails with a named cause
+    // instead of an opaque gate hash mismatch.
+    val got = (1 to 10).map(_.toDouble).toDF("x")
+      .agg(
+        expr("percentile_approx(x, 0.95, 100)").as("p95"),
+        expr("percentile_approx(x, 0.5, 100)").as("p50"),
+        expr("percentile_approx(x, 0.05, 100)").as("p05"))
+      .as[(Double, Double, Double)].head()
+    assert(got == ((10.0, 5.0, 1.0)), s"rank convention drifted: $got")
   }
 
   test("value_quantiles_approx: rank error within n/accuracy when the sketch compresses") {

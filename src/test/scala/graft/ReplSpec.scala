@@ -30,6 +30,27 @@ class ReplSpec extends SparkSpecBase {
     assert(k3 == direct)
   }
 
+  test("near routes to the doc's near-dup cluster; singletons self-report") {
+    // A doc the gate's components output clusters: its REPL cluster is
+    // exactly the rows of its component. A doc with no near-dups gets
+    // the singleton (doc_id, doc_id) row; an absent id, zero rows.
+    val comps = SparkEntry.queries("dedup_components")(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(comps.nonEmpty, "fixture must contain near-dup clusters")
+    val (member, comp) = comps.head
+    val expect = comps.filter(_._2 == comp).toSet
+    val got = Repl.dispatch(spark, sfDir, s"near $member").get
+      .as[(Long, Long)].collect().toSet
+    assert(got == expect)
+    val clustered = comps.map(_._1).toSet
+    val singleton = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .as[Long].collect().find(!clustered(_)).get
+    assert(Repl.dispatch(spark, sfDir, s"near $singleton").get
+      .as[(Long, Long)].collect().toSeq == Seq((singleton, singleton)))
+    assert(Repl.dispatch(spark, sfDir, "near 999999999").get.count() == 0)
+    assert(Repl.dispatch(spark, sfDir, "near -1").isEmpty)
+  }
+
   test("blank and unknown input dispatch to None") {
     assert(Repl.dispatch(spark, sfDir, "   ").isEmpty)
     assert(Repl.dispatch(spark, sfDir, "frobnicate 1").isEmpty)
