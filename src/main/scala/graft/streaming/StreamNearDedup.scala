@@ -134,25 +134,44 @@ object StreamNearDedup {
         spark.read.parquet(path)
       else empty
 
-    private def bands: DataFrame =
-      readOrEmpty(bandsPath,
-        emptyState(spark).withColumn("batch_id", lit(0L)))
-
     def admitted: DataFrame =
       readOrEmpty(admittedPath, new Accumulator(spark).admitted)
 
+    // WRITE-THROUGH: storage is append-only and is read exactly once,
+    // here at construction (the resume path — this is what a restarted
+    // query recovers from); the running query serves each batch's
+    // prior-state probe from an in-memory localCheckpoint mirror
+    // instead of re-scanning the parquet per trigger (measured +3.5s
+    // on the 3-batch paced gate before this).
+    private var committedIds: Set[Long] =
+      admitted.select(col("batch_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+    // Only COMMITTED batches' keys enter the mirror: the crash window
+    // (keys appended, admission not) leaves orphan key rows that the
+    // batch's own replay must not collide with.
+    @volatile private var stateMem: DataFrame =
+      readOrEmpty(bandsPath, emptyState(spark).withColumn("batch_id", lit(0L)))
+        .filter(col("batch_id").isInCollection(
+          if (committedIds.isEmpty) Set(-1L) else committedIds))
+        .select(col("band_idx"), col("band_key"))
+        .localCheckpoint()
+
     /** The foreachBatch body (serial per query; lock defensive). */
     def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-      val replayed = admitted.filter(col("batch_id") === batchId).limit(1)
-        .count() > 0
-      if (!replayed) {
-        val prior = bands.filter(col("batch_id") < batchId)
-          .select(col("band_idx"), col("band_key"))
-        val (kept, newKeys) = admitBatch(spark, batch, prior)
-        newKeys.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(bandsPath)
+      if (!committedIds(batchId)) {
+        val (kept, newKeys) = admitBatch(spark, batch, stateMem)
+        val keys = newKeys.localCheckpoint()
+        // coalesce(1): a batch's state delta is small relative to the
+        // corpus (it is one batch's keys/admissions), and appending it
+        // as one file instead of one per shuffle partition keeps the
+        // per-trigger commit cost flat — a production job sizes this
+        // to its batch volume.
+        keys.withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("append").parquet(bandsPath)
         kept.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(admittedPath)
+          .coalesce(1).write.mode("append").parquet(admittedPath)
+        stateMem = stateMem.union(keys).localCheckpoint()
+        committedIds += batchId
       }
     }
   }
