@@ -230,6 +230,34 @@ class CurationSpec extends SparkSpecBase {
     assert(got.count(_._1 == "tiny") == 1)
   }
 
+  test("md5 bucketed selection fuzz: random corpora and targets equal the window") {
+    // Seed-deterministic randomized instances: skewed source sizes,
+    // targets drawn across the whole [0, size+slack] range so every
+    // bucket class (keep-whole, boundary, drop, target>size, target=0)
+    // is hit across iterations.
+    val rnd = new scala.util.Random(4242)
+    for (round <- 1 to 6) {
+      val sources = (0 until 1 + rnd.nextInt(4)).map(i => s"s$i")
+      val docs = sources.flatMap { s =>
+        val size = 1 + rnd.nextInt(400)
+        // Non-contiguous ids so the md5 order is unrelated to insertion.
+        Seq.fill(size)(rnd.nextLong(1000000L)).distinct.map(id => (s, id))
+      }.toDF("source", "doc_id")
+      val targets = sources.map(s => (s, rnd.nextLong(450L))).toDF("source", "target_docs")
+      val got = Pipeline.applyMixTargets(docs, targets)
+        .as[(String, Long)].collect().toSet
+      val naive = docs.join(broadcast(targets), "source")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rk") <= col("target_docs"))
+        .select(col("source"), col("doc_id"))
+        .as[(String, Long)].collect().toSet
+      assert(got == naive, s"round $round: bucketed != window " +
+        s"(only-bucketed=${(got -- naive).take(3)}, only-window=${(naive -- got).take(3)})")
+    }
+  }
+
   test("mix_weights: weights normalize and targets re-fill the corpus") {
     val out = SparkEntry.queries("mix_weights")(spark, sfDir)
       .as[(String, Long, Double, Long)].collect().toSeq
