@@ -57,8 +57,16 @@ object Bench {
     // the cur filter exists to prevent. Such a round is detectable:
     // its BENCH_FULL (written by the re-run) is NEWER than the
     // driver's snapshot (normal order is FULL first, stamp after), so
-    // treat it as still-current and exclude it.
-    def selfRerun(n: Int): Boolean = currentRound.isEmpty && {
+    // treat it as still-current and exclude it. Only the NEWEST driver
+    // round is ambiguous this way — an OLDER round with the same mtime
+    // relationship is long finished (later driver stamps exist), and
+    // excluding it would permanently shift deltas onto a stale round.
+    val newestDriver = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case benchRx(full, n) if full == null => Some(n.toInt)
+        case _ => None
+      }).maxOption.getOrElse(-1)
+    def selfRerun(n: Int): Boolean = currentRound.isEmpty && n == newestDriver && {
       val driver = new java.io.File(dir, f"BENCH_r$n%02d.json")
       val full = new java.io.File(dir, f"BENCH_FULL_r$n%02d.json")
       driver.exists && full.exists && full.lastModified > driver.lastModified

@@ -479,7 +479,17 @@ object Pipeline extends QueryModule {
     * as plain strings here for oracle transparency; the production
     * swap is the 56-bit [[TextFns.hash56]] fingerprint (the near_dedup
     * idiom), one expression on each side. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateCore(spark, dir, hashGrams = false)
+
+  /** The shared decontamination dataflow; the two public variants
+    * differ ONLY here, by construction: `hashGrams` swaps gram
+    * identity from the plain string (oracle-transparent) to the 56-bit
+    * fingerprint AND drops the broadcast hint (the at-scale pair — a
+    * fingerprint gram set big enough to need hashing is big enough to
+    * exceed the broadcast threshold). */
+  private def decontaminateCore(spark: SparkSession, dir: String,
+      hashGrams: Boolean): DataFrame = {
     // Token arrays materialized once (the shinglesOf boundary
     // rationale: element_at over a physical attribute, not an inlined
     // tokenizer pipeline).
@@ -494,10 +504,14 @@ object Pipeline extends QueryModule {
       .select(col("doc_id"), array_distinct(
         transform(sequence(lit(1), size(col("ts")) - (DECON_NGRAM - 1)), gram))
         .as("gs"))
-    val exploded = grams.select(col("doc_id"), explode(col("gs")).as("g"))
+    val explodedStr = grams.select(col("doc_id"), explode(col("gs")).as("gstr"))
+    val exploded =
+      if (hashGrams)
+        explodedStr.select(col("doc_id"), TextFns.hash56(col("gstr")).as("g"))
+      else explodedStr.withColumnRenamed("gstr", "g")
     val evalGrams = exploded.filter(isEval).select(col("g")).distinct()
     val shared = exploded.filter(!isEval)
-      .join(broadcast(evalGrams), "g")
+      .join(if (hashGrams) evalGrams else broadcast(evalGrams), "g")
       .groupBy(col("doc_id"))
       // (doc_id, g) rows are distinct by construction (per-doc
       // array_distinct upstream), so a plain count equals the distinct
@@ -526,34 +540,8 @@ object Pipeline extends QueryModule {
     * plan shape (56-bit collisions across a corpus gram set are
     * ~|grams|²/2^57 — absent at any spec-checkable scale, and at 100 TB
     * a collision only over-flags one doc). */
-  private[graft] def decontaminateShuffled(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextFns.tokenize(col("text")).as("ts"))
-      .localCheckpoint()
-    val isEval = col("doc_id") % EVAL_MOD === EVAL_RES
-    val gram = (i: Column) => concat_ws(" ",
-      (0 until DECON_NGRAM).map(o => element_at(col("ts"), i + o)): _*)
-    val grams = base
-      .filter(size(col("ts")) >= DECON_NGRAM)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(1), size(col("ts")) - (DECON_NGRAM - 1)), gram))
-        .as("gs"))
-    val exploded = grams.select(col("doc_id"), explode(col("gs")).as("gstr"))
-      .select(col("doc_id"), TextFns.hash56(col("gstr")).as("g"))
-    val evalGrams = exploded.filter(isEval).select(col("g")).distinct()
-    val shared = exploded.filter(!isEval)
-      .join(evalGrams, "g")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
-    base.filter(!isEval).select(col("doc_id"))
-      .join(grams.select(col("doc_id"), size(col("gs")).as("ng")), Seq("doc_id"), "left")
-      .join(shared, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("ng"), lit(0)).cast("long").as("n_grams"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)) > 0).as("is_contaminated"))
-      .orderBy(col("doc_id"))
-  }
+  private[graft] def decontaminateShuffled(spark: SparkSession, dir: String): DataFrame =
+    decontaminateCore(spark, dir, hashGrams = true)
 
   val decontaminateSql = {
     val ts = TextFns.tokenizeSql("text")
@@ -740,6 +728,10 @@ object Pipeline extends QueryModule {
     * can drive the truncation path on a SKEWED corpus (the gate
     * fixture's sources are balanced, so its targets equal the source
     * sizes and the rank filter never bites there). */
+  /** `targets` must carry ONE row per source (as [[mixWeights]] emits):
+    * a duplicate target row would double its source's docs in the
+    * bucket counts and halve the effective cutoff — the naive window
+    * form merely duplicated output rows. */
   private[graft] def applyMixTargets(docs: DataFrame, targets: DataFrame): DataFrame =
     md5BucketedSelect(docs.join(broadcast(targets), "source")
       .withColumnRenamed("target_docs", "target"))

@@ -88,11 +88,14 @@ object ScaleProbe {
     // Warm the session with a full throwaway pass at the small scale —
     // codegen/JIT cost otherwise lands entirely on the first measured
     // query and skews every factor low.
-    timeAll("/root/testdata/sf0.1")
-    val small = timeAll("/root/testdata/sf0.1")
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val baseDocs = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    timeAll(baseDir)
+    val small = timeAll(baseDir)
     val large = timeAll(dir.toString)
 
-    val growth = n / 5000.0
+    // Measured, not assumed: the baseline corpus size sets the growth.
+    val growth = n.toDouble / baseDocs
     val parts = queries.map { q =>
       val (ts, rs) = small(q)
       val (tl, rl) = large(q)

@@ -62,6 +62,32 @@ class BenchPrevSpec extends AnyFunSuite {
     withDir() { dir => assert(Bench.prevBench(dir, Some(1)).isEmpty) }
   }
 
+  test("only the NEWEST driver round is ambiguous: older finished rounds stay eligible") {
+    // Round 7 carried an in-round re-run long ago (its FULL postdates
+    // its stamp — a relationship that persists forever); round 8 is
+    // re-running NOW (same signature) with the round inferred. Round 8
+    // must be excluded as current, but round 7 — provably finished,
+    // since a later stamp exists — must be the prev, not round 6.
+    val r6 =
+      """{"metric":"total","value":9.0,"unit":"sec","queries":{"q1":6.0},"prev":{},"delta":{},"errors":{},"sf":"x"}"""
+    withDir(
+      "BENCH_FULL_r06.json" -> r6,
+      "BENCH_r07.json" -> """{"tail": "\"q1\":77.0},\"prev\":{}}"}""",
+      "BENCH_FULL_r07.json" -> fullLine,
+      "BENCH_r08.json" -> """{"tail": "\"q1\":88.0},\"prev\":{}}"}""",
+      "BENCH_FULL_r08.json" ->
+        """{"metric":"total","value":1.0,"unit":"sec","queries":{"q1":42.0},"prev":{},"delta":{},"errors":{},"sf":"x"}""") { dir =>
+      def mtime(name: String, t: Long): Unit =
+        assert(new java.io.File(dir, name).setLastModified(t))
+      mtime("BENCH_FULL_r06.json", 1000000000000L)
+      mtime("BENCH_r07.json", 1000000001000L)
+      mtime("BENCH_FULL_r07.json", 1000000002000L) // old in-round re-run
+      mtime("BENCH_r08.json", 1000000003000L)
+      mtime("BENCH_FULL_r08.json", 1000000004000L) // re-running NOW
+      assert(Bench.prevBench(dir, None)("q1") == 1.5)
+    }
+  }
+
   test("driver-JSON outer keys (n, rc) never enter the prev map") {
     // The tail-anchored scan: only pairs inside the "tail" value may
     // parse, so the wrapper's own numeric keys stay out even when the

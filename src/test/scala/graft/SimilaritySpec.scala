@@ -77,8 +77,9 @@ class SimilaritySpec extends SparkSpecBase {
   test("ann_ivfpq_topk: recall >= trained IVF at the same probe budget") {
     // Same probed cells as trained IVF (the coarse quantizers train on
     // the same normalized geometry); the ADC shortlist is deep enough
-    // (PQ_SHORTLIST = 4k) that the exact re-rank recovers everything
-    // exact in-cell search finds.
+    // (PQ_SHORTLIST = 8k — 4k measurably loses a neighbour, see its
+    // scaladoc) that the exact re-rank recovers everything exact
+    // in-cell search finds.
     val ivf = ivfRecall(Similarity.annIvfTrained(spark, sfDir))
     val ivfpq = ivfRecall(Similarity.annIvfPqTopk(spark, sfDir))
     assert(ivfpq >= ivf, s"IVF-PQ recall $ivfpq < trained IVF recall $ivf")

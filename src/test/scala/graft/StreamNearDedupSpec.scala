@@ -119,7 +119,8 @@ class StreamNearDedupSpec extends SparkSpecBase {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_resume_ckpt_")
     val state = java.nio.file.Files.createTempDirectory("graft_resume_state_")
     try {
-      val files = java.nio.file.Files.list(full).iterator().asScala.toSeq
+      val files = scala.util.Using.resource(java.nio.file.Files.list(full))(
+          _.iterator().asScala.toSeq)
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .sortBy(_.getFileName.toString)
       def arrive(p: java.nio.file.Path): Unit = {
@@ -150,7 +151,8 @@ class StreamNearDedupSpec extends SparkSpecBase {
     } finally {
       def rmTree(root: java.nio.file.Path): Unit = {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        scala.util.Using.resource(java.nio.file.Files.walk(root))(
+            _.iterator().asScala.toSeq).reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
       Seq(src, ckpt, state).foreach(rmTree)
