@@ -643,7 +643,12 @@ object Similarity extends QueryModule {
     * fixture recall by depth is 0.18 / 0.22 / 0.30 / 0.28 / 0.30 (vs
     * 0.24 untrained), flat from 3 on — the fewest iterations past the
     * plateau's edge. More change the oracle's CTE count, nothing
-    * structural. */
+    * structural. Doubling [[PQ_KSUB]] to 32 was probed and does NOT
+    * help here (0.20–0.28): the fixture's embeddings are isotropic
+    * random unit vectors, so 8-dim slices carry no low-dimensional
+    * structure for a larger codebook to exploit — on real embedding
+    * corpora (strongly anisotropic) K and recall scale together, and
+    * K is the documented knob. */
   val PQ_TRAIN_ITERS = 3
 
   /** The per-subspace codebooks after `iters` k-means refinements of
