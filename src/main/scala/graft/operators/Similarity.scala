@@ -576,10 +576,16 @@ object Similarity extends QueryModule {
     * `$codesRel` — [[pqAssignSubs]]'s mirror, shared by the stride and
     * trained chains (per-chain `tag` keeps CTE names unique). */
   private def pqAssignSqlVs(booksRel: String, tag: String, codesRel: String): String =
+    pqAssignSqlVsOn("subs", booksRel, tag, codesRel)
+
+  /** [[pqAssignSqlVs]] against an arbitrary (vec_id, m, sub) slice
+    * relation — the residual chain assigns RESIDUAL slices. */
+  private def pqAssignSqlVsOn(subsRel: String, booksRel: String, tag: String,
+      codesRel: String): String =
     s"""ad$tag AS MATERIALIZED (SELECT s.vec_id, s.m, b.cid,
        |    round(list_sum(list_transform(range(1, $PQ_SUBDIM + 1),
        |      j -> (s.sub[j] - b.cw[j]) * (s.sub[j] - b.cw[j]))), 6) AS d
-       |  FROM subs s JOIN $booksRel b ON s.m = b.m),
+       |  FROM $subsRel s JOIN $booksRel b ON s.m = b.m),
        |ar$tag AS MATERIALIZED (SELECT *, row_number() OVER (
        |    PARTITION BY vec_id, m ORDER BY d, cid) AS rk FROM ad$tag),
        |$codesRel AS MATERIALIZED (SELECT vec_id, m, cid AS code FROM ar$tag WHERE rk = 1)""".stripMargin
@@ -729,12 +735,16 @@ object Similarity extends QueryModule {
     * [[kmeansIterSql]] pattern with (m, code) in place of (cell).
     * Chained [[PQ_TRAIN_ITERS]] times by the oracle. */
   private def pqTrainIterSql(booksIn: String, tag: String, booksOut: String): String =
-    s"""${pqAssignSqlVs(booksIn, s"t$tag", s"tc$tag")},
+    pqTrainIterSqlOn("subs", booksIn, tag, booksOut)
+
+  private def pqTrainIterSqlOn(subsRel: String, booksIn: String, tag: String,
+      booksOut: String): String =
+    s"""${pqAssignSqlVsOn(subsRel, booksIn, s"t$tag", s"tc$tag")},
        |tm$tag AS MATERIALIZED (SELECT m, code, u['p'] AS pos,
        |    round(avg(u['x']), 6) AS mv
        |  FROM (SELECT a.m, a.code, unnest(list_transform(range(1, $PQ_SUBDIM + 1),
        |      j -> {'p': j, 'x': s.sub[j]})) AS u
-       |    FROM tc$tag a JOIN subs s ON s.vec_id = a.vec_id AND s.m = a.m)
+       |    FROM tc$tag a JOIN $subsRel s ON s.vec_id = a.vec_id AND s.m = a.m)
        |  GROUP BY m, code, pos),
        |$booksOut AS MATERIALIZED (SELECT code AS cid, m, list(mv ORDER BY pos) AS cw
        |  FROM tm$tag GROUP BY m, code)""".stripMargin
@@ -805,6 +815,13 @@ object Similarity extends QueryModule {
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("p")), 6).as("adc"))
+    ivfPqRerank(adc, en, qw)
+  }
+
+  /** The shared IVF-PQ serving tail: ADC top-[[PQ_SHORTLIST]] shortlist
+    * per query, float fetch + exact cosine re-rank of the shortlist
+    * only. `adc` carries (query_id, vec_id, adc). */
+  private def ivfPqRerank(adc: DataFrame, en: DataFrame, qw: DataFrame): DataFrame = {
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val shortlist = adc.withColumn("srk", row_number().over(wS))
@@ -822,6 +839,74 @@ object Similarity extends QueryModule {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= IVF_TOP_K)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  // --- ann_ivfpq_residual: classic IVF-PQ, codes over residuals -----------
+  /** The canonical IVF-PQ refinement: quantize the RESIDUAL
+    * `r = v − centroid(cell(v))` instead of the raw vector, so the M
+    * codebooks spend their bits on the small within-cell displacement
+    * rather than re-describing the coarse structure the cell id
+    * already encodes — on clustered corpora residual norms shrink with
+    * cell tightness and ADC error drops proportionally (on this
+    * fixture's isotropic embeddings centroids sit near the origin, so
+    * the gain is structural, not measurable — same caveat as the
+    * [[PQ_TRAIN_ITERS]] codebook-size note). Scoring uses the exact
+    * decomposition q·v = q·c + q·r: probes carry the RAW q·c inner
+    * product (bit-exact — both engines fold the same rounded-centroid
+    * lists), ADC approximates q·r from the residual codes, and their
+    * sum rounds to 6 before shortlist ranking. Serving shape and cost
+    * envelope are identical to [[annIvfPqTopk]]; only what the codes
+    * describe changes. Residual parity is exact: v/nrm is
+    * bit-identical cross-engine and the trained centroids are
+    * 6-decimal-rounded, so the subtraction is too. */
+  def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    val en = pqCorpus(spark, dir).withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .localCheckpoint()
+    val cent = trainedCodebook(en, strideCodebook(en), IVF_TRAIN_ITERS)
+      .localCheckpoint() // feeds assignment, residual join, and probes
+    // Corpus assignment keeping the winning centroid for the residual.
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val resid = en.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cid"), col("cv"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("ccos"))
+      .withColumn("crank", row_number().over(wA))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"),
+        col("cid").as("cell"))
+      .localCheckpoint()
+    val rsubs = subspaces(resid.select(col("vec_id"), col("v")), "vec_id")
+      .localCheckpoint()
+    val books = trainedPqBooks(rsubs,
+      pqCodebooks(resid.select(col("vec_id"), col("v"))), PQ_TRAIN_ITERS)
+    val coded = pqAssignSubs(rsubs, books)
+      .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+    val qw = queryWorkload(en, en)
+    val wQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probes = qw.crossJoin(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("ccos"),
+        dot(col("v"), col("cv")).as("qc"))
+      .withColumn("crank", row_number().over(wQ))
+      .filter(col("crank") <= NPROBE)
+      .select(col("query_id"), col("cell"), col("qc"))
+    // The LUT's query side is the RAW query slice (q·r needs q, not
+    // q − c); its codebook side is the residual codebooks.
+    val qsubs = subspaces(qw, "query_id").withColumnRenamed("sub", "qsub")
+    val lut = qsubs.join(broadcast(books), "m")
+      .select(col("query_id"), col("m"), col("cid").as("code"),
+        dot(col("qsub"), col("cw")).as("p"))
+    val adc = coded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      // qc is constant within the group (one cell per vector): max()
+      // reads the single value portably in both engines.
+      .agg(round(max(col("qc")) + sum(col("p")), 6).as("adc"))
+    ivfPqRerank(adc, en, qw)
   }
 
   val annIvfPqTopkSql = {
@@ -861,6 +946,78 @@ object Similarity extends QueryModule {
        |  FROM qsubs q JOIN $fb b ON q.m = b.m),
        |adc AS MATERIALIZED (SELECT p2.query_id, c.vec_id, round(sum(l.p), 6) AS adc
        |  FROM fcodes c
+       |  JOIN cells cl ON cl.vec_id = c.vec_id
+       |  JOIN iprobes p2 ON p2.cell = cl.cell
+       |  JOIN lut l ON l.query_id = p2.query_id AND l.m = c.m AND l.code = c.code
+       |  WHERE c.vec_id <> p2.query_id
+       |  GROUP BY p2.query_id, c.vec_id),
+       |sl AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc DESC, vec_id) AS srk FROM adc),
+       |px AS (SELECT sl.query_id, sl.vec_id,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> q.v[i] * c.v[i]))
+       |        / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM sl
+       |  JOIN en q ON q.vec_id = sl.query_id
+       |  JOIN en c ON c.vec_id = sl.vec_id
+       |  WHERE sl.srk <= $PQ_SHORTLIST),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |      FROM px)
+       |SELECT query_id, vec_id, cosine, rank FROM r
+       |WHERE rank <= $IVF_TOP_K ORDER BY query_id, rank""".stripMargin
+  }
+
+  val annIvfPqResidualSql = {
+    val ivfIters = (1 to IVF_TRAIN_ITERS).map { i =>
+      kmeansIterSqlOn("en", if (i == 1) "icent" else s"icent$i", s"i$i", s"icent${i + 1}")
+    }.mkString(",\n")
+    val icf = s"icent${IVF_TRAIN_ITERS + 1}"
+    val pqIters = (1 to PQ_TRAIN_ITERS).map { i =>
+      pqTrainIterSqlOn("rsubs", if (i == 1) "rbooks" else s"rbooks$i", s"r$i",
+        s"rbooks${i + 1}")
+    }.mkString(",\n")
+    val fb = s"rbooks${PQ_TRAIN_ITERS + 1}"
+    s"""$corpusSql,
+       |$pqBooksBodySql,
+       |en AS MATERIALIZED (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM pn),
+       |ist AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $K_CENTROIDS) AS BIGINT)
+       |          AS stride FROM en),
+       |icent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM en CROSS JOIN ist
+       |          WHERE vec_id % stride = $CENTROID_OFF % stride),
+       |$ivfIters,
+       |svc AS MATERIALIZED (SELECT en.vec_id, c.cid,
+       |  list_sum(list_transform(range(1, $DIM + 1), i -> en.v[i] * c.cv[i])) AS qdot,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> en.v[i] * c.cv[i]))
+       |        / (en.nrm * c.cnrm), 6) AS ccos
+       |  FROM en CROSS JOIN $icf c),
+       |svr AS MATERIALIZED (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM svc),
+       |cells AS (SELECT vec_id, cid AS cell FROM svr WHERE crank = 1),
+       |iprobes AS (SELECT vec_id AS query_id, cid AS cell, qdot
+       |  FROM svr CROSS JOIN qst
+       |  WHERE crank <= $NPROBE AND vec_id % qstride = 0),
+       |rsd AS MATERIALIZED (SELECT en.vec_id,
+       |    list_transform(range(1, $DIM + 1), i -> en.v[i] - c.cv[i]) AS v
+       |  FROM en JOIN cells ON cells.vec_id = en.vec_id
+       |  JOIN $icf c ON c.cid = cells.cell),
+       |rsubs AS MATERIALIZED (SELECT vec_id, u AS m,
+       |    list_transform(range(1, $PQ_SUBDIM + 1), j -> v[u * $PQ_SUBDIM + j]) AS sub
+       |  FROM rsd CROSS JOIN unnest(range(0, $PQ_M)) AS t(u)),
+       |rbooks AS MATERIALIZED (SELECT vec_id AS cid, m, sub AS cw
+       |  FROM rsubs CROSS JOIN pst
+       |  WHERE vec_id % stride = $PQ_OFF % stride),
+       |$pqIters,
+       |${pqAssignSqlVsOn("rsubs", fb, "fr", "frcodes")},
+       |qsubs AS MATERIALIZED (SELECT vec_id AS query_id, m, sub AS qsub
+       |  FROM subs CROSS JOIN qst WHERE vec_id % qstride = 0),
+       |lut AS MATERIALIZED (SELECT q.query_id, q.m, b.cid AS code,
+       |    list_sum(list_transform(range(1, $PQ_SUBDIM + 1),
+       |      j -> q.qsub[j] * b.cw[j])) AS p
+       |  FROM qsubs q JOIN $fb b ON q.m = b.m),
+       |adc AS MATERIALIZED (SELECT p2.query_id, c.vec_id,
+       |    round(max(p2.qdot) + sum(l.p), 6) AS adc
+       |  FROM frcodes c
        |  JOIN cells cl ON cl.vec_id = c.vec_id
        |  JOIN iprobes p2 ON p2.cell = cl.cell
        |  JOIN lut l ON l.query_id = p2.query_id AND l.m = c.m AND l.code = c.code
@@ -1148,6 +1305,8 @@ object Similarity extends QueryModule {
       "ADC from per-subspace k-means codebooks (unrolled-CTE oracle)"),
     QueryDef("ann_ivfpq_topk", annIvfPqTopk, Some(annIvfPqTopkSql),
       "IVF-PQ: trained cell routing, ADC shortlist, exact re-rank"),
+    QueryDef("ann_ivfpq_residual", annIvfPqResidual, Some(annIvfPqResidualSql),
+      "classic IVF-PQ: codes over residuals, q.c + ADC(q,r) scoring"),
     QueryDef("embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
       "embedding-cosine near-dup pairs via sign-LSH buckets"),
     QueryDef("embedding_dedup_auto", embeddingDedupAuto, None,

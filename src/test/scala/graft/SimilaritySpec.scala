@@ -86,6 +86,16 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivfpq > 0.0)
   }
 
+  test("ann_ivfpq_residual: recall >= trained IVF at the same probe budget") {
+    // The residual codes route through the SAME trained coarse cells;
+    // the q.c + ADC(q,r) score feeds the same-depth shortlist, so the
+    // exact re-rank must again recover everything in-cell search finds.
+    val ivf = ivfRecall(Similarity.annIvfTrained(spark, sfDir))
+    val res = ivfRecall(Similarity.annIvfPqResidual(spark, sfDir))
+    assert(res >= ivf, s"residual IVF-PQ recall $res < trained IVF recall $ivf")
+    assert(res > 0.0)
+  }
+
   test("ann_ivf_trained: recall vs exact truth >= the stride codebook's") {
     // The training iterations must not LOSE recall relative to the
     // untrained stride codebook (they tighten cells around the data,
