@@ -161,6 +161,69 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --- ann_lsh_multiprobe: probe the nearest perturbed buckets ------------
+  /** Multi-probe LSH — the "more recall without more tables" knob the
+    * [[PLANES]] width math names, made real: each query probes its own
+    * [[ANN_CHUNKS]] chunk values PLUS, per chunk, the value with that
+    * chunk's LOWEST-MARGIN bit flipped — the bit whose hyperplane the
+    * query sits closest to (smallest |q·plane|), i.e. the bucket
+    * boundary a true neighbour most plausibly fell across. Candidate
+    * volume doubles per table instead of doubling the tables (2× probe
+    * rows vs 2× signatures, index untouched); recall strictly grows —
+    * the probe set is a superset of [[annLshTopk]]'s, SimilaritySpec
+    * pins it. Margins fold the same doubles in both engines, so the
+    * per-chunk argmin (|dot| asc, bit asc) is deterministic and the
+    * oracle replays it exactly. */
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = corpus(spark, dir).repartition(col("vec_id"))
+      .withColumn("sig", signature(spark, col("v")))
+    val chunks = sigs.select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array((0 until ANN_CHUNKS).map(c =>
+          shiftrightunsigned(col("sig"), c * ANN_CHUNK_BITS)
+            .bitwiseAND(lit((1L << ANN_CHUNK_BITS) - 1))): _*)))
+      .toDF("vec_id", "v", "nrm", "chunk_idx", "chunk_val")
+    // Query side only (fixed K_QUERIES rows): raw per-plane margins via
+    // the interpreted fold — 64 dots over a handful of rows, not the
+    // corpus-side hot loop the native signature expression covers.
+    def planeDot(p: Int): Column =
+      aggregate(zip_with(col("v"), typedLit(PLANES(p).toSeq), (x, y) => x * y),
+        lit(0.0), (a, x) => a + x)
+    def chunkVal(c: Int): Column =
+      shiftrightunsigned(col("sig"), c * ANN_CHUNK_BITS)
+        .bitwiseAND(lit((1L << ANN_CHUNK_BITS) - 1))
+    // argmin over (|margin|, bit) — struct ordering breaks ties on the
+    // lower bit index, mirroring the oracle's ORDER BY m, p.
+    def minBit(c: Int): Column =
+      array_min(array((0 until ANN_CHUNK_BITS).map(b =>
+        struct(abs(planeDot(c * ANN_CHUNK_BITS + b)).as("m"),
+          lit(b).as("b"))): _*)).getField("b")
+    val bitValues = typedLit((0 until ANN_CHUNK_BITS).map(b => 1L << b))
+    val probeCols = (0 until ANN_CHUNKS).flatMap { c =>
+      Seq(
+        struct(lit(c).as("chunk_idx"), chunkVal(c).as("chunk_val")),
+        struct(lit(c).as("chunk_idx"),
+          chunkVal(c).bitwiseXOR(element_at(bitValues, minBit(c) + 1))
+            .as("chunk_val")))
+    }
+    val q = queryWorkload(sigs, sigs)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), explode(array(probeCols: _*)).as("pr"))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        col("pr.chunk_idx").as("chunk_idx"), col("pr.chunk_val").as("chunk_val"))
+    val cand = chunks.join(broadcast(q), Seq("chunk_idx", "chunk_val"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qv"), col("qnrm"),
+        col("v"), col("nrm"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cand.select(col("query_id"), col("vec_id"),
+      round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Planes as a VALUES relation: DuckDB re-materializes an inline
     * nested-list literal on every `[p][i]` access (≈4 min for 500
     * vectors); the join form evaluates each plane row once. The bit
@@ -207,6 +270,51 @@ object Similarity extends QueryModule {
        |SELECT query_id, vec_id, cosine, rank FROM r
        |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Multi-probe oracle: margins, per-chunk argmin, perturbed probe
+    * union, then the [[annLshTopkSql]] candidate/re-rank tail. Plane p
+    * (1-based in the VALUES relation) is signature bit p−1: chunk
+    * (p−1)/bits, in-chunk bit (p−1)%bits. */
+  val annLshMultiprobeSql: String =
+    s"""$corpusSql,
+       |$planesCte,
+       |$sigCte,
+       |ch AS (SELECT vec_id, v, nrm, c AS chunk_idx,
+       |  (sig >> (c * $ANN_CHUNK_BITS)) & ${(1 << ANN_CHUNK_BITS) - 1} AS chunk_val
+       |  FROM s, unnest(range(0, $ANN_CHUNKS)) AS u(c)),
+       |qm AS MATERIALIZED (SELECT n.vec_id, planes.p,
+       |  abs(list_sum(list_transform(range(1, $DIM + 1),
+       |    i -> n.v[i] * planes.pl[i]))) AS m
+       |  FROM n CROSS JOIN qst CROSS JOIN planes WHERE n.vec_id % qstride = 0),
+       |qmin AS (SELECT vec_id, chunk_idx, b FROM (
+       |    SELECT vec_id, CAST((p - 1) // $ANN_CHUNK_BITS AS INT) AS chunk_idx,
+       |      CAST((p - 1) % $ANN_CHUNK_BITS AS INT) AS b,
+       |      row_number() OVER (PARTITION BY vec_id, (p - 1) // $ANN_CHUNK_BITS
+       |        ORDER BY m, p) AS rk
+       |    FROM qm) WHERE rk = 1),
+       |qch AS (SELECT vec_id, chunk_idx, chunk_val FROM ch CROSS JOIN qst
+       |        WHERE vec_id % qstride = 0),
+       |qpr AS (SELECT * FROM qch
+       |        UNION ALL
+       |        SELECT q.vec_id, q.chunk_idx,
+       |          xor(q.chunk_val, CAST(1 << qmin.b AS BIGINT)) AS chunk_val
+       |        FROM qch q JOIN qmin ON qmin.vec_id = q.vec_id
+       |          AND qmin.chunk_idx = q.chunk_idx),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM qpr q JOIN ch c ON q.chunk_idx = c.chunk_idx
+       |    AND q.chunk_val = c.chunk_val
+       |  WHERE c.vec_id <> q.vec_id),
+       |p AS (SELECT cand.query_id, cand.vec_id,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> q.v[i] * c.v[i]))
+       |        / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.query_id
+       |  JOIN n c ON c.vec_id = cand.vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT query_id, vec_id, cosine, rank FROM r
+       |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
 
   // --- ann_ivf_topk: inverted-file (IVF) variant -------------------------
   /** IVF: a FIXED-size deterministic codebook — [[K_CENTROIDS]] vectors
@@ -1291,6 +1399,8 @@ object Similarity extends QueryModule {
       "exact brute-force cosine top-k for the query workload"),
     QueryDef("ann_lsh_topk", annLshTopk, Some(annLshTopkSql),
       "random-hyperplane LSH candidates + exact cosine re-rank"),
+    QueryDef("ann_lsh_multiprobe", annLshMultiprobe, Some(annLshMultiprobeSql),
+      "multi-probe LSH: lowest-margin bit flipped per chunk, 2x probes"),
     QueryDef("ann_ivf_topk", annIvfTopk, Some(annIvfTopkSql),
       "IVF: deterministic codebook, nprobe cell search + re-rank"),
     QueryDef("ivf_kmeans_step", ivfKmeansStep, Some(ivfKmeansStepSql),

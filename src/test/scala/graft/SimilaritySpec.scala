@@ -55,6 +55,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.1, s"ADC recall $recall indistinguishable from chance")
   }
 
+  test("ann_lsh_multiprobe: recall >= single-probe LSH") {
+    // The probe set is a strict superset (each chunk value plus its
+    // lowest-margin perturbation), and exact-cosine re-ranking over a
+    // candidate superset can only keep or gain true top-K members
+    // (only globally-better vectors can displace one).
+    val truth = Similarity.cosineTopk(spark, sfDir)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id"), col("vec_id"))
+        .as[(Long, Long)].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val single = recallOf(Similarity.annLshTopk(spark, sfDir))
+    val multi = recallOf(Similarity.annLshMultiprobe(spark, sfDir))
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi > 0.0)
+  }
+
   test("ann_pq_trained: recall >= the stride codebooks' ADC recall") {
     // Per-subspace k-means tightens each codebook around the data, so
     // ADC distances get more faithful and recall must not drop below
