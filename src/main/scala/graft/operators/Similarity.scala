@@ -132,7 +132,9 @@ object Similarity extends QueryModule {
     call_function(graft.functions.SignLshSignature.FUNC_NAME, v)
   }
 
-  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+  /** (sigs, chunks): the signed corpus and its per-chunk band rows —
+    * the LSH index both probe strategies search. */
+  private def lshIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // repartition = stage boundary: materializes `v` before the
     // chunk-extraction references (CollapseProject would otherwise
     // re-run the float→double transform per derived column).
@@ -143,11 +145,15 @@ object Similarity extends QueryModule {
           shiftrightunsigned(col("sig"), c * ANN_CHUNK_BITS)
             .bitwiseAND(lit((1L << ANN_CHUNK_BITS) - 1))): _*)))
       .toDF("vec_id", "v", "nrm", "chunk_idx", "chunk_val")
-    val q = queryWorkload(chunks, sigs)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("chunk_idx"), col("chunk_val"))
-    // Candidates = corpus vectors sharing ≥1 signature chunk with the query.
-    val cand = chunks.join(broadcast(q), Seq("chunk_idx", "chunk_val"))
+    (sigs, chunks)
+  }
+
+  /** The shared LSH serving tail: candidates = corpus chunk rows
+    * matching any probe row, then exact cosine re-rank within
+    * candidates only. `probes` carries (query_id, qv, qnrm,
+    * chunk_idx, chunk_val). */
+  private def lshServe(chunks: DataFrame, probes: DataFrame): DataFrame = {
+    val cand = chunks.join(broadcast(probes), Seq("chunk_idx", "chunk_val"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("qv"), col("qnrm"),
         col("v"), col("nrm"))
@@ -161,6 +167,13 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val (sigs, chunks) = lshIndex(spark, dir)
+    lshServe(chunks, queryWorkload(chunks, sigs)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("chunk_idx"), col("chunk_val")))
+  }
+
   // --- ann_lsh_multiprobe: probe the nearest perturbed buckets ------------
   /** Multi-probe LSH — the "more recall without more tables" knob the
     * [[PLANES]] width math names, made real: each query probes its own
@@ -171,18 +184,13 @@ object Similarity extends QueryModule {
     * volume doubles per table instead of doubling the tables (2× probe
     * rows vs 2× signatures, index untouched); recall strictly grows —
     * the probe set is a superset of [[annLshTopk]]'s, SimilaritySpec
-    * pins it. Margins fold the same doubles in both engines, so the
-    * per-chunk argmin (|dot| asc, bit asc) is deterministic and the
-    * oracle replays it exactly. */
+    * pins it. Margins are |q·plane| ROUNDED to 6 decimals before the
+    * per-chunk argmin (margin asc, bit asc) — the module's
+    * round-before-any-discrete-decision convention: two near-equal
+    * margins must pick the same bit in both engines. */
   def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = corpus(spark, dir).repartition(col("vec_id"))
-      .withColumn("sig", signature(spark, col("v")))
-    val chunks = sigs.select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(array((0 until ANN_CHUNKS).map(c =>
-          shiftrightunsigned(col("sig"), c * ANN_CHUNK_BITS)
-            .bitwiseAND(lit((1L << ANN_CHUNK_BITS) - 1))): _*)))
-      .toDF("vec_id", "v", "nrm", "chunk_idx", "chunk_val")
-    // Query side only (fixed K_QUERIES rows): raw per-plane margins via
+    val (sigs, chunks) = lshIndex(spark, dir)
+    // Query side only (fixed K_QUERIES rows): per-plane margins via
     // the interpreted fold — 64 dots over a handful of rows, not the
     // corpus-side hot loop the native signature expression covers.
     def planeDot(p: Int): Column =
@@ -191,11 +199,11 @@ object Similarity extends QueryModule {
     def chunkVal(c: Int): Column =
       shiftrightunsigned(col("sig"), c * ANN_CHUNK_BITS)
         .bitwiseAND(lit((1L << ANN_CHUNK_BITS) - 1))
-    // argmin over (|margin|, bit) — struct ordering breaks ties on the
-    // lower bit index, mirroring the oracle's ORDER BY m, p.
+    // argmin over (round(|margin|, 6), bit) — struct ordering breaks
+    // ties on the lower bit index, mirroring the oracle's ORDER BY m, p.
     def minBit(c: Int): Column =
       array_min(array((0 until ANN_CHUNK_BITS).map(b =>
-        struct(abs(planeDot(c * ANN_CHUNK_BITS + b)).as("m"),
+        struct(round(abs(planeDot(c * ANN_CHUNK_BITS + b)), 6).as("m"),
           lit(b).as("b"))): _*)).getField("b")
     val bitValues = typedLit((0 until ANN_CHUNK_BITS).map(b => 1L << b))
     val probeCols = (0 until ANN_CHUNKS).flatMap { c =>
@@ -205,23 +213,11 @@ object Similarity extends QueryModule {
           chunkVal(c).bitwiseXOR(element_at(bitValues, minBit(c) + 1))
             .as("chunk_val")))
     }
-    val q = queryWorkload(sigs, sigs)
+    lshServe(chunks, queryWorkload(sigs, sigs)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), explode(array(probeCols: _*)).as("pr"))
       .select(col("query_id"), col("qv"), col("qnrm"),
-        col("pr.chunk_idx").as("chunk_idx"), col("pr.chunk_val").as("chunk_val"))
-    val cand = chunks.join(broadcast(q), Seq("chunk_idx", "chunk_val"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("qv"), col("qnrm"),
-        col("v"), col("nrm"))
-      .dropDuplicates("query_id", "vec_id")
-    val scored = cand.select(col("query_id"), col("vec_id"),
-      round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TOP_K)
-      .orderBy(col("query_id"), col("rank"))
+        col("pr.chunk_idx").as("chunk_idx"), col("pr.chunk_val").as("chunk_val")))
   }
 
   /** Planes as a VALUES relation: DuckDB re-materializes an inline
@@ -247,61 +243,23 @@ object Similarity extends QueryModule {
        |  FROM n CROSS JOIN planes GROUP BY vec_id),
        |s AS (SELECT n.vec_id, n.v, n.nrm, s0.sig FROM n JOIN s0 USING (vec_id))""".stripMargin
 
-  val annLshTopkSql = {
-    s"""$corpusSql,
-       |$planesCte,
+  /** Shared LSH oracle prefix: corpus, planes, signatures, per-chunk
+    * band rows (`ch`), and the query workload's own chunk rows
+    * (`qch`). */
+  private def lshIndexSql: String =
+    s"""$planesCte,
        |$sigCte,
        |ch AS (SELECT vec_id, v, nrm, c AS chunk_idx,
        |  (sig >> (c * $ANN_CHUNK_BITS)) & ${(1 << ANN_CHUNK_BITS) - 1} AS chunk_val
        |  FROM s, unnest(range(0, $ANN_CHUNKS)) AS u(c)),
-       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
-       |  FROM ch q CROSS JOIN qst JOIN ch c
-       |    ON q.chunk_idx = c.chunk_idx AND q.chunk_val = c.chunk_val
-       |  WHERE q.vec_id % qstride = 0 AND c.vec_id <> q.vec_id),
-       |p AS (SELECT cand.query_id, cand.vec_id,
-       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> q.v[i] * c.v[i]))
-       |        / (q.nrm * c.nrm), 6) AS cosine
-       |  FROM cand
-       |  JOIN n q ON q.vec_id = cand.query_id
-       |  JOIN n c ON c.vec_id = cand.vec_id),
-       |r AS (SELECT *, CAST(row_number() OVER (
-       |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
-       |      FROM p)
-       |SELECT query_id, vec_id, cosine, rank FROM r
-       |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
-  }
-
-  /** Multi-probe oracle: margins, per-chunk argmin, perturbed probe
-    * union, then the [[annLshTopkSql]] candidate/re-rank tail. Plane p
-    * (1-based in the VALUES relation) is signature bit p−1: chunk
-    * (p−1)/bits, in-chunk bit (p−1)%bits. */
-  val annLshMultiprobeSql: String =
-    s"""$corpusSql,
-       |$planesCte,
-       |$sigCte,
-       |ch AS (SELECT vec_id, v, nrm, c AS chunk_idx,
-       |  (sig >> (c * $ANN_CHUNK_BITS)) & ${(1 << ANN_CHUNK_BITS) - 1} AS chunk_val
-       |  FROM s, unnest(range(0, $ANN_CHUNKS)) AS u(c)),
-       |qm AS MATERIALIZED (SELECT n.vec_id, planes.p,
-       |  abs(list_sum(list_transform(range(1, $DIM + 1),
-       |    i -> n.v[i] * planes.pl[i]))) AS m
-       |  FROM n CROSS JOIN qst CROSS JOIN planes WHERE n.vec_id % qstride = 0),
-       |qmin AS (SELECT vec_id, chunk_idx, b FROM (
-       |    SELECT vec_id, CAST((p - 1) // $ANN_CHUNK_BITS AS INT) AS chunk_idx,
-       |      CAST((p - 1) % $ANN_CHUNK_BITS AS INT) AS b,
-       |      row_number() OVER (PARTITION BY vec_id, (p - 1) // $ANN_CHUNK_BITS
-       |        ORDER BY m, p) AS rk
-       |    FROM qm) WHERE rk = 1),
        |qch AS (SELECT vec_id, chunk_idx, chunk_val FROM ch CROSS JOIN qst
-       |        WHERE vec_id % qstride = 0),
-       |qpr AS (SELECT * FROM qch
-       |        UNION ALL
-       |        SELECT q.vec_id, q.chunk_idx,
-       |          xor(q.chunk_val, CAST(1 << qmin.b AS BIGINT)) AS chunk_val
-       |        FROM qch q JOIN qmin ON qmin.vec_id = q.vec_id
-       |          AND qmin.chunk_idx = q.chunk_idx),
-       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
-       |  FROM qpr q JOIN ch c ON q.chunk_idx = c.chunk_idx
+       |        WHERE vec_id % qstride = 0)""".stripMargin
+
+  /** Shared LSH oracle tail vs a (vec_id, chunk_idx, chunk_val) probe
+    * relation — [[lshServe]]'s mirror. */
+  private def lshServeSql(probeRel: String): String =
+    s"""cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+       |  FROM $probeRel q JOIN ch c ON q.chunk_idx = c.chunk_idx
        |    AND q.chunk_val = c.chunk_val
        |  WHERE c.vec_id <> q.vec_id),
        |p AS (SELECT cand.query_id, cand.vec_id,
@@ -315,6 +273,36 @@ object Similarity extends QueryModule {
        |      FROM p)
        |SELECT query_id, vec_id, cosine, rank FROM r
        |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+
+  val annLshTopkSql =
+    s"""$corpusSql,
+       |$lshIndexSql,
+       |${lshServeSql("qch")}""".stripMargin
+
+  /** Multi-probe oracle: 6-decimal-rounded margins, per-chunk argmin,
+    * perturbed probe union, then the shared candidate/re-rank tail.
+    * Plane p (1-based in the VALUES relation) is signature bit p−1:
+    * chunk (p−1)/bits, in-chunk bit (p−1)%bits. */
+  val annLshMultiprobeSql: String =
+    s"""$corpusSql,
+       |$lshIndexSql,
+       |qm AS MATERIALIZED (SELECT n.vec_id, planes.p,
+       |  round(abs(list_sum(list_transform(range(1, $DIM + 1),
+       |    i -> n.v[i] * planes.pl[i]))), 6) AS m
+       |  FROM n CROSS JOIN qst CROSS JOIN planes WHERE n.vec_id % qstride = 0),
+       |qmin AS (SELECT vec_id, chunk_idx, b FROM (
+       |    SELECT vec_id, CAST((p - 1) // $ANN_CHUNK_BITS AS INT) AS chunk_idx,
+       |      CAST((p - 1) % $ANN_CHUNK_BITS AS INT) AS b,
+       |      row_number() OVER (PARTITION BY vec_id, (p - 1) // $ANN_CHUNK_BITS
+       |        ORDER BY m, p) AS rk
+       |    FROM qm) WHERE rk = 1),
+       |qpr AS (SELECT * FROM qch
+       |        UNION ALL
+       |        SELECT q.vec_id, q.chunk_idx,
+       |          xor(q.chunk_val, CAST(1 << qmin.b AS BIGINT)) AS chunk_val
+       |        FROM qch q JOIN qmin ON qmin.vec_id = q.vec_id
+       |          AND qmin.chunk_idx = q.chunk_idx),
+       |${lshServeSql("qpr")}""".stripMargin
 
   // --- ann_ivf_topk: inverted-file (IVF) variant -------------------------
   /** IVF: a FIXED-size deterministic codebook — [[K_CENTROIDS]] vectors
@@ -663,17 +651,22 @@ object Similarity extends QueryModule {
     * single subspace-slice definition ([[subspaces]]'s mirror — books
     * and query LUTs both derive from it), then the same
     * rounded-distance rank. */
-  /** Prefix through the STRIDE codebooks (`pn`, `subs`, `books`),
-    * body-only so composites (the IVF-PQ oracle) can splice it after
-    * their own base CTEs. */
-  private val pqBooksBodySql =
+  /** Normalized corpus + subspace slices (`pn`, `pst`, `subs`) —
+    * body-only so composites splice it after their own base CTEs; the
+    * residual oracle stops here (it builds its own codebooks from
+    * residual slices). */
+  private val pqSlicesBodySql =
     s"""pn AS MATERIALIZED (SELECT vec_id,
        |    list_transform(v, x -> x / nrm) AS v FROM n),
        |pst AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $PQ_KSUB) AS BIGINT)
        |          AS stride FROM pn),
        |subs AS MATERIALIZED (SELECT vec_id, u AS m,
        |    list_transform(range(1, $PQ_SUBDIM + 1), j -> v[u * $PQ_SUBDIM + j]) AS sub
-       |  FROM pn CROSS JOIN unnest(range(0, $PQ_M)) AS t(u)),
+       |  FROM pn CROSS JOIN unnest(range(0, $PQ_M)) AS t(u))""".stripMargin
+
+  /** [[pqSlicesBodySql]] plus the STRIDE codebooks (`books`). */
+  private val pqBooksBodySql =
+    s"""$pqSlicesBodySql,
        |books AS MATERIALIZED (SELECT vec_id AS cid, m, sub AS cw
        |  FROM subs CROSS JOIN pst
        |  WHERE vec_id % stride = $PQ_OFF % stride)""".stripMargin
@@ -1086,7 +1079,7 @@ object Similarity extends QueryModule {
     }.mkString(",\n")
     val fb = s"rbooks${PQ_TRAIN_ITERS + 1}"
     s"""$corpusSql,
-       |$pqBooksBodySql,
+       |$pqSlicesBodySql,
        |en AS MATERIALIZED (SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM pn),
        |ist AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $K_CENTROIDS) AS BIGINT)
@@ -1096,8 +1089,7 @@ object Similarity extends QueryModule {
        |$ivfIters,
        |svc AS MATERIALIZED (SELECT en.vec_id, c.cid,
        |  list_sum(list_transform(range(1, $DIM + 1), i -> en.v[i] * c.cv[i])) AS qdot,
-       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> en.v[i] * c.cv[i]))
-       |        / (en.nrm * c.cnrm), 6) AS ccos
+       |  round(qdot / (en.nrm * c.cnrm), 6) AS ccos
        |  FROM en CROSS JOIN $icf c),
        |svr AS MATERIALIZED (SELECT *, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM svc),

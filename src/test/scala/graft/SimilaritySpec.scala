@@ -29,6 +29,16 @@ class SimilaritySpec extends SparkSpecBase {
     })
   }
 
+  /** Fraction of exact TOP_K truth a full-depth run recovers. */
+  private def topkRecall(served: org.apache.spark.sql.DataFrame): Double = {
+    val truth = Similarity.cosineTopk(spark, sfDir)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    val got = served.select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    (truth & got).size.toDouble / truth.size
+  }
+
   /** Fraction of exact top-IVF_TOP_K neighbours an IVF run recovers. */
   private def ivfRecall(served: org.apache.spark.sql.DataFrame): Double = {
     val truth = Similarity.cosineTopk(spark, sfDir)
@@ -45,13 +55,7 @@ class SimilaritySpec extends SparkSpecBase {
     // codebooks): 0.22 measured on the fixture vs ~1% chance
     // (TOP_K / corpus). Pin an order of magnitude above chance, not the
     // measured point value.
-    val truth = Similarity.cosineTopk(spark, sfDir)
-      .select(col("query_id"), col("vec_id"))
-      .as[(Long, Long)].collect().toSet
-    val pq = Similarity.annPqTopk(spark, sfDir)
-      .select(col("query_id"), col("vec_id"))
-      .as[(Long, Long)].collect().toSet
-    val recall = (truth & pq).size.toDouble / truth.size
+    val recall = topkRecall(Similarity.annPqTopk(spark, sfDir))
     assert(recall >= 0.1, s"ADC recall $recall indistinguishable from chance")
   }
 
@@ -60,16 +64,8 @@ class SimilaritySpec extends SparkSpecBase {
     // lowest-margin perturbation), and exact-cosine re-ranking over a
     // candidate superset can only keep or gain true top-K members
     // (only globally-better vectors can displace one).
-    val truth = Similarity.cosineTopk(spark, sfDir)
-      .select(col("query_id"), col("vec_id"))
-      .as[(Long, Long)].collect().toSet
-    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = df.select(col("query_id"), col("vec_id"))
-        .as[(Long, Long)].collect().toSet
-      (truth & got).size.toDouble / truth.size
-    }
-    val single = recallOf(Similarity.annLshTopk(spark, sfDir))
-    val multi = recallOf(Similarity.annLshMultiprobe(spark, sfDir))
+    val single = topkRecall(Similarity.annLshTopk(spark, sfDir))
+    val multi = topkRecall(Similarity.annLshMultiprobe(spark, sfDir))
     assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
     assert(multi > 0.0)
   }
@@ -78,16 +74,8 @@ class SimilaritySpec extends SparkSpecBase {
     // Per-subspace k-means tightens each codebook around the data, so
     // ADC distances get more faithful and recall must not drop below
     // the untrained stride books'.
-    val truth = Similarity.cosineTopk(spark, sfDir)
-      .select(col("query_id"), col("vec_id"))
-      .as[(Long, Long)].collect().toSet
-    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
-      val got = df.select(col("query_id"), col("vec_id"))
-        .as[(Long, Long)].collect().toSet
-      (truth & got).size.toDouble / truth.size
-    }
-    val stride = recallOf(Similarity.annPqTopk(spark, sfDir))
-    val trained = recallOf(Similarity.annPqTrained(spark, sfDir))
+    val stride = topkRecall(Similarity.annPqTopk(spark, sfDir))
+    val trained = topkRecall(Similarity.annPqTrained(spark, sfDir))
     assert(trained >= stride,
       s"trained PQ recall $trained < stride PQ recall $stride")
     assert(trained > 0.0)
