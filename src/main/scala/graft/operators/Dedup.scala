@@ -281,6 +281,70 @@ object Dedup extends QueryModule {
     s"""WITH $nearDedupPairsCtes
        |SELECT doc_a, doc_b, jaccard FROM p ORDER BY doc_a, doc_b""".stripMargin
 
+  // --- decontaminate_fuzzy: MinHash-LSH decontamination -------------------
+  /** FUZZY benchmark decontamination — the published complement of
+    * [[graft.operators.Pipeline.decontaminate]]'s exact-n-gram rule:
+    * flag a training document when some eval-slice document is a
+    * shingle-Jaccard NEAR-duplicate (≥ [[JACCARD_THRESHOLD]]), the
+    * "remove documents fuzzily overlapping the benchmark" recipe
+    * (paraphrases and near-copies that share no exact 8-gram still
+    * get caught). Shares the eval-slice definition with the exact
+    * form and the whole shingle→minhash→band pipeline with
+    * [[nearDedup]] — the candidate join is bands-vs-eval-bands (the
+    * eval side is a fixed small benchmark, so candidate volume is
+    * O(train-collisions), not all pairs), then exact Jaccard within
+    * candidates only. Output exposes only at-threshold evidence
+    * (`max_jaccard`/`n_matches` over verified matches), so the
+    * brute-force oracle is exact at the fixture's geometry — the
+    * near_dedup recall argument, unchanged. */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val isEval = col("doc_id") % Pipeline.EVAL_MOD === Pipeline.EVAL_RES
+    val sh = shingles(spark, dir).localCheckpoint()
+    val bands = bandsOf(spark, sh).localCheckpoint()
+    val cand = bands.filter(!isEval)
+      .join(bands.filter(isEval)
+        .select(col("doc_id").as("eval_id"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val matches = cand
+      .join(sh, "doc_id")
+      .join(sh.select(col("doc_id").as("eval_id"), col("hs").as("hs_e")), "eval_id")
+      .withColumn("inter", size(array_intersect(col("hs"), col("hs_e"))).cast("double"))
+      .select(col("doc_id"), round(col("inter")
+        / (size(col("hs")) + size(col("hs_e")) - col("inter")), 6).as("j"))
+      .filter(col("j") >= JACCARD_THRESHOLD)
+      .groupBy(col("doc_id"))
+      .agg(max(col("j")).as("max_j"), count(lit(1)).as("nm"))
+    graft.Tables.documents(spark, dir).filter(!isEval).select(col("doc_id"))
+      .join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("max_j"), lit(0.0)).as("max_jaccard"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        (coalesce(col("max_j"), lit(0.0)) >= JACCARD_THRESHOLD).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Brute-force train×eval oracle (exact at this geometry — the
+    * [[nearDedupSql]] recall argument): every cross-slice pair's
+    * Jaccard, thresholded on the same 6-decimal rounding. */
+  val decontaminateFuzzySql: String =
+    s"""WITH $shingleCtes,
+       |fp AS MATERIALIZED (SELECT a.doc_id,
+       |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |          / len(list_distinct(list_concat(a.s, b.s))), 6) AS j
+       |  FROM sh a JOIN sh b
+       |    ON a.doc_id % ${Pipeline.EVAL_MOD} <> ${Pipeline.EVAL_RES}
+       |   AND b.doc_id % ${Pipeline.EVAL_MOD} = ${Pipeline.EVAL_RES}),
+       |fm AS (SELECT doc_id, max(j) AS max_j, count(*) AS nm FROM fp
+       |       WHERE j >= $JACCARD_THRESHOLD GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(fm.max_j, 0.0) AS max_jaccard,
+       |  CAST(coalesce(fm.nm, 0) AS BIGINT) AS n_matches,
+       |  coalesce(fm.max_j, 0.0) >= $JACCARD_THRESHOLD AS is_contaminated
+       |FROM documents d LEFT JOIN fm USING (doc_id)
+       |WHERE d.doc_id % ${Pipeline.EVAL_MOD} <> ${Pipeline.EVAL_RES}
+       |ORDER BY doc_id""".stripMargin
+
   // --- dedup_components: near-dup pairs → duplicate clusters --------------
 
   /** Connected components over an undirected edge list — the step that
@@ -842,6 +906,8 @@ object Dedup extends QueryModule {
       "MinHash + banded LSH near-dup pairs, exact-Jaccard verified"),
     QueryDef("near_dedup_salted", nearDedupSalted, Some(nearDedupSql),
       "the same pairs with hot LSH buckets salted across the shuffle"),
+    QueryDef("decontaminate_fuzzy", decontaminateFuzzy, Some(decontaminateFuzzySql),
+      "MinHash-LSH decontamination vs the eval slice (fuzzy complement)"),
     QueryDef("simhash", simhash, Some(simhashSql),
       "56-bit SimHash signature per document"),
     QueryDef("simhash_dedup", simhashDedup, Some(simhashDedupSql),

@@ -93,6 +93,21 @@ class InvariantSpec extends SparkSpecBase {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("decontaminate_fuzzy: eval slice absent, evidence consistent, hits exist") {
+    val rows = SparkEntry.queries("decontaminate_fuzzy")(spark, sfDir)
+      .as[(Long, Double, Long, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, maxJ, nm, flag) =>
+      assert(id % operators.Pipeline.EVAL_MOD != operators.Pipeline.EVAL_RES,
+        s"eval doc $id leaked into the output")
+      assert(maxJ >= 0.0 && maxJ <= 1.0, s"doc $id jaccard $maxJ out of range")
+      assert(flag == (maxJ >= operators.Dedup.JACCARD_THRESHOLD), s"doc $id flag")
+      assert((nm > 0) == flag, s"doc $id match count inconsistent with flag")
+    }
+    // The fixture plants near-duplicates across the eval boundary.
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
+
   test("decontaminate shuffled hash56 path: no broadcast, equals the broadcast form") {
     // The at-scale variant proven, not just described: with the
     // broadcast planner disabled outright, the fingerprint join must
