@@ -39,6 +39,7 @@ class PlanSpec extends SparkSpecBase {
     Seq(
       operators.Dedup.nearDedup(spark, sfDir),
       operators.Dedup.simhashDedup(spark, sfDir),
+      operators.Dedup.decontaminateFuzzy(spark, sfDir),
       operators.Dedup.ngramJaccard(spark, sfDir)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
