@@ -22,7 +22,11 @@ class DeterminismSpec extends SparkSpecBase {
     "media_features", // mapPartitions batch order
     "topk_per_group_heap", // typed-Aggregator merge order
     "spam_ensemble_trained", // three single-partition folds + pivot
-    "value_quantiles") // percentile over group-collected doubles
+    "value_quantiles", // percentile over group-collected doubles
+    "ann_ivfpq_residual", // two trained quantizers + ADC shortlist ties
+    "ann_pq_trained", // k-means avg reorder ulps under round(…, 6)
+    "ann_lsh_multiprobe", // margin argmin ties + perturbed probe union
+    "decontaminate_fuzzy") // LSH candidate join order + max/count agg
 
   risky.foreach { name =>
     test(s"$name is run-to-run deterministic") {
