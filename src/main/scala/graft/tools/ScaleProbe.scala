@@ -75,8 +75,22 @@ object ScaleProbe {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Unit-norm random embeddings, one per doc — the fixture table's
+    // shape (64-dim float, isotropic) at probe scale, so the ANN
+    // family's O(n·K) assignment/train path can be measured too.
+    locally {
+      val rnd = new scala.util.Random(43L)
+      (0L until n.toLong).map { id =>
+        val raw = Array.fill(64)(rnd.nextGaussian())
+        val nm = math.sqrt(raw.map(x => x * x).sum)
+        (id, raw.map(x => (x / nm).toFloat).toSeq)
+      }.toDF("vec_id", "embedding")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
 
-    val queries = Seq("near_dedup", "dedup_components", "curation_pipeline")
+    val queries = Seq("near_dedup", "dedup_components", "curation_pipeline",
+      "decontaminate_fuzzy", "ann_ivfpq_topk")
     def timeAll(sfDir: String): Map[String, (Double, Long)] =
       queries.map { q =>
         graft.Caches.clearAll()
