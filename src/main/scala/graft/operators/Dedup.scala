@@ -172,9 +172,16 @@ object Dedup extends QueryModule {
     * the Jaccard threshold. Shared by the plain and salted candidate
     * generators. */
   private def verifiedPairs(cand: DataFrame, sh: DataFrame): DataFrame =
+    verifiedPairsSided(cand, sh, sh)
+
+  /** [[verifiedPairs]] with distinct per-side shingle frames — the
+    * fuzzy-decontamination path fetches train shingles on the `doc_a`
+    * side and ONLY the (small) eval slice on the `doc_b` side. */
+  private def verifiedPairsSided(cand: DataFrame, shA: DataFrame,
+      shB: DataFrame): DataFrame =
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .join(shA.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(shB.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
       // |∪| = |a| + |b| − |∩| (arrays are distinct): one set op per pair.
       .withColumn("inter",
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
@@ -302,19 +309,21 @@ object Dedup extends QueryModule {
     val sh = shingles(spark, dir).localCheckpoint()
     val bands = bandsOf(spark, sh).localCheckpoint()
     val cand = bands.filter(!isEval)
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
       .join(bands.filter(isEval)
-        .select(col("doc_id").as("eval_id"), col("band_idx"), col("band_key")),
+        .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
-      .select(col("doc_id"), col("eval_id")).distinct()
-    val matches = cand
-      .join(sh, "doc_id")
-      .join(sh.select(col("doc_id").as("eval_id"), col("hs").as("hs_e")), "eval_id")
-      .withColumn("inter", size(array_intersect(col("hs"), col("hs_e"))).cast("double"))
-      .select(col("doc_id"), round(col("inter")
-        / (size(col("hs")) + size(col("hs_e")) - col("inter")), 6).as("j"))
-      .filter(col("j") >= JACCARD_THRESHOLD)
-      .groupBy(col("doc_id"))
-      .agg(max(col("j")).as("max_j"), count(lit(1)).as("nm"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // Exact verify via the shared [[verifiedPairsSided]] block (one
+    // Jaccard formula in this file); the train side reads the train
+    // shingles and the eval side ONLY the eval slice — the "small
+    // benchmark" posture the scaladoc claims, broadcastable at
+    // production scale.
+    val matches = verifiedPairsSided(cand,
+        sh.filter(!isEval), sh.filter(isEval))
+      .groupBy(col("doc_a"))
+      .agg(max(col("jaccard")).as("max_j"), count(lit(1)).as("nm"))
+      .select(col("doc_a").as("doc_id"), col("max_j"), col("nm"))
     graft.Tables.documents(spark, dir).filter(!isEval).select(col("doc_id"))
       .join(matches, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -75,16 +75,22 @@ object ScaleProbe {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // Unit-norm random embeddings, one per doc — the fixture table's
-    // shape (64-dim float, isotropic) at probe scale, so the ANN
-    // family's O(n·K) assignment/train path can be measured too.
+    // Unit-norm random embeddings at the SAME growth ratio as the
+    // documents (the fixture keeps embeddings smaller than docs — 2000
+    // vs 5000 at sf0.1 — so "one per doc" would silently measure the
+    // ANN family at 2.5× the reported growth); schema mirrors the
+    // fixture (vec_id, embedding, label).
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val baseDocs = spark.read.parquet(s"$baseDir/documents.parquet").count()
+    val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet").count()
+    val nEmb = (baseEmb.toDouble * n / baseDocs).round
     locally {
       val rnd = new scala.util.Random(43L)
-      (0L until n.toLong).map { id =>
+      (0L until nEmb).map { id =>
         val raw = Array.fill(64)(rnd.nextGaussian())
         val nm = math.sqrt(raw.map(x => x * x).sum)
-        (id, raw.map(x => (x / nm).toFloat).toSeq)
-      }.toDF("vec_id", "embedding")
+        (id, raw.map(x => (x / nm).toFloat).toSeq, rnd.nextInt(10))
+      }.toDF("vec_id", "embedding", "label")
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
@@ -102,8 +108,6 @@ object ScaleProbe {
     // Warm the session with a full throwaway pass at the small scale —
     // codegen/JIT cost otherwise lands entirely on the first measured
     // query and skews every factor low.
-    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val baseDocs = spark.read.parquet(s"$baseDir/documents.parquet").count()
     timeAll(baseDir)
     val small = timeAll(baseDir)
     val large = timeAll(dir.toString)
