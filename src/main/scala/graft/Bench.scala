@@ -61,21 +61,23 @@ object Bench {
     // round is ambiguous this way — an OLDER round with the same mtime
     // relationship is long finished (later driver stamps exist), and
     // excluding it would permanently shift deltas onto a stale round.
-    val newestDriver = Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => f.getName match {
-        case benchRx(full, n) if full == null => Some(n.toInt)
-        case _ => None
-      }).maxOption.getOrElse(-1)
-    def selfRerun(n: Int): Boolean = currentRound.isEmpty && n == newestDriver && {
-      val driver = new java.io.File(dir, f"BENCH_r$n%02d.json")
-      val full = new java.io.File(dir, f"BENCH_FULL_r$n%02d.json")
-      driver.exists && full.exists && full.lastModified > driver.lastModified
-    }
-    val newest = Option(dir.listFiles()).getOrElse(Array.empty)
+    // One scan feeds the whole decision; the self-rerun check resolves
+    // driver/full files from these SAME matches rather than re-deriving
+    // zero-padded names (benchRx accepts unpadded names too — an
+    // unpadded driver stamp must not silently defeat the exclusion).
+    val matched = Option(dir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => f.getName match {
         case benchRx(full, n) => Some((n.toInt, full != null, f))
         case _ => None
       })
+    val newestDriver = matched.collect { case (n, false, _) => n }
+      .maxOption.getOrElse(-1)
+    def selfRerun(n: Int): Boolean = currentRound.isEmpty && n == newestDriver && {
+      val driver = matched.collectFirst { case (`n`, false, f) => f }
+      val full = matched.collectFirst { case (`n`, true, f) => f }
+      driver.exists(d => full.exists(_.lastModified > d.lastModified))
+    }
+    val newest = matched
       .filter { case (n, _, _) => n < cur && !selfRerun(n) }
       // Newest round first; within a round the FULL artifact first.
       .sortBy { case (n, full, _) => (-n, !full) }

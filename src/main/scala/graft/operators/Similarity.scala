@@ -897,13 +897,25 @@ object Similarity extends QueryModule {
         sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
       .localCheckpoint()
     val cent = trainedCodebook(en, strideCodebook(en), IVF_TRAIN_ITERS)
-    val nearest = nearestCells(cent) _
-    val cellOf = nearest(en, 1).select(col("vec_id"), col("cid").as("cell"))
+    val cellOf = nearestCells(cent)(en, 1)
+      .select(col("vec_id"), col("cid").as("cell"))
     val subs = subspaces(en, "vec_id").localCheckpoint()
     val books = trainedPqBooks(subs, pqCodebooks(en), PQ_TRAIN_ITERS)
     val coded = pqAssignSubs(subs, books).join(cellOf, "vec_id")
+    ivfPqServe(en, cent, books, coded)
+  }
+
+  /** The IVF-PQ serving dataflow against an arbitrary index triple
+    * (coarse centroids, PQ codebooks, coded corpus): route the query
+    * workload to its [[NPROBE]] cells, ADC-score the probed cells'
+    * codes, exact re-rank of the shortlist. Shared by the inline
+    * train+serve pipeline (`ann_ivfpq_topk`) and the served-from-
+    * storage form (`ann_ivfpq_served`) — the index is DATA, so the
+    * same plan runs whether it was just trained or read back. */
+  private def ivfPqServe(en: DataFrame, cent: DataFrame, books: DataFrame,
+      coded: DataFrame): DataFrame = {
     val qw = queryWorkload(en, en)
-    val probes = nearest(qw, NPROBE)
+    val probes = nearestCells(cent)(qw, NPROBE)
       .select(col("vec_id").as("query_id"), col("cid").as("cell"))
     val qsubs = subspaces(qw, "query_id").withColumnRenamed("sub", "qsub")
     val lut = qsubs.join(broadcast(books), "m")
@@ -917,6 +929,99 @@ object Similarity extends QueryModule {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("p")), 6).as("adc"))
     ivfPqRerank(adc, en, qw)
+  }
+
+  // --- ann_index_build / ann_ivfpq_served: train once, serve many ---------
+  /** Scratch location of the persisted IVF-PQ index for a dataset —
+    * [[ScaleOps.scratchDir]]'s keying (dataset + JVM), so concurrent
+    * runs at different scale factors never clobber each other. */
+  private def indexDir(dir: String): String = ScaleOps.scratchDir("annidx", dir)
+
+  /** Index builds already performed by this JVM, per (session, dataset):
+    * the serve path reads these instead of retraining — input-shaped
+    * STORAGE, not memoized compute (the [[StreamNearDedup]] staging
+    * posture), so it survives `Caches.clearAll` by design: the
+    * training cost is `ann_index_build`'s own benched number, and
+    * serving from stored codes without retraining is the operator's
+    * contract, not hidden work. */
+  private val builtIndexes = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Train the IVF-PQ index and PERSIST it as parquet model tables —
+    * the train-once half of production ANN serving:
+    *
+    *   - `centroids` (cid, cv, cnrm): the trained coarse quantizer,
+    *     O(K) rows — the router every query broadcasts;
+    *   - `codebooks` (cid, m, cw): the trained per-subspace PQ
+    *     codebooks, O(M·K) rows — the ADC lookup tables' source;
+    *   - `codes` (vec_id, m, code) PARTITIONED BY cell: the coded
+    *     corpus laid out as a literal inverted file — one directory
+    *     per coarse cell, so a query probing [[NPROBE]] cells reads
+    *     NPROBE directories (the broadcast cell-join prunes partitions
+    *     dynamically) and the float payload is never stored twice.
+    *
+    * Training is bit-identical to [[annIvfPqTopk]]'s inline chain
+    * (same [[trainedCodebook]]/[[trainedPqBooks]] calls), so serving
+    * from the dump answers exactly what the inline pipeline answers —
+    * SimilaritySpec pins the equality, and both share one oracle. */
+  private def buildIndex(spark: SparkSession, dir: String): String = {
+    val base = indexDir(dir)
+    val en = pqCorpus(spark, dir).withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .localCheckpoint()
+    val cent = trainedCodebook(en, strideCodebook(en), IVF_TRAIN_ITERS)
+    val cellOf = nearestCells(cent)(en, 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val subs = subspaces(en, "vec_id").localCheckpoint()
+    val books = trainedPqBooks(subs, pqCodebooks(en), PQ_TRAIN_ITERS)
+    val coded = pqAssignSubs(subs, books).join(cellOf, "vec_id")
+    cent.write.mode("overwrite").parquet(s"$base/centroids")
+    books.write.mode("overwrite").parquet(s"$base/codebooks")
+    coded.write.partitionBy("cell").mode("overwrite").parquet(s"$base/codes")
+    builtIndexes((spark, dir)) = base
+    base
+  }
+
+  /** The built index for (session, dataset), building on first use —
+    * so `ann_ivfpq_served` stays self-contained when it runs before
+    * `ann_index_build` (Verify's map order is arbitrary). */
+  private def ensureIndex(spark: SparkSession, dir: String): String =
+    builtIndexes.getOrElse((spark, dir), buildIndex(spark, dir))
+
+  /** The read-back coded corpus — the partition column comes back with
+    * the inferred (int) partition type, recast to the vec_id-domain
+    * long every join expects. */
+  private def readCodes(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(s"$base/codes")
+      .select(col("vec_id"), col("m"), col("code"),
+        col("cell").cast("long").as("cell"))
+
+  /** Gate query: build + persist the index, then emit the stored codes
+    * table (read BACK from parquet — the artifact itself is what gets
+    * hash-checked, not the frame that produced it). Always retrains:
+    * this IS the training operator, its bench number is the honest
+    * train+write cost. */
+  def annIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    readCodes(spark, buildIndex(spark, dir))
+      .select(col("vec_id"), col("m").cast("int").as("m"), col("code"), col("cell"))
+      .orderBy(col("vec_id"), col("m"))
+
+  /** Gate query: IVF-PQ serving from the PERSISTED index — the
+    * serve-many half. No k-means runs here: centroids, codebooks, and
+    * codes are table scans (the codes scan partition-pruned to the
+    * probed cells via the broadcast join), and only the exact re-rank
+    * touches the float corpus. Answers are bit-equal to
+    * [[annIvfPqTopk]] (same rounded artifacts, same serving plan), so
+    * it shares that oracle; the bench delta between the two queries IS
+    * the train-once/serve-many claim, measured. */
+  def annIvfPqServed(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIndex(spark, dir)
+    val en = pqCorpus(spark, dir).withColumn("nrm",
+      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    ivfPqServe(en,
+      spark.read.parquet(s"$base/centroids"),
+      spark.read.parquet(s"$base/codebooks"),
+      readCodes(spark, base))
   }
 
   /** The shared IVF-PQ serving tail: ADC top-[[PQ_SHORTLIST]] shortlist
@@ -1010,7 +1115,12 @@ object Similarity extends QueryModule {
     ivfPqRerank(adc, en, qw)
   }
 
-  val annIvfPqTopkSql = {
+  /** The trained-index CTE chain through (`cells`, `fcodes`) — exactly
+    * the content `ann_index_build` persists. Shared prefix of the
+    * build oracle and the two serving oracles (`ann_ivfpq_topk` /
+    * `ann_ivfpq_served` replay train+serve end-to-end; the build query
+    * stops here). */
+  private val ivfPqIndexBodySql = {
     val ivfIters = (1 to IVF_TRAIN_ITERS).map { i =>
       kmeansIterSqlOn("en", if (i == 1) "icent" else s"icent$i", s"i$i", s"icent${i + 1}")
     }.mkString(",\n")
@@ -1018,7 +1128,6 @@ object Similarity extends QueryModule {
     val pqIters = (1 to PQ_TRAIN_ITERS).map { i =>
       pqTrainIterSql(if (i == 1) "books" else s"books$i", i.toString, s"books${i + 1}")
     }.mkString(",\n")
-    val fb = s"books${PQ_TRAIN_ITERS + 1}"
     s"""$corpusSql,
        |$pqBooksBodySql,
        |en AS MATERIALIZED (SELECT vec_id, v,
@@ -1035,16 +1144,30 @@ object Similarity extends QueryModule {
        |svr AS MATERIALIZED (SELECT *, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crank FROM svc),
        |cells AS (SELECT vec_id, cid AS cell FROM svr WHERE crank = 1),
+       |$pqIters,
+       |${pqAssignSqlVs(s"books${PQ_TRAIN_ITERS + 1}", "f", "fcodes")}""".stripMargin
+  }
+
+  /** The final trained PQ codebook relation inside
+    * [[ivfPqIndexBodySql]] — the serving LUT joins against it. */
+  private val ivfPqFinalBooksRel = s"books${PQ_TRAIN_ITERS + 1}"
+
+  val annIndexBuildSql =
+    s"""$ivfPqIndexBodySql
+       |SELECT c.vec_id, CAST(c.m AS INT) AS m, c.code, cl.cell
+       |FROM fcodes c JOIN cells cl ON cl.vec_id = c.vec_id
+       |ORDER BY c.vec_id, c.m""".stripMargin
+
+  val annIvfPqTopkSql =
+    s"""$ivfPqIndexBodySql,
        |iprobes AS (SELECT vec_id AS query_id, cid AS cell FROM svr CROSS JOIN qst
        |  WHERE crank <= $NPROBE AND vec_id % qstride = 0),
-       |$pqIters,
-       |${pqAssignSqlVs(fb, "f", "fcodes")},
        |qsubs AS MATERIALIZED (SELECT vec_id AS query_id, m, sub AS qsub
        |  FROM subs CROSS JOIN qst WHERE vec_id % qstride = 0),
        |lut AS MATERIALIZED (SELECT q.query_id, q.m, b.cid AS code,
        |    list_sum(list_transform(range(1, $PQ_SUBDIM + 1),
        |      j -> q.qsub[j] * b.cw[j])) AS p
-       |  FROM qsubs q JOIN $fb b ON q.m = b.m),
+       |  FROM qsubs q JOIN $ivfPqFinalBooksRel b ON q.m = b.m),
        |adc AS MATERIALIZED (SELECT p2.query_id, c.vec_id, round(sum(l.p), 6) AS adc
        |  FROM fcodes c
        |  JOIN cells cl ON cl.vec_id = c.vec_id
@@ -1066,7 +1189,6 @@ object Similarity extends QueryModule {
        |      FROM px)
        |SELECT query_id, vec_id, cosine, rank FROM r
        |WHERE rank <= $IVF_TOP_K ORDER BY query_id, rank""".stripMargin
-  }
 
   val annIvfPqResidualSql = {
     val ivfIters = (1 to IVF_TRAIN_ITERS).map { i =>
@@ -1409,6 +1531,10 @@ object Similarity extends QueryModule {
       "IVF-PQ: trained cell routing, ADC shortlist, exact re-rank"),
     QueryDef("ann_ivfpq_residual", annIvfPqResidual, Some(annIvfPqResidualSql),
       "classic IVF-PQ: codes over residuals, q.c + ADC(q,r) scoring"),
+    QueryDef("ann_index_build", annIndexBuild, Some(annIndexBuildSql),
+      "train + persist the IVF-PQ index: centroids, codebooks, codes by cell"),
+    QueryDef("ann_ivfpq_served", annIvfPqServed, Some(annIvfPqTopkSql),
+      "IVF-PQ serving from the persisted index — no retraining"),
     QueryDef("embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
       "embedding-cosine near-dup pairs via sign-LSH buckets"),
     QueryDef("embedding_dedup_auto", embeddingDedupAuto, None,

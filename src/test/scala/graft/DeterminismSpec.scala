@@ -24,6 +24,9 @@ class DeterminismSpec extends SparkSpecBase {
     "spam_ensemble_trained", // three single-partition folds + pivot
     "value_quantiles", // percentile over group-collected doubles
     "ann_ivfpq_residual", // two trained quantizers + ADC shortlist ties
+    "ann_ivfpq_topk", // same surface as residual: trained IVF+PQ + shortlist
+    "ann_index_build", // trained artifacts must round-trip identically
+    "ann_ivfpq_served", // rebuild + reserve must reproduce the answer
     "ann_pq_trained", // k-means avg reorder ulps under round(…, 6)
     "ann_lsh_multiprobe", // margin argmin ties + perturbed probe union
     "decontaminate_fuzzy") // LSH candidate join order + max/count agg

@@ -93,6 +93,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivfpq > 0.0)
   }
 
+  test("ann_ivfpq_served: bit-equal to the inline train+serve pipeline") {
+    // The train-once/serve-many contract: serving from the persisted
+    // parquet index answers exactly what the inline pipeline answers —
+    // the artifacts round-trip losslessly (rounded doubles, long ids)
+    // and the serving plan is the same dataflow over read-back tables.
+    val inline = Similarity.annIvfPqTopk(spark, sfDir).collect().toSeq
+    val served = Similarity.annIvfPqServed(spark, sfDir).collect().toSeq
+    assert(served == inline)
+  }
+
+  test("ann_index_build: persisted codes cover the corpus, M codes each") {
+    val codes = Similarity.annIndexBuild(spark, sfDir)
+    val n = graft.Tables.embeddings(spark, sfDir).count()
+    assert(codes.count() == n * Similarity.PQ_M)
+    // Every vector lands in exactly one coarse cell.
+    val cellsPerVec = codes.groupBy(col("vec_id"))
+      .agg(countDistinct(col("cell")).as("nc"))
+      .filter(col("nc") =!= 1).count()
+    assert(cellsPerVec == 0)
+  }
+
   test("ann_ivfpq_residual: recall >= trained IVF at the same probe budget") {
     // The residual codes route through the SAME trained coarse cells;
     // the q.c + ADC(q,r) score feeds the same-depth shortlist, so the
