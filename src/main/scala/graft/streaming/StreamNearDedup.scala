@@ -107,52 +107,43 @@ object StreamNearDedup {
 
   /** Admission state EXTERNALIZED to storage — the "transactional
     * store" the object scaladoc names, made real: band keys and
-    * admitted rows live as parquet tables under `stateDir`, appended
-    * per micro-batch with a `batch_id` column, so a query restarted
-    * from its checkpoint RESUMES admission instead of re-admitting
-    * everything (state no longer dies with the JVM).
+    * admitted rows live as parquet tables under `stateDir`, one
+    * PARTITION DIRECTORY per micro-batch (`bands/batch_id=K`,
+    * `admitted/batch_id=K`), so a query restarted from its checkpoint
+    * RESUMES admission instead of re-admitting everything (state no
+    * longer dies with the JVM).
     *
-    * Idempotent under foreachBatch's at-least-once redelivery:
-    *   - prior state is always read as `batch_id < current` — a replay
-    *     never sees its own earlier partial writes, so it cannot
-    *     collide a batch with itself;
-    *   - a batch whose id already appears in the admitted table is
-    *     skipped outright;
-    *   - band keys append BEFORE admitted rows, so the only crash
-    *     window (keys written, admitted not) re-processes into
-    *     duplicate key rows — harmless under the semi-join probe.
+    * Idempotent under foreachBatch's at-least-once redelivery, with an
+    * EXPLICIT commit protocol (nothing is inferred from data rows, so
+    * a batch admitting zero docs commits exactly like any other):
+    *   - each batch's writes go to its own directories in OVERWRITE
+    *     mode — a replay of an uncommitted batch clobbers whatever
+    *     partial state the previous attempt left, wherever it died;
+    *   - a `commits/<batch_id>` marker file is written LAST; only
+    *     marker-bearing batches are visible — to the resume-time state
+    *     mirror, to [[readAdmitted]], and to the skip check;
+    *   - a batch whose marker exists is skipped outright on redelivery.
     * At 100 TB the parquet pair becomes a keyed transactional table
     * (the probe is already an equi-join on (band_idx, band_key), the
-    * pushdown shape); the per-batch dataflow is [[admitBatch]],
-    * unchanged. */
+    * pushdown shape) and the marker its commit record; the per-batch
+    * dataflow is [[admitBatch]], unchanged. */
   final class PersistentAccumulator(spark: SparkSession, stateDir: String) {
-    private val bandsPath = s"$stateDir/bands"
-    private val admittedPath = s"$stateDir/admitted"
 
-    private def readOrEmpty(path: String, empty: => DataFrame): DataFrame =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
-        spark.read.parquet(path)
-      else empty
+    def admitted: DataFrame = readAdmitted(spark, stateDir)
 
-    def admitted: DataFrame =
-      readOrEmpty(admittedPath, new Accumulator(spark).admitted)
-
-    // WRITE-THROUGH: storage is append-only and is read exactly once,
-    // here at construction (the resume path — this is what a restarted
-    // query recovers from); the running query serves each batch's
-    // prior-state probe from an in-memory localCheckpoint mirror
-    // instead of re-scanning the parquet per trigger (measured +3.5s
-    // on the 3-batch paced gate before this).
-    private var committedIds: Set[Long] =
-      admitted.select(col("batch_id")).distinct()
-        .collect().map(_.getLong(0)).toSet
-    // Only COMMITTED batches' keys enter the mirror: the crash window
-    // (keys appended, admission not) leaves orphan key rows that the
-    // batch's own replay must not collide with.
+    // WRITE-THROUGH: storage is read exactly once, here at construction
+    // (the resume path — this is what a restarted query recovers from);
+    // the running query serves each batch's prior-state probe from an
+    // in-memory localCheckpoint mirror instead of re-scanning the
+    // parquet per trigger (measured +3.5s on the 3-batch paced gate
+    // before this).
+    private var committedIds: Set[Long] = readCommitted(stateDir)
+    // Only COMMITTED batches' keys enter the mirror: an uncommitted
+    // batch's partial directories are invisible until its replay
+    // overwrites them and lands the marker.
     @volatile private var stateMem: DataFrame =
-      readOrEmpty(bandsPath, emptyState(spark).withColumn("batch_id", lit(0L)))
-        .filter(col("batch_id").isInCollection(
-          if (committedIds.isEmpty) Set(-1L) else committedIds))
+      readPartitioned(spark, s"$stateDir/bands", committedIds,
+        emptyState(spark))
         .select(col("band_idx"), col("band_key"))
         .localCheckpoint()
 
@@ -162,19 +153,63 @@ object StreamNearDedup {
         val (kept, newKeys) = admitBatch(spark, batch, stateMem)
         val keys = newKeys.localCheckpoint()
         // coalesce(1): a batch's state delta is small relative to the
-        // corpus (it is one batch's keys/admissions), and appending it
+        // corpus (it is one batch's keys/admissions), and writing it
         // as one file instead of one per shuffle partition keeps the
         // per-trigger commit cost flat — a production job sizes this
         // to its batch volume.
-        keys.withColumn("batch_id", lit(batchId))
-          .coalesce(1).write.mode("append").parquet(bandsPath)
-        kept.withColumn("batch_id", lit(batchId))
-          .coalesce(1).write.mode("append").parquet(admittedPath)
+        keys.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/bands/batch_id=$batchId")
+        kept.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/admitted/batch_id=$batchId")
+        commit(stateDir, batchId)
         stateMem = stateMem.union(keys).localCheckpoint()
         committedIds += batchId
       }
     }
   }
+
+  /** Batch ids whose commit marker exists — the single source of truth
+    * for what is visible. */
+  private def readCommitted(stateDir: String): Set[Long] = {
+    val dir = java.nio.file.Paths.get(stateDir, "commits")
+    if (!java.nio.file.Files.exists(dir)) Set.empty
+    else scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .flatMap(p => p.getFileName.toString.toLongOption).toSet
+    }
+  }
+
+  /** Land batch `batchId`'s marker — an empty file whose NAME is the
+    * record (the same shape Spark's own file-sink metadata log uses);
+    * `createFile` is atomic on local/HDFS semantics. Idempotent via
+    * the caller's skip check; a leftover marker can only exist if the
+    * batch fully committed. */
+  private def commit(stateDir: String, batchId: Long): Unit = {
+    val dir = java.nio.file.Paths.get(stateDir, "commits")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.createFile(dir.resolve(batchId.toString))
+  }
+
+  /** Read a per-batch partitioned state table restricted to COMMITTED
+    * batches. The `batch_id=K` directory layout makes `batch_id` a
+    * discovered partition column (int-inferred — recast to long). */
+  private def readPartitioned(spark: SparkSession, path: String,
+      committed: Set[Long], empty: => DataFrame): DataFrame =
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)) ||
+        committed.isEmpty) empty
+    else spark.read.parquet(path)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id").isInCollection(committed))
+
+  /** The committed admitted rows (doc_id, text, batch_id) under a
+    * state dir — shared by the accumulator and the gate queries'
+    * read-back, so an uncommitted replay victim can never leak into
+    * a result. */
+  private[graft] def readAdmitted(spark: SparkSession,
+      stateDir: String): DataFrame =
+    readPartitioned(spark, s"$stateDir/admitted", readCommitted(stateDir),
+      new Accumulator(spark).admitted)
 
   /** Gate/bench query: the admission filter executed by the LIVE
     * streaming engine — file source over the documents parquet,
@@ -217,19 +252,14 @@ object StreamNearDedup {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_neardedup_ckpt_")
     try {
       runLiveAgainst(spark, path, paced, ckpt.toString, stateDir.toString)
-      val admittedPath = s"$stateDir/admitted"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(admittedPath))) {
-        // Zero non-empty batches arrived: nothing was ever appended.
-        import spark.implicits._
-        Seq.empty[(Long, Long)].toDF("doc_id", "batch_id")
-      } else
-        // The admitted table is a real parquet table in the CALLER's
-        // session — no RDD re-base; localCheckpoint (eager) detaches
-        // the rows from the state dir before it is reclaimed. The text
-        // payload is pruned at the scan, both gate queries drop it.
-        spark.read.parquet(admittedPath)
-          .select(col("doc_id"), col("batch_id"))
-          .localCheckpoint()
+      // The admitted table is a real parquet table in the CALLER's
+      // session — no RDD re-base; localCheckpoint (eager) detaches
+      // the rows from the state dir before it is reclaimed. The text
+      // payload is pruned at the scan, both gate queries drop it; only
+      // COMMITTED batches are read ([[readAdmitted]]).
+      readAdmitted(spark, stateDir.toString)
+        .select(col("doc_id"), col("batch_id"))
+        .localCheckpoint()
     } finally {
       StreamingOps.deleteRecursively(ckpt)
       StreamingOps.deleteRecursively(stateDir)

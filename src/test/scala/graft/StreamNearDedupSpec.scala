@@ -159,6 +159,77 @@ class StreamNearDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("crash window: uncommitted partial batch writes are invisible and replayed") {
+    // Simulates a death BETWEEN the per-batch state writes and the
+    // commit marker — the non-atomic two-table window the commit
+    // protocol exists for. After batch 0 commits, plant partial
+    // bands+admitted directories for batch 1 — including a poison
+    // admitted row and a poison band key that a correct resume must
+    // neither serve nor collide against — with NO marker. The resumed
+    // query must replay batch 1 in overwrite mode (clobbering the
+    // partials) and converge to the single-run answer.
+    import scala.jdk.CollectionConverters._
+    val full = java.nio.file.Paths.get(
+      StreamNearDedup.stagedPacedDocsDir(spark, sfDir))
+    val src = java.nio.file.Files.createTempDirectory("graft_crashwin_src_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_crashwin_ckpt_")
+    val state = java.nio.file.Files.createTempDirectory("graft_crashwin_state_")
+    try {
+      val files = scala.util.Using.resource(java.nio.file.Files.list(full))(
+          _.iterator().asScala.toSeq)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      def arrive(p: java.nio.file.Path): Unit = {
+        val t = src.resolve(p.getFileName.toString)
+        java.nio.file.Files.copy(p, t)
+        assert(t.toFile.setLastModified(p.toFile.lastModified))
+      }
+      files.take(1).foreach(arrive)
+      StreamNearDedup.runLiveAgainst(spark, src.toString, paced = true,
+        ckpt.toString, state.toString)
+      // Poison band key: EVERY doc in the next batch would collide with
+      // it if uncommitted state leaked into the resume mirror. Use a
+      // real band key from an upcoming doc to make the leak observable.
+      val upcoming = spark.read.parquet(files(1).toString)
+      val poisonKeys = operators.Dedup.bandKeys(spark, upcoming)
+        .select(col("band_idx"), col("band_key"))
+      poisonKeys.coalesce(1).write.mode("overwrite")
+        .parquet(s"$state/bands/batch_id=1")
+      Seq((999999L, "poison row the replay must clobber"))
+        .toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+        .parquet(s"$state/admitted/batch_id=1")
+      assert(StreamNearDedup.readAdmitted(spark, state.toString)
+        .filter(col("doc_id") === 999999L).count() == 0,
+        "uncommitted partial admitted rows must be invisible")
+      files.drop(1).foreach(arrive)
+      StreamNearDedup.runLiveAgainst(spark, src.toString, paced = true,
+        ckpt.toString, state.toString)
+      val resumed = StreamNearDedup.readAdmitted(spark, state.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      assert(!resumed.exists(_._1 == 999999L), "poison row leaked")
+      val single = SparkEntry.queries("stream_neardedup_paced")(spark, sfDir)
+        .as[(Long, Long)].collect().toSet
+      assert(resumed == single,
+        s"crash-window replay diverges from the single-run answer: " +
+          s"only-resumed=${(resumed -- single).take(5)} " +
+          s"only-single=${(single -- resumed).take(5)}")
+      // Every processed batch carries a marker, nothing else does.
+      val markers = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(s"$state/commits")))(
+          _.iterator().asScala.map(_.getFileName.toString.toLong).toSet)
+      assert(markers == resumed.map(_._2) ||
+        markers == (0L until operators.Dedup.PACED_BATCHES).toSet)
+    } finally {
+      def rmTree(root: java.nio.file.Path): Unit = {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(root))(
+            _.iterator().asScala.toSeq).reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      Seq(src, ckpt, state).foreach(rmTree)
+    }
+  }
+
   test("paced staging: one file per residue class, mtimes strictly increasing") {
     // The paced gate's ORACLE replays batch k = doc_id mod PACED_BATCHES
     // in file-mtime order, so this layout is load-bearing: a staging
