@@ -308,10 +308,14 @@ object Dedup extends QueryModule {
     val isEval = col("doc_id") % Pipeline.EVAL_MOD === Pipeline.EVAL_RES
     val sh = shingles(spark, dir).localCheckpoint()
     val bands = bandsOf(spark, sh).localCheckpoint()
+    // The eval side is fixed-small by construction (a benchmark slice),
+    // so its band frame broadcasts EXPLICITLY — the same posture as the
+    // sibling exact `decontaminate`, and uniform plans keep the
+    // dedup-family audit one-shaped (PlanSpec pins it).
     val cand = bands.filter(!isEval)
       .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-      .join(bands.filter(isEval)
-        .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
+      .join(broadcast(bands.filter(isEval)
+        .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key"))),
         Seq("band_idx", "band_key"))
       .select(col("doc_a"), col("doc_b")).distinct()
     // Exact verify via the shared [[verifiedPairsSided]] block (one

@@ -244,6 +244,105 @@ object StreamingOps extends QueryModule {
       .orderBy(col("window_start"))
   }
 
+  // --- stream_trending_live: the stateful alert path, live ---------------
+
+  /** Micro-batches for the live trending query. Four is enough to make
+    * cross-batch state the thing being tested (every batch after the
+    * first computes prev_cnt from state carried through RocksDB) while
+    * keeping engine overhead out of the bench's way. */
+  val TREND_BATCHES = 4
+
+  private val trendStaged = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** The 10-min window counts staged as [[TREND_BATCHES]] single-file
+    * parquets sliced by window_start RANGE with strictly increasing
+    * fixed mtimes — so the file source's oldest-first listing delivers
+    * every key's windows in window order across batches (the invariant
+    * that makes the state machine's (prev, cur) equal the lag replay;
+    * within a batch the machine sorts). The slice bounds come from a
+    * 1-row min/max aggregate cross-joined in — the stride idiom, no
+    * driver collect in the slicing expression itself. */
+  private[graft] def stagedTrendingDir(spark: SparkSession, dir: String): String =
+    trendStaged.getOrElseUpdate((spark, dir), {
+      import scala.jdk.CollectionConverters._
+      val dest = java.nio.file.Files.createTempDirectory("graft_trend_paced_")
+      val counts = trendingCounts(Tables.events(spark, dir))
+      val bounds = counts.agg(
+        min(unix_timestamp(col("window_start"))).as("lo"),
+        max(unix_timestamp(col("window_start"))).as("hi"))
+      val sliced = counts.crossJoin(broadcast(bounds))
+        .withColumn("slice", least(lit(TREND_BATCHES - 1),
+          floor((unix_timestamp(col("window_start")) - col("lo"))
+            .cast("double") * TREND_BATCHES / (col("hi") - col("lo") + 1))
+          .cast("int")))
+        .select(col("event_type"), col("window_start"), col("cnt"), col("slice"))
+        .localCheckpoint()
+      (0 until TREND_BATCHES).foreach { k =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft_trend_tmp_")
+        sliced.filter(col("slice") === k).drop("slice")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) { s =>
+          s.iterator().asScala.find { p =>
+            val n = p.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet")
+          }
+        }.getOrElse(sys.error(s"no part file staged under $tmp"))
+        val target = dest.resolve(f"slice$k%02d.parquet")
+        java.nio.file.Files.move(part, target)
+        require(target.toFile.setLastModified(1000000000000L + k * 60000L),
+          s"trending staging could not set mtime on $target")
+        deleteRecursively(tmp)
+      }
+      dest.toString
+    })
+
+  /** Gate/bench query: the doubling-alert STATE MACHINE executed by the
+    * live streaming engine — paced file source (one window-range slice
+    * per micro-batch), `flatMapGroupsWithState` in Update mode on the
+    * RocksDB state store (the 100 TB provider RocksDbStateSpec pins),
+    * `Trigger.AvailableNow`, checkpointed. Every batch after the first
+    * reads its per-key (prev, cur) through the store, so the
+    * cross-batch state path is what produces the answer; range slicing
+    * delivers windows in order, which is exactly the condition under
+    * which the machine equals the lag form — so this query shares
+    * `trending_arrivals`' DuckDB oracle, and the engine must reproduce
+    * the batch replay bit-for-bit across [[TREND_BATCHES]] batches. */
+  def streamTrendingLive(spark: SparkSession, dir: String): DataFrame = {
+    val src = stagedTrendingDir(spark, dir)
+    val name = s"stream_trending_live_${liveRuns.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_trend_ckpt_")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rows =
+      try {
+        import ss.implicits._
+        val counts = ss.readStream.schema(ss.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .as[WindowCount]
+        val q = trendingStateMachine(counts)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        val out = ss.table(name)
+        // O(windows) on the driver by the memory sink's contract — the
+        // same bound streamHourlyLive documents.
+        (out.schema, out.collect().toSeq)
+      } finally {
+        ss.catalog.dropTempView(name)
+        deleteRecursively(ckpt)
+      }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows._2, 1), rows._1)
+      .orderBy(col("event_type"), col("window_start"))
+  }
+
   private[streaming] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(root)
@@ -325,6 +424,8 @@ object StreamingOps extends QueryModule {
       "tumbling 60-min counts per region tag"),
     QueryDef("trending_arrivals", trendingArrivals, Some(trendingArrivalsSql),
       "10-min windows per event type with doubling alerts"),
+    QueryDef("stream_trending_live", streamTrendingLive, Some(trendingArrivalsSql),
+      "the doubling-alert state machine run live (RocksDB state, paced source)"),
     QueryDef("stream_dedup", streamDedupReplay, Some(streamDedupReplaySql),
       "first-touch dedup per key (batch replay of dropDuplicatesWithinWatermark)"),
     QueryDef("stream_neardedup_live", StreamNearDedup.streamNearDedupLive,

@@ -108,6 +108,48 @@ class InvariantSpec extends SparkSpecBase {
     assert(rows.exists(_._4) && rows.exists(!_._4))
   }
 
+  test("decontaminate_fuzzy: LSH banding finds every at-threshold pair (fixture)") {
+    // The gate's n_matches/max_jaccard are computed over LSH band
+    // candidates while the oracle is brute-force over all train×eval
+    // pairs — the contract holds only while banding recall is COMPLETE
+    // at the fixture's geometry (the documented near_dedup argument).
+    // This pins that premise directly: the brute-force at-threshold
+    // pair set and the band-candidate verified pair set must coincide,
+    // so a fixture or geometry change that opens a recall gap fails
+    // here with a named cause instead of as an opaque hash mismatch.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val isEval = col("doc_id") % operators.Pipeline.EVAL_MOD ===
+      operators.Pipeline.EVAL_RES
+    val sh = operators.Dedup.shinglesOf(docs).localCheckpoint()
+    def jaccardPairs(cand: org.apache.spark.sql.DataFrame) = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") / (size(col("hs_a")) + size(col("hs_b"))
+          - col("inter")), 6).as("j"))
+      .filter(col("j") >= operators.Dedup.JACCARD_THRESHOLD)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    val brute = jaccardPairs(
+      sh.filter(!isEval).select(col("doc_id").as("doc_a"))
+        .crossJoin(sh.filter(isEval).select(col("doc_id").as("doc_b"))))
+    val bands = operators.Dedup.bandKeys(spark, docs).localCheckpoint()
+    val lsh = jaccardPairs(
+      bands.filter(!isEval)
+        .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+        .join(bands.filter(isEval)
+          .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
+          Seq("band_idx", "band_key"))
+        .select(col("doc_a"), col("doc_b")).distinct())
+    assert(brute.nonEmpty, "fixture must plant cross-slice near-dups")
+    assert(lsh == brute,
+      s"banding recall gap: missed=${(brute -- lsh).take(5)} " +
+        s"extra=${(lsh -- brute).take(5)}")
+  }
+
   test("decontaminate shuffled hash56 path: no broadcast, equals the broadcast form") {
     // The at-scale variant proven, not just described: with the
     // broadcast planner disabled outright, the fingerprint join must

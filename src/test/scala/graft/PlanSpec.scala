@@ -161,6 +161,14 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("decontaminate_fuzzy: the eval band frame broadcasts") {
+    // Same posture as the exact form: the benchmark slice is the
+    // broadcast side; the train-side band frame streams.
+    val p = plan(operators.Dedup.decontaminateFuzzy(spark, sfDir))
+    assert(p.contains("BroadcastExchange"), s"eval band frame not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("mix_apply: the target table broadcasts onto the ranked corpus") {
     val p = plan(operators.Pipeline.mixApply(spark, sfDir))
     assert(p.contains("BroadcastExchange"), s"targets not broadcast:\n$p")

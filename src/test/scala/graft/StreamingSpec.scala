@@ -131,6 +131,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(viaState.exceptAll(viaLag).isEmpty && viaLag.exceptAll(viaState).isEmpty)
   }
 
+  test("stream_trending_live: live engine equals the batch lag replay") {
+    // The gate checks this against DuckDB; this pin keeps the
+    // equivalence inside `sbt test` too, with the engine really paced
+    // (the staging test below proves the batch boundaries existed).
+    val live = StreamingOps.streamTrendingLive(spark, sfDir)
+      .select("event_type", "window_start", "cnt", "prev_cnt", "is_alert")
+    val replay = StreamingOps.trendingArrivals(spark, sfDir)
+      .select("event_type", "window_start", "cnt", "prev_cnt", "is_alert")
+    assert(live.exceptAll(replay).isEmpty && replay.exceptAll(live).isEmpty)
+  }
+
+  test("trending staging: range slices, increasing mtimes, full coverage") {
+    // The live query's oracle-equality rests on this layout: slices
+    // partition the window counts BY RANGE (so every key's windows
+    // arrive in window order across batches) under strictly increasing
+    // mtimes (so the file source lists them in slice order). A staging
+    // regression must fail here with a named cause.
+    val dir = StreamingOps.stagedTrendingDir(spark, sfDir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == StreamingOps.TREND_BATCHES)
+    assert(files.map(_.lastModified).sliding(2).forall { case Array(a, b) => a < b })
+    // Range property: slice k's max window_start < slice k+1's min.
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(col("window_start")), max(col("window_start")))
+        .as[(Timestamp, Timestamp)].head()
+      r
+    }
+    spans.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(hiA.before(loB), s"slices overlap: $hiA !< $loB")
+    }
+    val staged = files.map(f => spark.read.parquet(f.getPath).count()).sum
+    assert(staged ==
+      StreamingOps.trendingCounts(Tables.events(spark, sfDir)).count())
+  }
+
   test("userSessions: session windows merge and close across triggers") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
