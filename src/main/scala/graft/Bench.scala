@@ -73,9 +73,13 @@ object Bench {
     val newestDriver = matched.collect { case (n, false, _) => n }
       .maxOption.getOrElse(-1)
     def selfRerun(n: Int): Boolean = currentRound.isEmpty && n == newestDriver && {
-      val driver = matched.collectFirst { case (`n`, false, f) => f }
-      val full = matched.collectFirst { case (`n`, true, f) => f }
-      driver.exists(d => full.exists(_.lastModified > d.lastModified))
+      // Newest mtime per family: padded and unpadded stamps can coexist
+      // for one round, and a stale sibling must not mask the fresh one.
+      val driver = matched.collect { case (`n`, false, f) => f.lastModified }
+        .maxOption
+      val full = matched.collect { case (`n`, true, f) => f.lastModified }
+        .maxOption
+      driver.exists(d => full.exists(_ > d))
     }
     val newest = matched
       .filter { case (n, _, _) => n < cur && !selfRerun(n) }

@@ -933,19 +933,28 @@ object Similarity extends QueryModule {
 
   // --- ann_index_build / ann_ivfpq_served: train once, serve many ---------
   /** Scratch location of the persisted IVF-PQ index for a dataset —
-    * [[ScaleOps.scratchDir]]'s keying (dataset + JVM), so concurrent
-    * runs at different scale factors never clobber each other. */
-  private def indexDir(dir: String): String = ScaleOps.scratchDir("annidx", dir)
+    * keyed by the FULL dataset path (hashed) + JVM, so two datasets
+    * sharing a basename (sf0.1 under different parents) can never
+    * overwrite each other's index out from under a cached entry, and
+    * concurrent JVMs never clobber each other. */
+  private def indexDir(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${key}" +
+      s"_pid${ProcessHandle.current().pid()}"
+  }
 
-  /** Index builds already performed by this JVM, per (session, dataset):
-    * the serve path reads these instead of retraining — input-shaped
+  /** Datasets whose index this JVM already built (key = full dataset
+    * path — the same identity [[indexDir]] hashes; training is
+    * deterministic, so which session built it is irrelevant): the
+    * serve path reads these instead of retraining — input-shaped
     * STORAGE, not memoized compute (the [[StreamNearDedup]] staging
     * posture), so it survives `Caches.clearAll` by design: the
     * training cost is `ann_index_build`'s own benched number, and
     * serving from stored codes without retraining is the operator's
     * contract, not hidden work. */
   private val builtIndexes = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+    .empty[String, String]
 
   /** Train the IVF-PQ index and PERSIST it as parquet model tables —
     * the train-once half of production ANN serving:
@@ -978,15 +987,15 @@ object Similarity extends QueryModule {
     cent.write.mode("overwrite").parquet(s"$base/centroids")
     books.write.mode("overwrite").parquet(s"$base/codebooks")
     coded.write.partitionBy("cell").mode("overwrite").parquet(s"$base/codes")
-    builtIndexes((spark, dir)) = base
+    builtIndexes(dir) = base
     base
   }
 
-  /** The built index for (session, dataset), building on first use —
-    * so `ann_ivfpq_served` stays self-contained when it runs before
+  /** The built index for a dataset, building on first use — so
+    * `ann_ivfpq_served` stays self-contained when it runs before
     * `ann_index_build` (Verify's map order is arbitrary). */
   private def ensureIndex(spark: SparkSession, dir: String): String =
-    builtIndexes.getOrElse((spark, dir), buildIndex(spark, dir))
+    builtIndexes.getOrElse(dir, buildIndex(spark, dir))
 
   /** The read-back coded corpus — the partition column comes back with
     * the inferred (int) partition type, recast to the vec_id-domain
@@ -1016,8 +1025,13 @@ object Similarity extends QueryModule {
     * the train-once/serve-many claim, measured. */
   def annIvfPqServed(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureIndex(spark, dir)
+    // Same materialization the inline pipeline documents as
+    // load-bearing: `en` feeds the stride aggregate, the query
+    // workload, its subspace slices, and the re-rank join — without it
+    // each consumer re-runs the scan + normalization.
     val en = pqCorpus(spark, dir).withColumn("nrm",
-      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .localCheckpoint()
     ivfPqServe(en,
       spark.read.parquet(s"$base/centroids"),
       spark.read.parquet(s"$base/codebooks"),

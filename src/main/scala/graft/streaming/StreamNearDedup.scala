@@ -195,12 +195,25 @@ object StreamNearDedup {
     * batches. The `batch_id=K` directory layout makes `batch_id` a
     * discovered partition column (int-inferred — recast to long). */
   private def readPartitioned(spark: SparkSession, path: String,
-      committed: Set[Long], empty: => DataFrame): DataFrame =
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)) ||
-        committed.isEmpty) empty
+      committed: Set[Long], empty: => DataFrame): DataFrame = {
+    val root = java.nio.file.Paths.get(path)
+    // Batches that wrote ZERO rows leave partition dirs with no data
+    // files; if every committed batch did, schema inference has nothing
+    // to read — that degenerate table IS empty. The no-data-file check
+    // is explicit (not a broad AnalysisException catch): any OTHER
+    // analysis failure is state-layout corruption and must fail loudly,
+    // not silently resume from empty state and re-admit near-dups.
+    def hasDataFile = scala.util.Using.resource(java.nio.file.Files.walk(root)) {
+      s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    }
+    if (!java.nio.file.Files.exists(root) || committed.isEmpty || !hasDataFile)
+      empty
     else spark.read.parquet(path)
       .withColumn("batch_id", col("batch_id").cast("long"))
       .filter(col("batch_id").isInCollection(committed))
+  }
 
   /** The committed admitted rows (doc_id, text, batch_id) under a
     * state dir — shared by the accumulator and the gate queries'
@@ -304,37 +317,20 @@ object StreamNearDedup {
 
   private[graft] def stagedPacedDocsDir(spark: SparkSession, dir: String): String =
     pacedStaged.getOrElseUpdate((spark, dir), {
-      import scala.jdk.CollectionConverters._
       val nb = Dedup.PACED_BATCHES
       val dest = java.nio.file.Files.createTempDirectory("graft_neardedup_paced_")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
-      (0 until nb).foreach { k =>
-        val tmp = java.nio.file.Files.createTempDirectory(s"graft_paced_tmp_")
-        docs.filter(pmod(col("doc_id"), lit(nb)) === k)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        // Close the directory stream before moving/deleting under it —
-        // an open handle leaks per staged batch and can pin the dir on
-        // some filesystems.
-        val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) {
-          s => s.iterator().asScala
-            .find { p =>
-              val n = p.getFileName.toString
-              n.startsWith("part-") && n.endsWith(".parquet")
-            }
-        }.getOrElse(sys.error(s"no part file staged under $tmp"))
-        val target = dest.resolve(f"batch$k%02d.parquet")
-        java.nio.file.Files.move(part, target)
-        // Fixed, strictly increasing mtimes: the source lists
-        // oldest-first, so processing order is the staging order on
-        // every run (no same-mtime ties to break). The whole paced
-        // oracle rests on this ordering — fail loudly if the
-        // filesystem refuses the stamp rather than let write-time
-        // mtimes tie and surface as an opaque gate mismatch.
-        require(target.toFile.setLastModified(1000000000000L + k * 60000L),
-          s"paced staging could not set mtime on $target")
-        StreamingOps.deleteRecursively(tmp)
-      }
+      // The paced ORACLE replays batch k = residue class k, so unlike
+      // the range-sliced trending stage an empty residue class may not
+      // silently close ranks — the oracle's batch indices would shift.
+      // Fail loudly instead (shared staging contract:
+      // [[StreamingOps.stageSlicedFiles]]).
+      val staged = StreamingOps.stageSlicedFiles(dest, (0 until nb).map(k =>
+        docs.filter(pmod(col("doc_id"), lit(nb)) === k)))
+      require(staged == nb,
+        s"paced staging produced $staged of $nb batch files — an empty " +
+          "residue class would desynchronize the oracle's batch replay")
       dest.toString
     })
 

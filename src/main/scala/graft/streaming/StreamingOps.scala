@@ -278,24 +278,48 @@ object StreamingOps extends QueryModule {
           .cast("int")))
         .select(col("event_type"), col("window_start"), col("cnt"), col("slice"))
         .localCheckpoint()
-      (0 until TREND_BATCHES).foreach { k =>
-        val tmp = java.nio.file.Files.createTempDirectory("graft_trend_tmp_")
-        sliced.filter(col("slice") === k).drop("slice")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) { s =>
-          s.iterator().asScala.find { p =>
-            val n = p.getFileName.toString
-            n.startsWith("part-") && n.endsWith(".parquet")
-          }
-        }.getOrElse(sys.error(s"no part file staged under $tmp"))
-        val target = dest.resolve(f"slice$k%02d.parquet")
-        java.nio.file.Files.move(part, target)
-        require(target.toFile.setLastModified(1000000000000L + k * 60000L),
-          s"trending staging could not set mtime on $target")
-        deleteRecursively(tmp)
-      }
+      stageSlicedFiles(dest, (0 until TREND_BATCHES).map(k =>
+        sliced.filter(col("slice") === k).drop("slice")))
       dest.toString
     })
+
+  /** Write each slice as ONE parquet file under `dest` with strictly
+    * increasing FIXED mtimes, so the file source's oldest-first listing
+    * yields micro-batch k = slice k on every run (no same-mtime ties to
+    * break) — the staging contract both paced live queries rest on.
+    * A zero-row slice writes nothing (Spark emits no part file for an
+    * empty coalesce(1) write) and is skipped rather than crashed on —
+    * later slices close ranks, preserving arrival ORDER, which is the
+    * only property a range-sliced stage needs. Callers whose oracle
+    * replays exact batch INDICES (the residue-class staging) must
+    * require the returned file count instead. */
+  private[streaming] def stageSlicedFiles(dest: java.nio.file.Path,
+      slices: Seq[DataFrame]): Int = {
+    import scala.jdk.CollectionConverters._
+    var k = 0
+    slices.foreach { df =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stage_tmp_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      // Close the directory stream before moving/deleting under it — an
+      // open handle leaks per staged batch and can pin the dir on some
+      // filesystems.
+      val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) { s =>
+        s.iterator().asScala.find { p =>
+          val n = p.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+      }
+      part.foreach { p =>
+        val target = dest.resolve(f"batch$k%02d.parquet")
+        java.nio.file.Files.move(p, target)
+        require(target.toFile.setLastModified(1000000000000L + k * 60000L),
+          s"staging could not set mtime on $target")
+        k += 1
+      }
+      deleteRecursively(tmp)
+    }
+    k
+  }
 
   /** Gate/bench query: the doubling-alert STATE MACHINE executed by the
     * live streaming engine — paced file source (one window-range slice
@@ -343,7 +367,7 @@ object StreamingOps extends QueryModule {
       .orderBy(col("event_type"), col("window_start"))
   }
 
-  private[streaming] def deleteRecursively(root: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(root)
     try walk.sorted(java.util.Comparator.reverseOrder()).iterator.asScala

