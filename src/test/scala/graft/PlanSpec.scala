@@ -161,6 +161,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("ann_ivfpq_served: the plan reads stored index tables, never retrains") {
+    // The train-once/serve-many claim as a plan property: every index
+    // input (centroids, codebooks, codes) is a parquet SCAN of the
+    // persisted model dir — k-means would show up as iterated
+    // aggregates over checkpointed RDD scans instead.
+    val p = plan(operators.Similarity.annIvfPqServed(spark, sfDir))
+    assert("graft_annidx".r.findAllIn(p).length >= 3,
+      s"expected centroids/codebooks/codes scans of the model dir:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("decontaminate_fuzzy: the eval band frame broadcasts") {
     // Same posture as the exact form: the benchmark slice is the
     // broadcast side; the train-side band frame streams.
