@@ -12,6 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   q <postfix boolean query>   e.g.  q fast table AND slow OR
   *   sim <vec_id> [k]            exact top-k neighbours of a vector
+  *   ann <vec_id> [k]            approximate top-k from the persisted IVF-PQ index
   *   near <doc_id>               the doc's near-duplicate cluster
   *   quit
   * }}}
@@ -45,6 +46,13 @@ object Repl {
       case Seq("near", id) =>
         for (i <- id.toLongOption; if i >= 0)
           yield operators.Dedup.nearCluster(spark, sfDir, i)
+      case Seq("ann", id) =>
+        for (i <- id.toLongOption; if i >= 0)
+          yield operators.Similarity.annNearestTo(spark, sfDir, i,
+            operators.Similarity.IVF_TOP_K)
+      case Seq("ann", id, k) =>
+        for (i <- id.toLongOption; if i >= 0; n <- k.toIntOption; if n > 0)
+          yield operators.Similarity.annNearestTo(spark, sfDir, i, n)
       case "q" +: rest if rest.nonEmpty =>
         Some(operators.InvertedIndex.retrieve(spark, sfDir, rest.mkString(" ")))
       case _ => None
@@ -62,7 +70,8 @@ object Repl {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"graft repl over $sfDir — " +
-      "`q <postfix boolean>`, `sim <vec_id> [k]`, `near <doc_id>`, `quit`")
+      "`q <postfix boolean>`, `sim <vec_id> [k]`, `ann <vec_id> [k]`, " +
+      "`near <doc_id>`, `quit`")
     var line = scala.io.StdIn.readLine("graft> ")
     while (line != null && line.trim != "quit" && line.trim != "exit") {
       // One guard around dispatch AND show: a malformed-but-plausible
@@ -71,7 +80,7 @@ object Repl {
       try dispatch(spark, sfDir, line) match {
         case Some(df) => df.show(50, truncate = false)
         case None => println(
-          "commands: q <postfix boolean query> | sim <vec_id> [k] | near <doc_id> | quit")
+          "commands: q <postfix boolean query> | sim <vec_id> [k] | ann <vec_id> [k] | near <doc_id> | quit")
       } catch { case e: Exception => println(s"error: ${e.getMessage}") }
       line = scala.io.StdIn.readLine("graft> ")
     }

@@ -913,8 +913,14 @@ object Similarity extends QueryModule {
     * storage form (`ann_ivfpq_served`) — the index is DATA, so the
     * same plan runs whether it was just trained or read back. */
   private def ivfPqServe(en: DataFrame, cent: DataFrame, books: DataFrame,
-      coded: DataFrame): DataFrame = {
-    val qw = queryWorkload(en, en)
+      coded: DataFrame): DataFrame =
+    ivfPqServeFor(en, cent, books, coded, queryWorkload(en, en), IVF_TOP_K)
+
+  /** [[ivfPqServe]] against an arbitrary query frame (vec_id, v, nrm)
+    * and served k — the fixed stride workload and the single-vector
+    * interactive entry ([[annNearestTo]]) share it. */
+  private def ivfPqServeFor(en: DataFrame, cent: DataFrame, books: DataFrame,
+      coded: DataFrame, qw: DataFrame, k: Int): DataFrame = {
     val probes = nearestCells(cent)(qw, NPROBE)
       .select(col("vec_id").as("query_id"), col("cid").as("cell"))
     val qsubs = subspaces(qw, "query_id").withColumnRenamed("sub", "qsub")
@@ -928,7 +934,7 @@ object Similarity extends QueryModule {
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("p")), 6).as("adc"))
-    ivfPqRerank(adc, en, qw)
+    ivfPqRerank(adc, en, qw, k)
   }
 
   // --- ann_index_build / ann_ivfpq_served: train once, serve many ---------
@@ -1038,14 +1044,17 @@ object Similarity extends QueryModule {
       readCodes(spark, base))
   }
 
-  /** The shared IVF-PQ serving tail: ADC top-[[PQ_SHORTLIST]] shortlist
-    * per query, float fetch + exact cosine re-rank of the shortlist
-    * only. `adc` carries (query_id, vec_id, adc). */
-  private def ivfPqRerank(adc: DataFrame, en: DataFrame, qw: DataFrame): DataFrame = {
+  /** The shared IVF-PQ serving tail: ADC top-shortlist per query
+    * (8× the served k, never below [[PQ_SHORTLIST]] — the gate
+    * geometry's floor), float fetch + exact cosine re-rank of the
+    * shortlist only. `adc` carries (query_id, vec_id, adc). */
+  private def ivfPqRerank(adc: DataFrame, en: DataFrame, qw: DataFrame,
+      k: Int = IVF_TOP_K): DataFrame = {
+    val shortlistDepth = math.max(PQ_SHORTLIST, 8 * k)
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val shortlist = adc.withColumn("srk", row_number().over(wS))
-      .filter(col("srk") <= PQ_SHORTLIST)
+      .filter(col("srk") <= shortlistDepth)
       .select(col("query_id"), col("vec_id"))
     val qvecs = qw.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("nrm").as("qnrm"))
@@ -1057,8 +1066,32 @@ object Similarity extends QueryModule {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= IVF_TOP_K)
+      .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Approximate top-k neighbours of ONE corpus vector served from the
+    * PERSISTED index — the interactive face of train-once/serve-many
+    * ([[nearestTo]]'s exact scan swapped for the production path:
+    * coarse-route the query, ADC over the probed cells' STORED codes,
+    * exact re-rank of the shortlist only). Builds the index on first
+    * use; after that every call is model-table reads + one codes-scan
+    * join — at 100 TB this is the latency gap between scanning the
+    * corpus per question and probing NPROBE cells of it. Drives the
+    * REPL's `ann` command; for a workload query id the rows equal
+    * `ann_ivfpq_served`'s at equal k (SimilaritySpec). */
+  def annNearestTo(spark: SparkSession, dir: String, vecId: Long,
+      k: Int): DataFrame = {
+    val base = ensureIndex(spark, dir)
+    val en = pqCorpus(spark, dir).withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .localCheckpoint()
+    ivfPqServeFor(en,
+      spark.read.parquet(s"$base/centroids"),
+      spark.read.parquet(s"$base/codebooks"),
+      readCodes(spark, base),
+      en.filter(col("vec_id") === vecId), k)
+      .select(col("vec_id"), col("cosine"), col("rank"))
   }
 
   // --- ann_ivfpq_residual: classic IVF-PQ, codes over residuals -----------

@@ -51,6 +51,19 @@ class ReplSpec extends SparkSpecBase {
     assert(Repl.dispatch(spark, sfDir, "near -1").isEmpty)
   }
 
+  test("ann routes to the persisted-index serve with default and explicit k") {
+    val d = Repl.dispatch(spark, sfDir, "ann 0").get
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(d.size == operators.Similarity.IVF_TOP_K)
+    assert(d.map(_._3) == (1 to operators.Similarity.IVF_TOP_K))
+    val d1 = Repl.dispatch(spark, sfDir, "ann 0 1").get
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(d1.size == 1 && d1.head == d.head,
+      "explicit k=1 must be the same top row")
+    assert(Repl.dispatch(spark, sfDir, "ann -1").isEmpty)
+    assert(Repl.dispatch(spark, sfDir, "ann 0 0").isEmpty)
+  }
+
   test("blank and unknown input dispatch to None") {
     assert(Repl.dispatch(spark, sfDir, "   ").isEmpty)
     assert(Repl.dispatch(spark, sfDir, "frobnicate 1").isEmpty)

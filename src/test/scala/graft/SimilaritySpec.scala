@@ -103,6 +103,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(served == inline)
   }
 
+  test("annNearestTo: single-query serve equals the workload query's rows") {
+    // vec_id 0 is in every stride workload, so the interactive served
+    // entry must reproduce exactly what ann_ivfpq_served answers for
+    // query_id 0 — same index, same probe budget, same k.
+    val workload = Similarity.annIvfPqServed(spark, sfDir)
+      .filter(col("query_id") === 0L)
+      .select("vec_id", "cosine", "rank").collect().toSeq
+    val single = Similarity.annNearestTo(spark, sfDir, 0L, Similarity.IVF_TOP_K)
+      .collect().toSeq
+    assert(single == workload)
+  }
+
   test("ann_index_build: persisted codes cover the corpus, M codes each") {
     val codes = Similarity.annIndexBuild(spark, sfDir)
     val n = graft.Tables.embeddings(spark, sfDir).count()
