@@ -11,6 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * {{{
   *   q <postfix boolean query>   e.g.  q fast table AND slow OR
+  *   rank <free text query>      BM25 top-k ranked retrieval
   *   sim <vec_id> [k]            exact top-k neighbours of a vector
   *   ann <vec_id> [k]            approximate top-k from the persisted IVF-PQ index
   *   near <doc_id>               the doc's near-duplicate cluster
@@ -55,6 +56,8 @@ object Repl {
           yield operators.Similarity.annNearestTo(spark, sfDir, i, n)
       case "q" +: rest if rest.nonEmpty =>
         Some(operators.InvertedIndex.retrieve(spark, sfDir, rest.mkString(" ")))
+      case "rank" +: rest if rest.nonEmpty =>
+        Some(operators.InvertedIndex.rank(spark, sfDir, rest.mkString(" ")))
       case _ => None
     }
 
@@ -70,8 +73,8 @@ object Repl {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(s"graft repl over $sfDir — " +
-      "`q <postfix boolean>`, `sim <vec_id> [k]`, `ann <vec_id> [k]`, " +
-      "`near <doc_id>`, `quit`")
+      "`q <postfix boolean>`, `rank <free text>`, `sim <vec_id> [k]`, " +
+      "`ann <vec_id> [k]`, `near <doc_id>`, `quit`")
     var line = scala.io.StdIn.readLine("graft> ")
     while (line != null && line.trim != "quit" && line.trim != "exit") {
       // One guard around dispatch AND show: a malformed-but-plausible
@@ -80,7 +83,7 @@ object Repl {
       try dispatch(spark, sfDir, line) match {
         case Some(df) => df.show(50, truncate = false)
         case None => println(
-          "commands: q <postfix boolean query> | sim <vec_id> [k] | ann <vec_id> [k] | near <doc_id> | quit")
+          "commands: q <postfix boolean query> | rank <free text> | sim <vec_id> [k] | ann <vec_id> [k] | near <doc_id> | quit")
       } catch { case e: Exception => println(s"error: ${e.getMessage}") }
       line = scala.io.StdIn.readLine("graft> ")
     }

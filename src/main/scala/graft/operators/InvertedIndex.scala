@@ -175,6 +175,109 @@ object InvertedIndex extends QueryModule {
        |SELECT * FROM r ORDER BY query""".stripMargin
   }
 
+  // --- bm25_rank: ranked retrieval over the same index -------------------
+
+  /** BM25 parameters (the Robertson defaults everyone ships). IDF is
+    * the Lucene `ln(1 + (N - df + 0.5)/(df + 0.5))` form — strictly
+    * positive, so a degenerate stop-word query can't flip a ranking
+    * with negative contributions. */
+  val BM25_K1 = 1.2
+  val BM25_B = 0.75
+  val BM25_K = 5
+
+  /** Fixed free-text ranking workload — the ranked companion of
+    * [[QUERIES]] (same fixture vocabulary, no operators). */
+  val RANK_QUERIES: Seq[String] = Seq(
+    "spark join scan",
+    "hash table stream",
+    "window merge batch",
+    "the a spark")
+
+  /** Ranked retrieval: BM25 top-[[BM25_K]] docs per workload query —
+    * boolean retrieval answers WHICH docs match, this answers which
+    * match BEST (the reference's IR slice stops at boolean; ranked
+    * retrieval is the canonical completion of that surface).
+    *
+    * Shape, scale-first: tf rows are filtered to the workload's terms
+    * BEFORE the (term, doc) aggregate (Catalyst pushes the grouping-col
+    * filter below it, so the explode never materializes the full
+    * vocabulary); per-term df and the query→term map broadcast (both
+    * O(workload)); doc length is a row-wise `size(tokenize())` — no
+    * extra shuffle to compute it — and joins the tf rows on doc_id, the
+    * one honest equi-join; N/avgdl ride the 1-row broadcast-scalar
+    * pattern (`pairs_pmi` precedent). Per-term contributions round at
+    * birth (9) and the per-doc sum rounds to 6 — the module's
+    * cross-engine float convention — before the rank window.
+    */
+  private def bm25For(spark: SparkSession, dir: String,
+      queries: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val terms = queries.flatMap(_.split(" ")).filter(_.nonEmpty).distinct
+    val qterms = queries.flatMap(q => q.split(" ").filter(_.nonEmpty).distinct
+      .map(t => (q, t))).toDF("query", "term")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextFns.tokenize(col("text"))).as("dl"))
+    val scalars = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // tfs feeds both the contribution rows and the df aggregate — cut
+    // the lineage once so the corpus explode doesn't run per branch.
+    val tfs = termDocTf(spark, dir).filter(col("term").isin(terms: _*))
+      .localCheckpoint()
+    val dfs = tfs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = tfs
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfs), "term")
+      .join(docs, "doc_id")
+      .crossJoin(broadcast(scalars))
+      .withColumn("contrib", round(
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (BM25_K1 + 1)) /
+          (col("tf") + lit(BM25_K1) * (lit(1 - BM25_B) + lit(BM25_B) * col("dl") / col("avgdl"))),
+        9))
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy(col("query"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= BM25_K)
+      .orderBy(col("query"), col("rank"))
+  }
+
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame =
+    bm25For(spark, dir, RANK_QUERIES)
+
+  /** Interactive entry ([[retrieve]]'s ranked sibling): BM25 top-k for
+    * ONE free-text query — drives the REPL's `rank` command. */
+  def rank(spark: SparkSession, dir: String, query: String): DataFrame =
+    bm25For(spark, dir, Seq(query.trim.toLowerCase))
+
+  val bm25RankSql = {
+    val terms = RANK_QUERIES.flatMap(_.split(" ")).distinct
+    val qvals = RANK_QUERIES.flatMap(q => q.split(" ").distinct.map(t => s"('$q', '$t')"))
+      .mkString(", ")
+    s"""WITH t AS (SELECT doc_id, ${TextFns.tokenizeSql("text")} AS ts FROM documents),
+       |d AS (SELECT doc_id, len(ts) AS dl FROM t),
+       |s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+       |w AS (SELECT doc_id, unnest(ts) AS term FROM t),
+       |tfs AS (SELECT term, doc_id, count(*) AS tf FROM w
+       |  WHERE term IN (${terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY term, doc_id),
+       |dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+       |q AS (SELECT * FROM (VALUES $qvals) AS q(query, term)),
+       |c AS (SELECT q.query, tfs.doc_id,
+       |    round(ln(1.0 + (s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) *
+       |      (tfs.tf * ($BM25_K1 + 1)) /
+       |      (tfs.tf + $BM25_K1 * (1 - $BM25_B + $BM25_B * d.dl / s.avgdl)),
+       |    9) AS contrib
+       |  FROM tfs JOIN q ON q.term = tfs.term
+       |    JOIN dfs ON dfs.term = tfs.term
+       |    JOIN d ON d.doc_id = tfs.doc_id CROSS JOIN s),
+       |a AS (SELECT query, doc_id, round(sum(contrib), 6) AS score
+       |  FROM c GROUP BY query, doc_id)
+       |SELECT query, doc_id, score, CAST(row_number() OVER (
+       |    PARTITION BY query ORDER BY score DESC, doc_id) AS INT) AS rank
+       |FROM a QUALIFY rank <= $BM25_K ORDER BY query, rank""".stripMargin
+  }
+
   // --- retrieval_fetch: join hits back to the collection -----------------
   /** The reference echoes each matching sentence by seeking raw byte
     * offsets into the collection (`BooleanRetrievalCompressed.java:160-166`);
@@ -254,6 +357,8 @@ object InvertedIndex extends QueryModule {
       "term → df/cf/sorted postings over documents"),
     QueryDef("boolean_retrieval", booleanRetrievalGate, Some(booleanRetrievalSql),
       "postfix AND/OR retrieval over per-term docid sets"),
+    QueryDef("bm25_rank", bm25Rank, Some(bm25RankSql),
+      "BM25 ranked retrieval: top-k docs per free-text workload query"),
     QueryDef("retrieval_fetch", retrievalFetch, Some(retrievalFetchSql),
       "join retrieval hits back to documents for snippets"),
     QueryDef("topk_per_group", topkPerGroup, Some(topkPerGroupSql),

@@ -19,6 +19,13 @@ class ReplSpec extends SparkSpecBase {
     assert(row.getInt(1) == expect)
   }
 
+  test("rank routes to BM25 and lowercases the free text") {
+    val df = Repl.dispatch(spark, sfDir, " rank Spark JOIN scan ").get
+    val rows = df.select(col("query"), col("rank")).collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(0) == "spark join scan"))
+    assert(rows.map(_.getInt(1)).max <= operators.InvertedIndex.BM25_K)
+  }
+
   test("sim routes to nearestTo with default and explicit k") {
     val dflt = Repl.dispatch(spark, sfDir, "sim 0").get
     assert(dflt.count() == operators.Similarity.TOP_K)
