@@ -1555,6 +1555,72 @@ object Similarity extends QueryModule {
        |WHERE cosine >= $DEDUP_COSINE ORDER BY id_a, id_b""".stripMargin
   }
 
+  // --- semantic_dedup: SemDeDup-style within-cluster pruning -------------
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * corpus by the IVF codebook, then inside each cluster drop every
+    * document semantically near-identical (rounded cosine ≥
+    * [[SEMDEDUP_TAU]]) to an earlier-id member, keeping the lowest
+    * vec_id of each near-duplicate neighbourhood as its representative.
+    * Complements [[embeddingDedup]]: bands there find PAIRS above a
+    * high threshold; here the cluster structure itself is the blocking
+    * key and the output is a keep/drop decision per document — the
+    * form LLM-corpus curation consumes.
+    *
+    * Scale shape: codebook O(K) broadcast, assignment O(n·K) (the IVF
+    * contract), and the pruning self-join is an equi-join on `cell` —
+    * shuffle-bucketed, never cartesian. Pair volume is Σ_c m_c² ≈ n²/K
+    * at fixed K; production takes K ≈ √n (the SemDeDup paper's own
+    * regime) making the pass O(n^1.5) with per-cell work bounded.
+    * Cross-cell near-duplicates are NOT pruned — the published
+    * SemDeDup approximation, inherited deliberately.
+    *
+    * Determinism: cosines round to 6 at birth; the keep decision
+    * (min earlier-id neighbour, max cosine evidence) is then exact
+    * arithmetic over rounded values, so the algorithm-replay oracle
+    * matches bit-for-bit. Kept rows carry (-1, 0.0) sentinels rather
+    * than NULLs so the gate hash never depends on engine NULL order. */
+  val SEMDEDUP_TAU = 0.43
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    // assigned feeds both self-join sides AND the final keep/drop join —
+    // cut the lineage once or the O(n·K) assignment runs three times.
+    val e = corpus(spark, dir).localCheckpoint()
+    val assigned = nearestCells(strideCodebook(e))(e, 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .localCheckpoint()
+    val lo = assigned.select(col("cell"), col("vec_id").as("i"),
+      col("v").as("iv"), col("nrm").as("inrm"))
+    val hi = assigned.select(col("cell"), col("vec_id").as("j"),
+      col("v").as("jv"), col("nrm").as("jnrm"))
+    val dups = lo.join(hi, Seq("cell"))
+      .filter(col("i") < col("j"))
+      .select(col("j"), col("i"),
+        round(dot(col("iv"), col("jv")) / (col("inrm") * col("jnrm")), 6).as("cos"))
+      .filter(col("cos") >= SEMDEDUP_TAU)
+      .groupBy(col("j"))
+      .agg(min(col("i")).as("dup_of"), max(col("cos")).as("max_cos"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(dups, col("vec_id") === col("j"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("j").isNull.as("kept"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val semanticDedupSql =
+    s"""$ivfAssignSql,
+       |sp AS (SELECT a2.vec_id AS j, a1.vec_id AS i,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), k -> a1.v[k] * a2.v[k]))
+       |        / (a1.nrm * a2.nrm), 6) AS cos
+       |  FROM assigned a1 JOIN assigned a2
+       |    ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id),
+       |sd AS (SELECT j, min(i) AS dup_of, max(cos) AS max_cos
+       |  FROM sp WHERE cos >= $SEMDEDUP_TAU GROUP BY j)
+       |SELECT a.vec_id, a.cell, sd.j IS NULL AS kept,
+       |  coalesce(sd.dup_of, -1) AS dup_of, coalesce(sd.max_cos, 0.0) AS max_cos
+       |FROM assigned a LEFT JOIN sd ON sd.j = a.vec_id ORDER BY vec_id""".stripMargin
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("cosine_topk", cosineTopk, Some(cosineTopkSql),
       "exact brute-force cosine top-k for the query workload"),
@@ -1582,6 +1648,8 @@ object Similarity extends QueryModule {
       "train + persist the IVF-PQ index: centroids, codebooks, codes by cell"),
     QueryDef("ann_ivfpq_served", annIvfPqServed, Some(annIvfPqTopkSql),
       "IVF-PQ serving from the persisted index — no retraining"),
+    QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql),
+      "SemDeDup: IVF-cell clustering, within-cell cosine keep/drop"),
     QueryDef("embedding_dedup", embeddingDedup, Some(embeddingDedupSql),
       "embedding-cosine near-dup pairs via sign-LSH buckets"),
     QueryDef("embedding_dedup_auto", embeddingDedupAuto, None,

@@ -29,7 +29,9 @@ class DeterminismSpec extends SparkSpecBase {
     "ann_ivfpq_served", // rebuild + reserve must reproduce the answer
     "ann_pq_trained", // k-means avg reorder ulps under round(…, 6)
     "ann_lsh_multiprobe", // margin argmin ties + perturbed probe union
-    "decontaminate_fuzzy") // LSH candidate join order + max/count agg
+    "decontaminate_fuzzy", // LSH candidate join order + max/count agg
+    "semantic_dedup", // within-cell pair join order + min/max agg
+    "bm25_rank") // tf join order + window ties on rounded scores
 
   risky.foreach { name =>
     test(s"$name is run-to-run deterministic") {

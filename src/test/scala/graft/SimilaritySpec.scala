@@ -146,4 +146,36 @@ class SimilaritySpec extends SparkSpecBase {
       s"trained recall $trained < stride recall $stride")
     assert(trained > 0.0)
   }
+
+  test("semantic_dedup: keep/drop decisions match a brute-force replay") {
+    val out = Similarity.semanticDedup(spark, sfDir)
+      .select(col("vec_id"), col("cell"), col("kept"), col("dup_of"),
+        col("max_cos"))
+      .as[(Long, Long, Boolean, Long, Double)].collect().toSeq
+    assert(out.exists(!_._3), "fixture must exercise the drop path")
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }
+    // The operator's own math, replayed sequentially: left-fold dot and
+    // norms, 6-decimal HALF_UP round — bit-identical by construction.
+    def cosOf(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < a.length) {
+        d += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { case (j, cell, kept, dupOf, maxCos) =>
+      val earlier = out.filter(r => r._2 == cell && r._1 < j)
+        .map(r => r._1 -> cosOf(vecs(r._1), vecs(j)))
+        .filter(_._2 >= Similarity.SEMDEDUP_TAU)
+      if (kept) assert(earlier.isEmpty && dupOf == -1L && maxCos == 0.0)
+      else {
+        assert(earlier.map(_._1).min == dupOf, s"doc $j dup_of mismatch")
+        assert(earlier.map(_._2).max == maxCos, s"doc $j max_cos mismatch")
+      }
+    }
+  }
 }
