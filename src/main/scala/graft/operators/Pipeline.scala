@@ -489,7 +489,7 @@ object Pipeline extends QueryModule {
     * fingerprint gram set big enough to need hashing is big enough to
     * exceed the broadcast threshold). */
   private def decontaminateCore(spark: SparkSession, dir: String,
-      hashGrams: Boolean): DataFrame = {
+      hashGrams: Boolean, bloomPrefilter: Boolean = false): DataFrame = {
     // Token arrays materialized once (the shinglesOf boundary
     // rationale: element_at over a physical attribute, not an inlined
     // tokenizer pipeline).
@@ -509,8 +509,30 @@ object Pipeline extends QueryModule {
       if (hashGrams)
         explodedStr.select(col("doc_id"), TextFns.hash56(col("gstr")).as("g"))
       else explodedStr.withColumnRenamed("gstr", "g")
-    val evalGrams = exploded.filter(isEval).select(col("g")).distinct()
-    val shared = exploded.filter(!isEval)
+    val evalGramsRaw = exploded.filter(isEval).select(col("g")).distinct()
+    // Under the bloom prefilter the eval gram set feeds BOTH the
+    // filter build and the exact verify join — cut the lineage once.
+    val evalGrams =
+      if (bloomPrefilter) evalGramsRaw.localCheckpoint() else evalGramsRaw
+    val trainGrams = exploded.filter(!isEval)
+    val probed =
+      if (bloomPrefilter) {
+        graft.functions.BloomFns.register(spark)
+        // The filter rides a SCALAR SUBQUERY (BloomFilterMightContain
+        // requires a foldable/subquery filter side — the same shape
+        // InjectRuntimeFilter emits): executed once, broadcast to every
+        // task, probe codegen'd. View name is content-keyed by dataset
+        // path, the indexDir idiom, so same-session runs over different
+        // dirs cannot clobber each other.
+        val view = "graft_bloom_eval_" + java.security.MessageDigest
+          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        evalGrams.createOrReplaceTempView(view)
+        trainGrams.filter(expr(
+          s"${graft.functions.BloomFns.MIGHT_NAME}(" +
+            s"(SELECT ${graft.functions.BloomFns.AGG_NAME}(g) FROM $view), g)"))
+      } else trainGrams
+    val shared = probed
       .join(if (hashGrams) evalGrams else broadcast(evalGrams), "g")
       .groupBy(col("doc_id"))
       // (doc_id, g) rows are distinct by construction (per-doc
@@ -542,6 +564,24 @@ object Pipeline extends QueryModule {
     * a collision only over-flags one doc). */
   private[graft] def decontaminateShuffled(spark: SparkSession, dir: String): DataFrame =
     decontaminateCore(spark, dir, hashGrams = true)
+
+  /** The 100 TB decontamination shape, one step further than
+    * [[decontaminateShuffled]]: a Bloom filter over the eval gram
+    * fingerprints — built distributed by Spark's own
+    * `BloomFilterAggregate`, delivered through a scalar subquery,
+    * probed by codegen'd `BloomFilterMightContain` — drops the
+    * overwhelming majority of training grams MAP-SIDE, before the
+    * exact verify join ever shuffles a row. At a trillion training
+    * grams vs a million eval grams, the no-prefilter shuffle moves
+    * every (doc_id, g) pair; this plan moves only bloom hits
+    * (true matches + the fpp tail) while the filter itself is a 1 MiB
+    * broadcast. Output is bit-identical to [[decontaminate]] — the
+    * bloom can only pass a SUPERSET of the true matches and the exact
+    * join removes the rest — so the gate reuses `decontaminateSql`
+    * verbatim, and InvariantSpec pins the plan shape (might_contain
+    * present, no eval-side broadcast hint needed). */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateCore(spark, dir, hashGrams = true, bloomPrefilter = true)
 
   val decontaminateSql = {
     val ts = TextFns.tokenizeSql("text")
@@ -1070,6 +1110,8 @@ object Pipeline extends QueryModule {
       "C4/Gopher repetition filters: top token/bigram fractions + flag"),
     QueryDef("decontaminate", decontaminate, Some(decontaminateSql),
       "benchmark decontamination: 8-gram overlap vs the eval slice"),
+    QueryDef("decontaminate_bloom", decontaminateBloom, Some(decontaminateSql),
+      "decontamination behind a Bloom prefilter: map-side gram drop"),
     QueryDef("lm_logprob", lmLogprob, Some(lmLogprobSql),
       "unigram-LM mean log-prob per doc (the perplexity-filter signal)"),
     QueryDef("token_count", tokenCount, Some(tokenCountSql),

@@ -31,6 +31,7 @@ class DeterminismSpec extends SparkSpecBase {
     "ann_lsh_multiprobe", // margin argmin ties + perturbed probe union
     "decontaminate_fuzzy", // LSH candidate join order + max/count agg
     "semantic_dedup", // within-cell pair join order + min/max agg
+    "decontaminate_bloom", // subquery-built filter + hash56 join order
     "bm25_rank") // tf join order + window ties on rounded scores
 
   risky.foreach { name =>

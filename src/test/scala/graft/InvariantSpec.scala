@@ -173,6 +173,24 @@ class InvariantSpec extends SparkSpecBase {
     assert(rows == broadcastForm)
   }
 
+  test("decontaminate bloom path: might_contain prefilter in plan, equals exact form") {
+    // The prefilter must actually BE in the plan (otherwise the query
+    // is just the shuffled variant) and, being a superset filter above
+    // an exact verify join, must not change a single row.
+    val df = operators.Pipeline.decontaminateBloom(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+      s"bloom prefilter missing from plan:\n$p")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"bloom filter should arrive via a scalar subquery:\n$p")
+    val rows = df.as[(Long, Long, Long, Boolean)].collect().toSeq
+    val exact = SparkEntry.queries("decontaminate")(spark, sfDir)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(rows == exact)
+    assert(rows.exists(_._4), "fixture must exercise the contamination path")
+  }
+
   test("doc_repetition: fractions in range, flag consistent, corpus splits") {
     val rows = SparkEntry.queries("doc_repetition")(spark, sfDir)
       .as[(Long, Long, Double, Double, Double, Boolean)].collect().toSeq
