@@ -129,8 +129,8 @@ object StreamingOps extends QueryModule {
     * Session end = last event + gap, per Spark's definition. */
   val SESSION_GAP = "30 minutes"
 
-  def userSessions(events: DataFrame): DataFrame =
-    events.withWatermark("ts", WATERMARK)
+  def userSessions(events: DataFrame, watermarked: Boolean = true): DataFrame =
+    (if (watermarked) events.withWatermark("ts", WATERMARK) else events)
       .groupBy(col("user_id"), session_window(col("ts"), SESSION_GAP))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
@@ -242,6 +242,57 @@ object StreamingOps extends QueryModule {
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows._2, 1), rows._1)
       .orderBy(col("window_start"))
+  }
+
+  // --- stream_sessions_live: session-window merging, live ----------------
+
+  /** [[userSessions]] executed by the live streaming engine — the
+    * last streaming family without a live gate entry (hourly, trending
+    * and near-dedup already run live). The interesting state path is
+    * SESSION MERGING: the staged source is range-partitioned by ts, so
+    * a user's session spanning a file boundary arrives as two
+    * fragments in different micro-batches and the session-window state
+    * store must merge them — exactly what distinguishes session state
+    * from the tumbling aggregate's per-window counters. Complete mode
+    * retains every session in state, so the final table equals the
+    * batch replay regardless of file-listing order and the query
+    * shares `user_sessions`' gaps-and-islands oracle (the
+    * streamHourlyLive contract). Driver-side result size is
+    * O(sessions) by the memory sink's own complete-mode contract; the
+    * production sink is foreachBatch/parquet (FileStreamSpec). */
+  def streamSessionsLive(spark: SparkSession, dir: String): DataFrame = {
+    val src = stagedEventsDir(spark, dir)
+    val name = s"stream_sessions_live_${liveRuns.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    val rows =
+      try {
+        // No watermark: complete mode retains all session state anyway,
+        // and the session operator's late-row filter would otherwise
+        // drop batch-boundary fragments (measured: 832 of 946 sessions
+        // survive watermarked at sf0.001) — eviction semantics belong
+        // to the append-mode path StreamingSpec covers.
+        val q = userSessions(
+            ss.readStream.schema(ss.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src),
+            watermarked = false)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        val out = ss.table(name)
+        (out.schema, out.collect().toSeq)
+      } finally {
+        ss.catalog.dropTempView(name)
+        deleteRecursively(ckpt)
+      }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows._2, 1), rows._1)
+      .orderBy(col("user_id"), col("session_start"))
   }
 
   // --- stream_trending_live: the stateful alert path, live ---------------
@@ -440,6 +491,8 @@ object StreamingOps extends QueryModule {
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("user_sessions", userSessionsQuery, Some(userSessionsSql),
       "per-user session windows, 30-min inactivity gap"),
+    QueryDef("stream_sessions_live", streamSessionsLive, Some(userSessionsSql),
+      "session windows run by the live engine (cross-batch session merge)"),
     QueryDef("event_count_hourly", eventCountHourly, Some(eventCountHourlySql),
       "tumbling 60-min event counts (batch replay of the streaming query)"),
     QueryDef("stream_hourly_live", streamHourlyLive, Some(eventCountHourlySql),
