@@ -96,7 +96,14 @@ object ScaleProbe {
     }
 
     val queries = Seq("near_dedup", "dedup_components", "curation_pipeline",
-      "decontaminate_fuzzy", "ann_ivfpq_topk")
+      "decontaminate_fuzzy", "ann_ivfpq_topk",
+      // round-10 additions: the bloom prefilter (map-side gram drop
+      // should keep the verify join's shuffle flat-ish vs corpus
+      // growth) and SemDeDup (within-cell pairs grow ~n²/K at fixed
+      // K — expected SUPER-linear here by design; the production
+      // regime takes K ≈ √n, so the probe documents the fixed-K
+      // worst case honestly).
+      "decontaminate_bloom", "semantic_dedup")
     def timeAll(sfDir: String): Map[String, (Double, Long)] =
       queries.map { q =>
         graft.Caches.clearAll()
