@@ -979,11 +979,28 @@ object Similarity extends QueryModule {
     * (same [[trainedCodebook]]/[[trainedPqBooks]] calls), so serving
     * from the dump answers exactly what the inline pipeline answers —
     * SimilaritySpec pins the equality, and both share one oracle. */
-  private def buildIndex(spark: SparkSession, dir: String): String = {
-    val base = indexDir(dir)
-    val en = pqCorpus(spark, dir).withColumn("nrm",
+  /** A raw `(vec_id, embedding ARRAY<FLOAT>)` frame on the PQ family's
+    * unit sphere — [[pqCorpus]] for an arbitrary vector frame (the
+    * same cast/normalize/repartition chain, so results are
+    * bit-identical whichever entry built the frame). */
+  private def normalizedFrom(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm",
         sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-      .localCheckpoint()
+      .select(col("vec_id"), transform(col("v"), _ / col("nrm")).as("v"))
+      .repartition(col("vec_id"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+
+  /** Train the full IVF-PQ index over `raw` and write its model tables
+    * under `base` — [[buildIndex]]'s body with the corpus and location
+    * as parameters, so tests (and the upsert contract below) can build
+    * indexes over corpus SLICES at private locations without touching
+    * the cached per-dataset index. */
+  private[graft] def buildIndexAt(spark: SparkSession, raw: DataFrame,
+      base: String): Unit = {
+    val en = normalizedFrom(raw).localCheckpoint()
     val cent = trainedCodebook(en, strideCodebook(en), IVF_TRAIN_ITERS)
     val cellOf = nearestCells(cent)(en, 1)
       .select(col("vec_id"), col("cid").as("cell"))
@@ -993,8 +1010,59 @@ object Similarity extends QueryModule {
     cent.write.mode("overwrite").parquet(s"$base/centroids")
     books.write.mode("overwrite").parquet(s"$base/codebooks")
     coded.write.partitionBy("cell").mode("overwrite").parquet(s"$base/codes")
+  }
+
+  private def buildIndex(spark: SparkSession, dir: String): String = {
+    val base = indexDir(dir)
+    buildIndexAt(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      base)
     builtIndexes(dir) = base
     base
+  }
+
+  /** Encode `raw` vectors with an index's FROZEN quantizers: coarse
+    * cell from the stored centroids, PQ codes from the stored
+    * codebooks — no training anywhere. Shared by [[annIndexUpsert]]
+    * (which appends the result) and its spec (which re-derives the
+    * expected union one-pass). */
+  private[graft] def encodeWith(spark: SparkSession, indexBase: String,
+      raw: DataFrame): DataFrame = {
+    val cent = spark.read.parquet(s"$indexBase/centroids")
+    val books = spark.read.parquet(s"$indexBase/codebooks")
+    val en = normalizedFrom(raw).localCheckpoint()
+    val cellOf = nearestCells(cent)(en, 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    pqAssignSubs(subspaces(en, "vec_id"), books).join(cellOf, "vec_id")
+  }
+
+  /** Incremental index maintenance — the production answer to "new
+    * vectors arrived" that does NOT retrain: assign each new vector to
+    * its nearest FROZEN centroid, encode it with the FROZEN per-subspace
+    * codebooks, and append the codes to the stored inverted file
+    * (partitioned writes land only in the touched cell directories —
+    * untouched cells' files are never rewritten). Serving afterwards
+    * covers the union with unchanged plans and costs. The quantizers
+    * drift from optimal as the corpus distribution shifts — the
+    * documented trade of every production IVF system; the rebuild path
+    * ([[buildIndexAt]]) is the periodic re-train. SimilaritySpec pins
+    * append ≡ one-pass frozen encode of the union, bit-for-bit. */
+  def annIndexUpsert(spark: SparkSession, indexBase: String,
+      raw: DataFrame): Unit =
+    encodeWith(spark, indexBase, raw)
+      .write.partitionBy("cell").mode("append").parquet(s"$indexBase/codes")
+
+  /** IVF-PQ serving straight from an index at an explicit location,
+    * `raw` supplying the float corpus for the exact re-rank and the
+    * stride query workload — [[annIvfPqServed]] for test-built
+    * indexes. */
+  private[graft] def serveFromIndex(spark: SparkSession, indexBase: String,
+      raw: DataFrame): DataFrame = {
+    val en = normalizedFrom(raw).localCheckpoint()
+    ivfPqServe(en,
+      spark.read.parquet(s"$indexBase/centroids"),
+      spark.read.parquet(s"$indexBase/codebooks"),
+      readCodes(spark, indexBase))
   }
 
   /** The built index for a dataset, building on first use — so

@@ -147,6 +147,37 @@ class SimilaritySpec extends SparkSpecBase {
     assert(trained > 0.0)
   }
 
+  test("annIndexUpsert: frozen-quantizer append equals one-pass encode of the union") {
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = raw.filter(col("vec_id") % 4 =!= 3)
+    val delta = raw.filter(col("vec_id") % 4 === 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft_upsert_idx_")
+      .toString
+    Similarity.buildIndexAt(spark, base, idx)
+    Similarity.annIndexUpsert(spark, idx, delta)
+    // The stored inverted file after the append must equal encoding the
+    // WHOLE union in one pass with the same frozen quantizers — the
+    // upsert invariant (append-mode partition layout included).
+    val stored = spark.read.parquet(s"$idx/codes")
+      .select(col("vec_id"), col("m"), col("code"), col("cell").cast("long"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val onePass = Similarity.encodeWith(spark, idx, raw)
+      .select(col("vec_id"), col("m"), col("code"), col("cell"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(stored == onePass)
+    val nVecs = raw.count()
+    assert(stored.size == nVecs * Similarity.PQ_M,
+      s"codes rows ${stored.size} != $nVecs x M")
+    // Serving the union from the upserted index works and only returns
+    // union members, delta vectors reachable.
+    val served = Similarity.serveFromIndex(spark, idx, raw)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(served.nonEmpty)
+    val ids = raw.select(col("vec_id")).as[Long].collect().toSet
+    served.foreach(v => assert(ids.contains(v)))
+  }
+
   test("semantic_dedup: keep/drop decisions match a brute-force replay") {
     val out = Similarity.semanticDedup(spark, sfDir)
       .select(col("vec_id"), col("cell"), col("kept"), col("dup_of"),
