@@ -16,4 +16,11 @@ object Caches {
   def register(clear: () => Unit): Unit = clearables.add(clear)
 
   def clearAll(): Unit = clearables.forEach(f => f())
+
+  /** Short stable content key for a dataset path (4-byte-MD5 hex) —
+    * the one definition behind every per-dataset temp location and
+    * view name (ANN index dirs, bloom eval views). */
+  def pathKey(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
 }

@@ -24,11 +24,12 @@ object BloomFns {
   val MIGHT_NAME = "graft_bloom_might"
 
   /** Sized for a fixed-small build side (an eval suite does not grow
-    * with the corpus): 2^20 expected items over 2^23 bits (1 MiB on
-    * the wire) keeps the false-positive rate well under 1% at any
-    * plausible benchmark size. Correctness never depends on this —
-    * the filter only PREfilters above an exact verify join; an
-    * undersized filter admits more rows to the join, nothing else. */
+    * with the corpus): 2^20 expected items over 2^23 bits = 8 bits per
+    * item (1 MiB on the wire) — fpp ≈ 2% at FULL 2^20 capacity, and
+    * far below 0.1% at realistic eval gram counts (≤2^17 items leaves
+    * 64 bits each). Correctness never depends on this — the filter
+    * only PREfilters above an exact verify join; an undersized filter
+    * admits more rows to the join, nothing else. */
   val EXPECTED_ITEMS: Long = 1L << 20
   val NUM_BITS: Long = 1L << 23
 

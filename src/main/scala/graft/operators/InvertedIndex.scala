@@ -215,8 +215,12 @@ object InvertedIndex extends QueryModule {
     val terms = queries.flatMap(_.split(" ")).filter(_.nonEmpty).distinct
     val qterms = queries.flatMap(q => q.split(" ").filter(_.nonEmpty).distinct
       .map(t => (q, t))).toDF("query", "term")
+    // Tiny (doc_id, int) frame consumed by BOTH the scalars aggregate
+    // and the contrib join — checkpoint so the corpus is tokenized
+    // once, not once per consumer.
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(TextFns.tokenize(col("text"))).as("dl"))
+      .localCheckpoint()
     val scalars = docs.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     // tfs feeds both the contribution rows and the df aggregate — cut
     // the lineage once so the corpus explode doesn't run per branch.

@@ -490,6 +490,10 @@ object Pipeline extends QueryModule {
     * exceed the broadcast threshold). */
   private def decontaminateCore(spark: SparkSession, dir: String,
       hashGrams: Boolean, bloomPrefilter: Boolean = false): DataFrame = {
+    // The bloom expressions take BIGINT hashes; a string-gram bloom
+    // would die deep in analysis with an opaque type error.
+    require(hashGrams || !bloomPrefilter,
+      "bloomPrefilter requires hashGrams (the filter probes hash56 fingerprints)")
     // Token arrays materialized once (the shinglesOf boundary
     // rationale: element_at over a physical attribute, not an inlined
     // tokenizer pipeline).
@@ -524,9 +528,7 @@ object Pipeline extends QueryModule {
         // task, probe codegen'd. View name is content-keyed by dataset
         // path, the indexDir idiom, so same-session runs over different
         // dirs cannot clobber each other.
-        val view = "graft_bloom_eval_" + java.security.MessageDigest
-          .getInstance("MD5").digest(dir.getBytes("UTF-8"))
-          .take(4).map(b => f"$b%02x").mkString
+        val view = "graft_bloom_eval_" + graft.Caches.pathKey(dir)
         evalGrams.createOrReplaceTempView(view)
         trainGrams.filter(expr(
           s"${graft.functions.BloomFns.MIGHT_NAME}(" +

@@ -601,6 +601,16 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), transform(col("v"), _ / col("nrm")).as("v"))
       .repartition(col("vec_id"))
 
+  /** The dataset's normalized corpus WITH its (unit) norm column — the
+    * `(vec_id, v, nrm)` frame every IVF-PQ entry materializes; one
+    * definition via [[normalizedFrom]] so the cast/normalize/renorm
+    * chain cannot drift between the inline pipelines and the
+    * index-build path. Callers `localCheckpoint` it themselves (each
+    * documents why its materialization is load-bearing). */
+  private def normalizedCorpus(spark: SparkSession, dir: String): DataFrame =
+    normalizedFrom(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+
   /** (id column + (m, sub)): every subspace slice of a vector column —
     * THE single definition of the PQ subspace geometry on the Spark
     * side (assignment, codebooks, and query LUTs all consume it). */
@@ -893,9 +903,7 @@ object Similarity extends QueryModule {
   def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
     // One materialization feeds coarse training, fine training, both
     // assignments, and the query workload — the annIvfTrained trade.
-    val en = pqCorpus(spark, dir).withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-      .localCheckpoint()
+    val en = normalizedCorpus(spark, dir).localCheckpoint()
     val cent = trainedCodebook(en, strideCodebook(en), IVF_TRAIN_ITERS)
     val cellOf = nearestCells(cent)(en, 1)
       .select(col("vec_id"), col("cid").as("cell"))
@@ -943,12 +951,9 @@ object Similarity extends QueryModule {
     * sharing a basename (sf0.1 under different parents) can never
     * overwrite each other's index out from under a cached entry, and
     * concurrent JVMs never clobber each other. */
-  private def indexDir(dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${key}" +
+  private def indexDir(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${graft.Caches.pathKey(dir)}" +
       s"_pid${ProcessHandle.current().pid()}"
-  }
 
   /** Datasets whose index this JVM already built (key = full dataset
     * path — the same identity [[indexDir]] hashes; training is
@@ -1042,15 +1047,26 @@ object Similarity extends QueryModule {
     * codebooks, and append the codes to the stored inverted file
     * (partitioned writes land only in the touched cell directories —
     * untouched cells' files are never rewritten). Serving afterwards
-    * covers the union with unchanged plans and costs. The quantizers
-    * drift from optimal as the corpus distribution shifts — the
-    * documented trade of every production IVF system; the rebuild path
-    * ([[buildIndexAt]]) is the periodic re-train. SimilaritySpec pins
+    * covers the union with unchanged plans and costs.
+    *
+    * Already-indexed vec_ids are DROPPED before the append (an
+    * anti-join against the stored ids — a codes-only id scan): parquet
+    * files are immutable, so a duplicate append would leave two code
+    * rows per (vec_id, m) and the served ADC sum would double-count
+    * that vector's contributions. Re-embedding an existing id is a
+    * REBUILD/compaction concern ([[buildIndexAt]]), not an upsert —
+    * idempotent re-delivery of the same delta is a no-op (spec-pinned).
+    * The quantizers drift from optimal as the corpus distribution
+    * shifts — the documented trade of every production IVF system; the
+    * rebuild path is the periodic re-train. SimilaritySpec pins
     * append ≡ one-pass frozen encode of the union, bit-for-bit. */
   def annIndexUpsert(spark: SparkSession, indexBase: String,
-      raw: DataFrame): Unit =
-    encodeWith(spark, indexBase, raw)
+      raw: DataFrame): Unit = {
+    val known = spark.read.parquet(s"$indexBase/codes")
+      .select(col("vec_id")).distinct()
+    encodeWith(spark, indexBase, raw.join(known, Seq("vec_id"), "left_anti"))
       .write.partitionBy("cell").mode("append").parquet(s"$indexBase/codes")
+  }
 
   /** IVF-PQ serving straight from an index at an explicit location,
     * `raw` supplying the float corpus for the exact re-rank and the
@@ -1103,9 +1119,7 @@ object Similarity extends QueryModule {
     // load-bearing: `en` feeds the stride aggregate, the query
     // workload, its subspace slices, and the re-rank join — without it
     // each consumer re-runs the scan + normalization.
-    val en = pqCorpus(spark, dir).withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-      .localCheckpoint()
+    val en = normalizedCorpus(spark, dir).localCheckpoint()
     ivfPqServe(en,
       spark.read.parquet(s"$base/centroids"),
       spark.read.parquet(s"$base/codebooks"),
@@ -1151,9 +1165,7 @@ object Similarity extends QueryModule {
   def annNearestTo(spark: SparkSession, dir: String, vecId: Long,
       k: Int): DataFrame = {
     val base = ensureIndex(spark, dir)
-    val en = pqCorpus(spark, dir).withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-      .localCheckpoint()
+    val en = normalizedCorpus(spark, dir).localCheckpoint()
     ivfPqServeFor(en,
       spark.read.parquet(s"$base/centroids"),
       spark.read.parquet(s"$base/codebooks"),
@@ -1181,9 +1193,7 @@ object Similarity extends QueryModule {
     * bit-identical cross-engine and the trained centroids are
     * 6-decimal-rounded, so the subtraction is too. */
   def annIvfPqResidual(spark: SparkSession, dir: String): DataFrame = {
-    val en = pqCorpus(spark, dir).withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-      .localCheckpoint()
+    val en = normalizedCorpus(spark, dir).localCheckpoint()
     val cent = trainedCodebook(en, strideCodebook(en), IVF_TRAIN_ITERS)
       .localCheckpoint() // feeds assignment, residual join, and probes
     // Corpus assignment keeping the winning centroid for the residual.

@@ -197,25 +197,45 @@ object StreamingOps extends QueryModule {
     * source lists files in — which is what lets this query share
     * `event_count_hourly`'s DuckDB oracle and gives the bench a
     * wall-time number for the streaming engine itself. */
-  def streamHourlyLive(spark: SparkSession, dir: String): DataFrame = {
-    val src = stagedEventsDir(spark, dir)
-    val name = s"stream_hourly_live_${liveRuns.incrementAndGet()}"
+  def streamHourlyLive(spark: SparkSession, dir: String): DataFrame =
+    runLiveComplete(spark, stagedEventsDir(spark, dir),
+      "stream_hourly_live")(eventCounts)
+      .orderBy(col("window_start"))
+
+  /** The shared live-run scaffold every complete-mode gate query rides
+    * (hourly counts, session windows): file-queue source paced one
+    * file per micro-batch, `Trigger.AvailableNow`, checkpointed
+    * state, complete-mode memory sink, result re-materialized in the
+    * CALLER's session.
+    *
+    * State-partition count is fixed by the FIRST batch's shuffle
+    * partitions and every micro-batch commits one store per state
+    * partition: 32 partitions for a 720-window aggregate is pure
+    * checkpoint-file overhead (measured 13s → ~half at 8). Run in an
+    * isolated newSession() so the narrower shuffle setting (and the
+    * memory-sink temp view) never touch the caller's session — a
+    * concurrent query in the same session used to silently run at 8
+    * partitions for the duration (round-6 advice). Retention is
+    * trimmed too — the default keeps 100 checkpoint versions.
+    *
+    * The result is collected (then re-parallelized for the caller) so
+    * the sink view and checkpoint can be reclaimed before returning:
+    * repeated bench invocations used to leak both for the session's
+    * lifetime. The collect is bounded at O(result rows) BY THE MEMORY
+    * SINK'S OWN CONTRACT (complete mode holds the result table on the
+    * driver); at 100 TB the production form is the parquet/foreachBatch
+    * sink FileStreamSpec exercises — these queries' job is to
+    * wall-clock the live engine on a driver-safe aggregate. */
+  private def runLiveComplete(spark: SparkSession, src: String,
+      namePrefix: String)(build: DataFrame => DataFrame): DataFrame = {
+    val name = s"${namePrefix}_${liveRuns.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_")
-    // State-partition count is fixed by the FIRST batch's shuffle
-    // partitions and every micro-batch commits one store per state
-    // partition: 32 partitions for a 720-window aggregate is pure
-    // checkpoint-file overhead (measured 13s → ~half at 8). Run in an
-    // isolated newSession() so the narrower shuffle setting (and the
-    // memory-sink temp view) never touch the caller's session — a
-    // concurrent query in the same session used to silently run at 8
-    // partitions for the duration (round-6 advice). Retention is
-    // trimmed too — the default keeps 100 checkpoint versions.
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     val rows =
       try {
-        val q = eventCounts(
+        val q = build(
             ss.readStream.schema(ss.read.parquet(src).schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
           .writeStream.format("memory").queryName(name)
@@ -225,23 +245,12 @@ object StreamingOps extends QueryModule {
           .start()
         try q.awaitTermination() finally q.stop()
         val out = ss.table(name)
-        // Materialize (720 hourly windows — tiny) so the sink view and
-        // checkpoint can be reclaimed before returning: repeated bench
-        // invocations used to leak both for the session's lifetime.
-        // The collect is bounded at O(windows) BY THE MEMORY SINK'S OWN
-        // CONTRACT (complete mode holds the result table on the
-        // driver); at 100 TB with years of windows the production form
-        // is the parquet/foreachBatch sink FileStreamSpec exercises —
-        // this query's job is to wall-clock the live engine on a
-        // driver-safe aggregate.
         (out.schema, out.collect().toSeq)
       } finally {
         ss.catalog.dropTempView(name)
         deleteRecursively(ckpt)
       }
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows._2, 1), rows._1)
-      .orderBy(col("window_start"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows._2, 1), rows._1)
   }
 
   // --- stream_sessions_live: session-window merging, live ----------------
@@ -260,40 +269,15 @@ object StreamingOps extends QueryModule {
     * streamHourlyLive contract). Driver-side result size is
     * O(sessions) by the memory sink's own complete-mode contract; the
     * production sink is foreachBatch/parquet (FileStreamSpec). */
-  def streamSessionsLive(spark: SparkSession, dir: String): DataFrame = {
-    val src = stagedEventsDir(spark, dir)
-    val name = s"stream_sessions_live_${liveRuns.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_")
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
-    val rows =
-      try {
-        // No watermark: complete mode retains all session state anyway,
-        // and the session operator's late-row filter would otherwise
-        // drop batch-boundary fragments (measured: 832 of 946 sessions
-        // survive watermarked at sf0.001) — eviction semantics belong
-        // to the append-mode path StreamingSpec covers.
-        val q = userSessions(
-            ss.readStream.schema(ss.read.parquet(src).schema)
-              .option("maxFilesPerTrigger", 1).parquet(src),
-            watermarked = false)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
-        val out = ss.table(name)
-        (out.schema, out.collect().toSeq)
-      } finally {
-        ss.catalog.dropTempView(name)
-        deleteRecursively(ckpt)
-      }
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows._2, 1), rows._1)
+  def streamSessionsLive(spark: SparkSession, dir: String): DataFrame =
+    // No watermark: complete mode retains all session state anyway,
+    // and the session operator's late-row filter would otherwise drop
+    // batch-boundary fragments (measured: 832 of 946 sessions survive
+    // watermarked at sf0.001) — eviction semantics belong to the
+    // append-mode path StreamingSpec covers.
+    runLiveComplete(spark, stagedEventsDir(spark, dir),
+      "stream_sessions_live")(userSessions(_, watermarked = false))
       .orderBy(col("user_id"), col("session_start"))
-  }
 
   // --- stream_trending_live: the stateful alert path, live ---------------
 

@@ -169,13 +169,24 @@ class SimilaritySpec extends SparkSpecBase {
     val nVecs = raw.count()
     assert(stored.size == nVecs * Similarity.PQ_M,
       s"codes rows ${stored.size} != $nVecs x M")
-    // Serving the union from the upserted index works and only returns
-    // union members, delta vectors reachable.
+    // Idempotent re-delivery: upserting the SAME delta again must be a
+    // no-op (already-indexed ids are anti-joined away — a duplicate
+    // append would double-count those vectors in every served ADC sum).
+    Similarity.annIndexUpsert(spark, idx, delta)
+    val restored = spark.read.parquet(s"$idx/codes")
+      .select(col("vec_id"), col("m"), col("code"), col("cell").cast("long"))
+      .as[(Long, Int, Long, Long)].collect()
+    assert(restored.length == stored.size && restored.toSet == stored)
+    // Serving the union from the upserted index returns only union
+    // members AND actually reaches the delta slice (appended partition
+    // directories must be visible to the serve-path read).
     val served = Similarity.serveFromIndex(spark, idx, raw)
       .select(col("vec_id")).as[Long].collect().toSeq
     assert(served.nonEmpty)
     val ids = raw.select(col("vec_id")).as[Long].collect().toSet
     served.foreach(v => assert(ids.contains(v)))
+    assert(served.exists(_ % 4 == 3),
+      "no delta vector in any served top-k — appended codes unreachable?")
   }
 
   test("semantic_dedup: keep/drop decisions match a brute-force replay") {
