@@ -912,7 +912,87 @@ object Dedup extends QueryModule {
        |FROM ($admitted) ORDER BY doc_id""".stripMargin
   }
 
+  // --- span_dedup: C4-style cross-document span removal ------------------
+  /** C4's line-level dedup (Raffel et al. 2020, §2.2 "we discarded all
+    * but one of any three-sentence span occurring more than once")
+    * re-expressed for this corpus's unpunctuated token stream: each
+    * document splits into consecutive [[SPAN_TOKENS]]-token spans (the
+    * tail span keeps its remainder), every span occurring more than
+    * once in the corpus keeps ONLY its first occurrence — minimum
+    * (doc_id, span_idx) — and documents are reassembled from their
+    * surviving spans. Unlike the document-level family above, this
+    * REWRITES documents: the output carries the cleaned text plus
+    * per-doc span accounting.
+    *
+    * Scale shape: one explode (n/[[SPAN_TOKENS]] rows per doc), one
+    * shuffle on the span's 56-bit fingerprint (spans travel as 8-byte
+    * hashes + their source coordinates; the text itself stays in the
+    * per-doc reassembly), a first-occurrence window within each
+    * fingerprint group (groups are occurrence lists — tiny except for
+    * genuinely duplicated content), and one per-doc re-aggregation.
+    * Identical dataflow at 100 TB; the only growing group is a span
+    * duplicated across the whole corpus, which is exactly the content
+    * the operator exists to remove. 56-bit collisions: ~|spans|²/2^57,
+    * a false merge drops one span — the near_dedup/hash56 posture. */
+  val SPAN_TOKENS = 10
+
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFns.tokenize(col("text")).as("ts"))
+    val spans = base
+      .filter(size(col("ts")) > 0)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("ts")) / lit(SPAN_TOKENS.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(col("ts"), i * SPAN_TOKENS + 1, lit(SPAN_TOKENS)))))
+          .as(Seq("span_idx", "span")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      .orderBy(col("doc_id"), col("span_idx"))
+    val marked = spans
+      .withColumn("h", TextFns.hash56(col("span")))
+      .withColumn("kept", row_number().over(w) === 1)
+    val perDoc = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("span_idx"), col("span"))))),
+          s => s.getField("span"))).as("cleaned_text"))
+    base.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanDedupSql = {
+    val ts = TextFns.tokenizeSql("text")
+    s"""WITH d AS (SELECT doc_id, $ts AS ts FROM documents),
+       |sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx,
+       |    array_to_string(ts[i * $SPAN_TOKENS + 1 : (i + 1) * $SPAN_TOKENS], ' ') AS span
+       |  FROM d CROSS JOIN
+       |    unnest(range(0, CAST(ceil(len(ts) / ${SPAN_TOKENS}.0) AS BIGINT))) AS t(i)
+       |  WHERE len(ts) > 0),
+       |mk AS (SELECT doc_id, span_idx, span,
+       |    row_number() OVER (PARTITION BY ${TextFns.hash56Sql("span")}
+       |      ORDER BY doc_id, span_idx) = 1 AS kept
+       |  FROM sp),
+       |pd AS (SELECT doc_id, count(*) AS n_spans,
+       |    sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+       |    coalesce(string_agg(CASE WHEN kept THEN span END, ' '
+       |      ORDER BY span_idx), '') AS cleaned_text
+       |  FROM mk GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(pd.n_spans, 0) AS n_spans,
+       |  coalesce(pd.n_kept, 0) AS n_kept,
+       |  coalesce(pd.cleaned_text, '') AS cleaned_text
+       |FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   override def entries: Seq[QueryDef] = Seq(
+    QueryDef("span_dedup", spanDedup, Some(spanDedupSql),
+      "C4-style span dedup: first occurrence kept, docs rewritten"),
     QueryDef("neardedup_ingest", neardedupIngest, Some(neardedupIngestSql),
       "LSH band-collision cluster admission (streaming core, one batch)"),
     QueryDef("near_dedup", nearDedup, Some(nearDedupSql),

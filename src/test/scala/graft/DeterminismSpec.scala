@@ -32,6 +32,7 @@ class DeterminismSpec extends SparkSpecBase {
     "decontaminate_fuzzy", // LSH candidate join order + max/count agg
     "semantic_dedup", // within-cell pair join order + min/max agg
     "decontaminate_bloom", // subquery-built filter + hash56 join order
+    "span_dedup", // first-occurrence window + collect_list reassembly
     "bm25_rank") // tf join order + window ties on rounded scores
 
   risky.foreach { name =>

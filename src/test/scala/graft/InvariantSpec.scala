@@ -173,6 +173,36 @@ class InvariantSpec extends SparkSpecBase {
     assert(rows == broadcastForm)
   }
 
+  test("span_dedup: one keeper per distinct span, drop path exercised") {
+    val rows = SparkEntry.queries("span_dedup")(spark, sfDir)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nSpans, nKept, text) =>
+      assert(nKept <= nSpans)
+      // Reassembled text token count: full spans of SPAN_TOKENS plus at
+      // most one shorter tail per doc — bounded by kept-span capacity.
+      val nTok = if (text.isEmpty) 0 else text.split(" ").length
+      assert(nTok <= nKept * operators.Dedup.SPAN_TOKENS)
+      assert(nTok > (nKept - 1) * operators.Dedup.SPAN_TOKENS || nKept == 0)
+    }
+    assert(rows.exists(r => r._3 < r._2), "no span was ever dropped")
+    // Global accounting: total kept spans == distinct span count — the
+    // first-occurrence rule keeps EXACTLY one copy of each.
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.TextFns.tokenize(col("text")).as("ts"))
+    val distinctSpans = docs.filter(size(col("ts")) > 0)
+      .select(explode(transform(
+        sequence(lit(0),
+          ceil(size(col("ts")) / lit(operators.Dedup.SPAN_TOKENS.toDouble))
+            .cast("int") - 1),
+        i => concat_ws(" ", slice(col("ts"),
+          i * operators.Dedup.SPAN_TOKENS + 1,
+          lit(operators.Dedup.SPAN_TOKENS))))).as("span"))
+      .distinct().count()
+    assert(rows.map(_._3).sum == distinctSpans)
+  }
+
   test("decontaminate bloom path: might_contain prefilter in plan, equals exact form") {
     // The prefilter must actually BE in the plan (otherwise the query
     // is just the shuffled variant) and, being a superset filter above
