@@ -1633,6 +1633,107 @@ object Similarity extends QueryModule {
        |WHERE cosine >= $DEDUP_COSINE ORDER BY id_a, id_b""".stripMargin
   }
 
+  // --- filtered vector search: ANN under a metadata predicate -----------
+  /** Filtered similarity search — "nearest neighbours WITHIN my
+    * category" — the standard production serving feature vector
+    * databases bolt onto ANN. Each workload query searches only corpus
+    * vectors sharing its own `label`.
+    *
+    *   - `cosine_topk_filtered`: the exact baseline. The label
+    *     predicate turns the brute-force crossJoin into a broadcast
+    *     equi-JOIN on label (the planner prunes 90% of pairs before
+    *     any dot product on this 10-label fixture).
+    *   - `ann_ivf_filtered`: the scale path — IVF cell probes exactly
+    *     as [[annIvfTopk]], the label filter applied to candidates
+    *     BEFORE ranking (post-filtering inside probed cells, the
+    *     standard first answer; pre-partitioning the index by label is
+    *     the specialized alternative when predicates are known ahead).
+    *     With selective predicates the per-cell candidate count drops
+    *     by the selectivity factor; recall loss vs unfiltered probes
+    *     is the documented trade (filtered matches may hide in
+    *     unprobed cells — production compensates with more probes).
+    *
+    * Labels ride an equi-join on vec_id (never an array lookup into a
+    * collected map); query labels travel inside the broadcast probe
+    * workload. */
+  def cosineTopkFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val e = corpus(spark, dir).join(lab, "vec_id")
+    val q = queryWorkload(e, e)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label"))
+    val scored = e.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val cosineTopkFilteredSql =
+    s"""$corpusSql,
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |p AS (SELECT q.vec_id AS query_id, lq.label, c.vec_id,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> q.v[i] * c.v[i]))
+       |        / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q CROSS JOIN qst
+       |  JOIN lb lq ON lq.vec_id = q.vec_id
+       |  JOIN lb lc ON lc.label = lq.label
+       |  JOIN n c ON c.vec_id = lc.vec_id
+       |  WHERE q.vec_id % qstride = 0 AND c.vec_id <> q.vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT query_id, label, vec_id, cosine, rank FROM r
+       |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
+
+  def annIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val (e, cent) = ivfParts(spark, dir)
+    val nearest = nearestCells(cent) _
+    val assigned = nearest(e, 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .join(lab, "vec_id")
+    val probes = nearest(queryWorkload(e, e), NPROBE)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid").as("cell"))
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), "query_id")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .select(col("query_id"), col("label"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= IVF_TOP_K)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annIvfFilteredSql =
+    s"""$ivfAssignSql,
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |probes AS (SELECT ar.vec_id AS query_id, ar.v AS qv, ar.nrm AS qnrm,
+       |    ar.cid AS cell, lq.label AS qlabel
+       |  FROM ar CROSS JOIN qst
+       |  JOIN lb lq ON lq.vec_id = ar.vec_id
+       |  WHERE crank <= $NPROBE AND ar.vec_id % qstride = 0),
+       |p AS (SELECT probes.query_id, probes.qlabel AS label, assigned.vec_id,
+       |  round(list_sum(list_transform(range(1, $DIM + 1),
+       |          i -> probes.qv[i] * assigned.v[i]))
+       |        / (probes.qnrm * assigned.nrm), 6) AS cosine
+       |  FROM assigned JOIN probes ON assigned.cell = probes.cell
+       |  JOIN lb lc ON lc.vec_id = assigned.vec_id AND lc.label = probes.qlabel
+       |  WHERE assigned.vec_id <> probes.query_id),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |      FROM p)
+       |SELECT query_id, label, vec_id, cosine, rank FROM r
+       |WHERE rank <= $IVF_TOP_K ORDER BY query_id, rank""".stripMargin
+
   // --- semantic_dedup: SemDeDup-style within-cluster pruning -------------
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     * corpus by the IVF codebook, then inside each cluster drop every
@@ -1726,6 +1827,10 @@ object Similarity extends QueryModule {
       "train + persist the IVF-PQ index: centroids, codebooks, codes by cell"),
     QueryDef("ann_ivfpq_served", annIvfPqServed, Some(annIvfPqTopkSql),
       "IVF-PQ serving from the persisted index — no retraining"),
+    QueryDef("cosine_topk_filtered", cosineTopkFiltered, Some(cosineTopkFilteredSql),
+      "exact top-k under a label predicate (broadcast equi-join on label)"),
+    QueryDef("ann_ivf_filtered", annIvfFiltered, Some(annIvfFilteredSql),
+      "filtered ANN: IVF probes with in-cell label post-filtering"),
     QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql),
       "SemDeDup: IVF-cell clustering, within-cell cosine keep/drop"),
     QueryDef("embedding_dedup", embeddingDedup, Some(embeddingDedupSql),

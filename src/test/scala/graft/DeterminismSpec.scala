@@ -33,6 +33,7 @@ class DeterminismSpec extends SparkSpecBase {
     "semantic_dedup", // within-cell pair join order + min/max agg
     "decontaminate_bloom", // subquery-built filter + hash56 join order
     "span_dedup", // first-occurrence window + collect_list reassembly
+    "ann_ivf_filtered", // probe join order + window ties on rounded cosine
     "bm25_rank") // tf join order + window ties on rounded scores
 
   risky.foreach { name =>

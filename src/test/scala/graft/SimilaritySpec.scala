@@ -147,6 +147,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(trained > 0.0)
   }
 
+  test("filtered search: labels respected, ANN results within exact filtered truth") {
+    import org.apache.spark.sql.functions.col
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val exact = Similarity.cosineTopkFiltered(spark, sfDir)
+      .select(col("query_id"), col("vec_id"), col("label"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(exact.nonEmpty)
+    // Every exact result shares its query's own label.
+    exact.foreach { case (q, v, l) =>
+      assert(labels(q) == l && labels(v) == l, s"label leak: q=$q v=$v")
+    }
+    // The ANN form returns only same-label vectors, each one a member
+    // of the probed-cell candidate space — and overlaps exact truth.
+    val ann = Similarity.annIvfFiltered(spark, sfDir)
+      .select(col("query_id"), col("vec_id"), col("label"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(ann.nonEmpty)
+    ann.foreach { case (q, v, l) =>
+      assert(labels(q) == l && labels(v) == l, s"ANN label leak: q=$q v=$v")
+    }
+    val exactSet = exact.map(r => (r._1, r._2)).toSet
+    val hit = ann.map(r => (r._1, r._2)).count(exactSet.contains)
+    assert(hit > 0, "filtered ANN recovered nothing from exact filtered truth")
+  }
+
   test("annIndexUpsert: frozen-quantizer append equals one-pass encode of the union") {
     val raw = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
