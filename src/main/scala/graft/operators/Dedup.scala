@@ -936,8 +936,14 @@ object Dedup extends QueryModule {
     * a false merge drops one span — the near_dedup/hash56 posture. */
   val SPAN_TOKENS = 10
 
-  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** [[spanDedup]] over an arbitrary `(doc_id, text)` frame — the
+    * fuzz spec drives generated corpora through it (the shinglesOf
+    * pattern). */
+  def spanDedupOf(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), TextFns.tokenize(col("text")).as("ts"))
     val spans = base
       .filter(size(col("ts")) > 0)

@@ -203,6 +203,45 @@ class InvariantSpec extends SparkSpecBase {
     assert(rows.map(_._3).sum == distinctSpans)
   }
 
+  test("span_dedup: distributed equals a sequential replay on fuzzed corpora") {
+    // Seeded generator with the edge shapes the fixture can't plant:
+    // empty docs, sub-span docs, exact-copy docs, partial-tail spans,
+    // WITHIN-doc repeated spans.
+    val k = operators.Dedup.SPAN_TOKENS
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (seed <- 0 until 5) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 40L).map { id =>
+        val text = rnd.nextInt(5) match {
+          case 0 => "" // empty
+          case 1 => Seq.fill(rnd.nextInt(k))(vocab(rnd.nextInt(5))).mkString(" ")
+          case 2 if id > 0 => // exact copy of an earlier doc's prefix
+            val base = Seq.fill(3 * k)(vocab(((id * 7 + 3) % 5).toInt))
+            base.mkString(" ")
+          case 3 => // within-doc repetition: same span three times
+            val span = Seq.fill(k)(vocab(rnd.nextInt(5)))
+            (span ++ span ++ span).mkString(" ")
+          case _ => Seq.fill(1 + rnd.nextInt(4 * k))(vocab(rnd.nextInt(5)))
+            .mkString(" ")
+        }
+        (id, text)
+      }
+      val got = operators.Dedup.spanDedupOf(
+          docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+      // Sequential replay: ascending (doc_id, span_idx) keeps the first
+      // occurrence of every span string.
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expect = docs.sortBy(_._1).map { case (id, text) =>
+        val ts = graft.functions.TextFns.tokenizeLocal(text)
+        val spans = ts.grouped(k).map(_.mkString(" ")).toSeq
+        val kept = spans.filter(sp => seen.add(sp))
+        (id, spans.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }
+      assert(got == expect, s"seed $seed diverged")
+    }
+  }
+
   test("decontaminate bloom path: might_contain prefilter in plan, equals exact form") {
     // The prefilter must actually BE in the plan (otherwise the query
     // is just the shuffled variant) and, being a superset filter above
