@@ -1174,6 +1174,82 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("cosine"), col("rank"))
   }
 
+  /** Filtered serving at the PRODUCTION tier: IVF-PQ from the
+    * persisted index under the label predicate — [[annIvfFiltered]]'s
+    * post-filter design applied to the stored inverted file. The
+    * candidate labels arrive by an equi-join of the codes scan with
+    * the (vec_id, label) side table (the layout a vector DB calls a
+    * metadata column); the filter lands BEFORE the ADC aggregate, so
+    * non-matching candidates never sum a lookup table. Everything else
+    * is `ann_ivfpq_served`'s plan: no training, codes partition-pruned
+    * to probed cells, floats only for the shortlist re-rank. */
+  def annIvfPqFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIndex(spark, dir)
+    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val en = normalizedCorpus(spark, dir).localCheckpoint()
+    val books = spark.read.parquet(s"$base/codebooks")
+    val qw = queryWorkload(en, en)
+    val probes = nearestCells(spark.read.parquet(s"$base/centroids"))(qw, NPROBE)
+      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+      .join(lab.select(col("vec_id").as("query_id"),
+        col("label").as("qlabel")), "query_id")
+    val qsubs = subspaces(qw, "query_id").withColumnRenamed("sub", "qsub")
+    val lut = qsubs.join(broadcast(books), "m")
+      .select(col("query_id"), col("m"), col("cid").as("code"),
+        dot(col("qsub"), col("cw")).as("p"))
+    val adc = readCodes(spark, base).join(lab, "vec_id")
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(round(sum(col("p")), 6).as("adc"))
+    ivfPqRerank(adc, en, qw, IVF_TOP_K)
+      .join(broadcast(lab.select(col("vec_id").as("query_id"), col("label"))),
+        "query_id")
+      .select(col("query_id"), col("label"), col("vec_id"), col("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // lazy: ivfPqIndexBodySql/ivfPqFinalBooksRel are declared further
+  // down the object — eager interpolation here would read null.
+  lazy val annIvfPqFilteredSql =
+    s"""$ivfPqIndexBodySql,
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |iprobes AS (SELECT svr.vec_id AS query_id, svr.cid AS cell,
+       |    lq.label AS qlabel
+       |  FROM svr CROSS JOIN qst JOIN lb lq ON lq.vec_id = svr.vec_id
+       |  WHERE crank <= $NPROBE AND svr.vec_id % qstride = 0),
+       |qsubs AS MATERIALIZED (SELECT vec_id AS query_id, m, sub AS qsub
+       |  FROM subs CROSS JOIN qst WHERE vec_id % qstride = 0),
+       |lut AS MATERIALIZED (SELECT q.query_id, q.m, b.cid AS code,
+       |    list_sum(list_transform(range(1, $PQ_SUBDIM + 1),
+       |      j -> q.qsub[j] * b.cw[j])) AS p
+       |  FROM qsubs q JOIN $ivfPqFinalBooksRel b ON q.m = b.m),
+       |adc AS MATERIALIZED (SELECT p2.query_id, c.vec_id, round(sum(l.p), 6) AS adc
+       |  FROM fcodes c
+       |  JOIN cells cl ON cl.vec_id = c.vec_id
+       |  JOIN lb lc ON lc.vec_id = c.vec_id
+       |  JOIN iprobes p2 ON p2.cell = cl.cell AND p2.qlabel = lc.label
+       |  JOIN lut l ON l.query_id = p2.query_id AND l.m = c.m AND l.code = c.code
+       |  WHERE c.vec_id <> p2.query_id
+       |  GROUP BY p2.query_id, c.vec_id),
+       |sl AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc DESC, vec_id) AS srk FROM adc),
+       |px AS (SELECT sl.query_id, sl.vec_id,
+       |  round(list_sum(list_transform(range(1, $DIM + 1), i -> q.v[i] * c.v[i]))
+       |        / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM sl
+       |  JOIN en q ON q.vec_id = sl.query_id
+       |  JOIN en c ON c.vec_id = sl.vec_id
+       |  WHERE sl.srk <= $PQ_SHORTLIST),
+       |r AS (SELECT *, CAST(row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |      FROM px)
+       |SELECT r.query_id, lq2.label, r.vec_id, r.cosine, r.rank FROM r
+       |JOIN lb lq2 ON lq2.vec_id = r.query_id
+       |WHERE r.rank <= $IVF_TOP_K ORDER BY r.query_id, r.rank""".stripMargin
+
   // --- ann_ivfpq_residual: classic IVF-PQ, codes over residuals -----------
   /** The canonical IVF-PQ refinement: quantize the RESIDUAL
     * `r = v − centroid(cell(v))` instead of the raw vector, so the M
@@ -1831,6 +1907,8 @@ object Similarity extends QueryModule {
       "exact top-k under a label predicate (broadcast equi-join on label)"),
     QueryDef("ann_ivf_filtered", annIvfFiltered, Some(annIvfFilteredSql),
       "filtered ANN: IVF probes with in-cell label post-filtering"),
+    QueryDef("ann_ivfpq_filtered", annIvfPqFiltered, Some(annIvfPqFilteredSql),
+      "filtered IVF-PQ from the persisted index: label filter before ADC"),
     QueryDef("semantic_dedup", semanticDedup, Some(semanticDedupSql),
       "SemDeDup: IVF-cell clustering, within-cell cosine keep/drop"),
     QueryDef("embedding_dedup", embeddingDedup, Some(embeddingDedupSql),

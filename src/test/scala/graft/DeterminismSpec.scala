@@ -34,6 +34,7 @@ class DeterminismSpec extends SparkSpecBase {
     "decontaminate_bloom", // subquery-built filter + hash56 join order
     "span_dedup", // first-occurrence window + collect_list reassembly
     "ann_ivf_filtered", // probe join order + window ties on rounded cosine
+    "ann_ivfpq_filtered", // persisted index + label-filtered ADC shortlist
     "bm25_rank") // tf join order + window ties on rounded scores
 
   risky.foreach { name =>

@@ -171,6 +171,16 @@ class SimilaritySpec extends SparkSpecBase {
     val exactSet = exact.map(r => (r._1, r._2)).toSet
     val hit = ann.map(r => (r._1, r._2)).count(exactSet.contains)
     assert(hit > 0, "filtered ANN recovered nothing from exact filtered truth")
+    // The production-tier form (persisted index, filter before ADC)
+    // obeys the same label contract and also overlaps exact truth.
+    val pq = Similarity.annIvfPqFiltered(spark, sfDir)
+      .select(col("query_id"), col("vec_id"), col("label"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pq.nonEmpty)
+    pq.foreach { case (q, v, l) =>
+      assert(labels(q) == l && labels(v) == l, s"PQ label leak: q=$q v=$v")
+    }
+    assert(pq.map(r => (r._1, r._2)).count(exactSet.contains) > 0)
   }
 
   test("annIndexUpsert: frozen-quantizer append equals one-pass encode of the union") {
