@@ -363,22 +363,37 @@ object Similarity extends QueryModule {
   /** The IVF serving tail against an arbitrary codebook: assign the
     * corpus (nearest cell), probe the query workload's NPROBE nearest
     * cells, exact re-rank within probed cells. Shared by the stride
-    * codebook (`ann_ivf_topk`) and the trained one (`ann_ivf_trained`). */
-  private def ivfServe(e: DataFrame, cent: DataFrame): DataFrame = {
+    * codebook (`ann_ivf_topk`), the trained one (`ann_ivf_trained`),
+    * and — with `labels` supplied — the filtered form
+    * (`ann_ivf_filtered`): query labels ride the broadcast probes,
+    * candidate labels join the assigned rows, the filter lands before
+    * any dot product, and the output gains the label column. */
+  private def ivfServe(e: DataFrame, cent: DataFrame,
+      labels: Option[DataFrame] = None): DataFrame = {
     val nearest = nearestCells(cent) _
-    val assigned = nearest(e, 1)
+    val assigned0 = nearest(e, 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-    val probes = nearest(queryWorkload(e, e), NPROBE)
+    val assigned = labels.fold(assigned0)(lab => assigned0.join(lab, "vec_id"))
+    val probes0 = nearest(queryWorkload(e, e), NPROBE)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cid").as("cell"))
+    val probes = labels.fold(probes0)(lab => probes0.join(
+      lab.select(col("vec_id").as("query_id"), col("label").as("qlabel")),
+      "query_id"))
+    val outCols = Seq(col("query_id")) ++
+      labels.map(_ => col("label")).toSeq ++
+      Seq(col("vec_id"), col("cosine"), col("rank"))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        labels.fold(lit(true))(_ => col("label") === col("qlabel")))
+      .select(Seq(col("query_id"), col("vec_id"),
+        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine")) ++
+        labels.map(_ => col("label")).toSeq: _*)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= IVF_TOP_K)
+      .select(outCols: _*)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -926,19 +941,31 @@ object Similarity extends QueryModule {
 
   /** [[ivfPqServe]] against an arbitrary query frame (vec_id, v, nrm)
     * and served k — the fixed stride workload and the single-vector
-    * interactive entry ([[annNearestTo]]) share it. */
+    * interactive entry ([[annNearestTo]]) share it. With `labels`
+    * supplied, each query searches only candidates sharing its own
+    * label ([[annIvfPqFiltered]]): query labels ride the broadcast
+    * probe list, candidate labels join the PROBED survivors (after
+    * the cell join, so the codes scan's partition pruning is
+    * untouched), and the filter lands before the ADC aggregate. */
   private def ivfPqServeFor(en: DataFrame, cent: DataFrame, books: DataFrame,
-      coded: DataFrame, qw: DataFrame, k: Int): DataFrame = {
-    val probes = nearestCells(cent)(qw, NPROBE)
+      coded: DataFrame, qw: DataFrame, k: Int,
+      labels: Option[DataFrame] = None): DataFrame = {
+    val probes0 = nearestCells(cent)(qw, NPROBE)
       .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+    val probes = labels.fold(probes0)(lab => probes0.join(
+      lab.select(col("vec_id").as("query_id"), col("label").as("qlabel")),
+      "query_id"))
     val qsubs = subspaces(qw, "query_id").withColumnRenamed("sub", "qsub")
     val lut = qsubs.join(broadcast(books), "m")
       .select(col("query_id"), col("m"), col("cid").as("code"),
         dot(col("qsub"), col("cw")).as("p"))
     // Candidates: each probed cell's codes stream past the broadcast
     // probe list; ADC = sum of M LUT lookups, rounded before ranking.
-    val adc = coded.join(broadcast(probes), Seq("cell"))
+    val cand0 = coded.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
+    val cand = labels.fold(cand0)(lab =>
+      cand0.join(lab, "vec_id").filter(col("label") === col("qlabel")))
+    val adc = cand
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("p")), 6).as("adc"))
@@ -1187,23 +1214,11 @@ object Similarity extends QueryModule {
     val base = ensureIndex(spark, dir)
     val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     val en = normalizedCorpus(spark, dir).localCheckpoint()
-    val books = spark.read.parquet(s"$base/codebooks")
     val qw = queryWorkload(en, en)
-    val probes = nearestCells(spark.read.parquet(s"$base/centroids"))(qw, NPROBE)
-      .select(col("vec_id").as("query_id"), col("cid").as("cell"))
-      .join(lab.select(col("vec_id").as("query_id"),
-        col("label").as("qlabel")), "query_id")
-    val qsubs = subspaces(qw, "query_id").withColumnRenamed("sub", "qsub")
-    val lut = qsubs.join(broadcast(books), "m")
-      .select(col("query_id"), col("m"), col("cid").as("code"),
-        dot(col("qsub"), col("cw")).as("p"))
-    val adc = readCodes(spark, base).join(lab, "vec_id")
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
-      .join(broadcast(lut), Seq("query_id", "m", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(round(sum(col("p")), 6).as("adc"))
-    ivfPqRerank(adc, en, qw, IVF_TOP_K)
+    ivfPqServeFor(en,
+      spark.read.parquet(s"$base/centroids"),
+      spark.read.parquet(s"$base/codebooks"),
+      readCodes(spark, base), qw, IVF_TOP_K, labels = Some(lab))
       .join(broadcast(lab.select(col("vec_id").as("query_id"), col("label"))),
         "query_id")
       .select(col("query_id"), col("label"), col("vec_id"), col("cosine"),
@@ -1767,26 +1782,9 @@ object Similarity extends QueryModule {
        |WHERE rank <= $TOP_K ORDER BY query_id, rank""".stripMargin
 
   def annIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
-    val lab = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     val (e, cent) = ivfParts(spark, dir)
-    val nearest = nearestCells(cent) _
-    val assigned = nearest(e, 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-      .join(lab, "vec_id")
-    val probes = nearest(queryWorkload(e, e), NPROBE)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("cid").as("cell"))
-      .join(lab.select(col("vec_id").as("query_id"),
-        col("label").as("qlabel")), "query_id")
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
-      .select(col("query_id"), col("label"), col("vec_id"),
-        round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= IVF_TOP_K)
-      .orderBy(col("query_id"), col("rank"))
+    ivfServe(e, cent, labels = Some(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))))
   }
 
   val annIvfFilteredSql =
