@@ -694,6 +694,52 @@ object Pipeline extends QueryModule {
       |WHERE r.rk <= b.budget
       |ORDER BY source, doc_id""".stripMargin
 
+  // --- shuffle_shard: global shuffle + re-shard ---------------------------
+  /** The final layout stage of a training-data pipeline: a
+    * DETERMINISTIC global permutation (the md5 pick order
+    * `stratified_sample` established) dealt round-robin onto
+    * [[N_SHARDS]] shards with a position inside each — re-running on
+    * the same corpus reproduces the same shard files bit-for-bit.
+    *
+    * The global rank comes from the bucketed prefix-sum decomposition
+    * (`md5BucketedSelect`'s trick applied corpus-wide): bucket by the
+    * 2-hex md5 prefix — a PREFIX of the sort key, so bucket-major
+    * order ≡ global md5 order — broadcast the ≤256 bucket counts with
+    * their prefix offsets, and run row_number only WITHIN each bucket:
+    * 256 parallel windows of ~n/256 rows each, never a global
+    * single-partition sort. Round-robin dealing keeps shard sizes
+    * balanced to ±1 at any corpus size. */
+  val N_SHARDS = 8
+
+  def shuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("mk", md5(col("doc_id").cast("string")))
+      .withColumn("bkt", substring(col("mk"), 1, 2))
+    // ≤256 rows: the offsets window is driver-scale by construction.
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("offset"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col("mk"), col("doc_id"))
+    keyed.join(broadcast(offsets), "bkt")
+      .withColumn("grank", col("offset") + row_number().over(wIn) - 1)
+      .select(col("doc_id"),
+        (col("grank") % N_SHARDS).cast("int").as("shard"),
+        floor(col("grank") / N_SHARDS).as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val shuffleShardSql =
+    s"""WITH r AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+       |      AS grank
+       |  FROM documents)
+       |SELECT doc_id, CAST(grank % $N_SHARDS AS INT) AS shard,
+       |  CAST(floor(grank / $N_SHARDS) AS BIGINT) AS pos
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // --- mix_weights: temperature-scaled source mixing table ----------------
 
   /** Mixing temperature: weights ∝ (n_s/N)^T with T < 1 upweight small
@@ -1090,6 +1136,8 @@ object Pipeline extends QueryModule {
       "end-to-end corpus selection: quality+repetition -> dedups -> cap -> budget"),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "deterministic md5-ranked per-source corpus balancing"),
+    QueryDef("shuffle_shard", shuffleShard, Some(shuffleShardSql),
+      "global shuffle + re-shard: md5 permutation dealt round-robin"),
     QueryDef("source_cap", sourceCap, Some(sourceCapSql),
       "fixed per-source cap via the bounded-PQ Aggregator (no sort)"),
     QueryDef("token_budget_pack", tokenBudgetPack, Some(tokenBudgetPackSql),

@@ -33,6 +33,7 @@ class DeterminismSpec extends SparkSpecBase {
     "semantic_dedup", // within-cell pair join order + min/max agg
     "decontaminate_bloom", // subquery-built filter + hash56 join order
     "span_dedup", // first-occurrence window + collect_list reassembly
+    "shuffle_shard", // bucketed prefix-sum rank decomposition
     "cosine_topk_filtered", // window ties on rounded cosine (label join)
     "ann_ivf_filtered", // probe join order + window ties on rounded cosine
     "ann_ivfpq_filtered", // persisted index + label-filtered ADC shortlist

@@ -203,6 +203,20 @@ class InvariantSpec extends SparkSpecBase {
     assert(rows.map(_._3).sum == distinctSpans)
   }
 
+  test("shuffle_shard: balanced shards, contiguous positions, full bijection") {
+    val rows = SparkEntry.queries("shuffle_shard")(spark, sfDir)
+      .as[(Long, Int, Long)].collect().toSeq
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.size == n && rows.map(_._1).distinct.size == n)
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet == (0 until operators.Pipeline.N_SHARDS).toSet)
+    val sizes = byShard.values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: $sizes")
+    byShard.values.foreach { s =>
+      assert(s.map(_._3).sorted == (0L until s.size.toLong))
+    }
+  }
+
   test("span_dedup: distributed equals a sequential replay on fuzzed corpora") {
     // Seeded generator with the edge shapes the fixture can't plant:
     // empty docs, sub-span docs, exact-copy docs, partial-tail spans,
