@@ -40,11 +40,37 @@ class PlanSpec extends SparkSpecBase {
       operators.Dedup.nearDedup(spark, sfDir),
       operators.Dedup.simhashDedup(spark, sfDir),
       operators.Dedup.decontaminateFuzzy(spark, sfDir),
-      operators.Dedup.ngramJaccard(spark, sfDir)).foreach { df =>
+      operators.Dedup.ngramJaccard(spark, sfDir),
+      operators.Dedup.spanDedup(spark, sfDir),
+      operators.Similarity.semanticDedup(spark, sfDir)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in plan:\n$p")
     }
+  }
+
+  test("bm25_rank: workload-sized sides broadcast, corpus side streams") {
+    val p = plan(operators.InvertedIndex.bm25Rank(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected product beyond the 1-row scalars broadcast:\n$p")
+  }
+
+  test("shuffle_shard: the rank window is bucket-partitioned, never global") {
+    val p = plan(operators.Pipeline.shuffleShard(spark, sfDir))
+    // The row_number that ranks the corpus must be partitioned by the
+    // md5-prefix bucket — a global (empty-partition) row_number window
+    // over the corpus would be the single-partition sort this
+    // decomposition exists to avoid. The only unpartitioned window is
+    // the <=256-row offsets sum.
+    val rnWindows = p.linesIterator
+      .filter(l => l.contains("row_number()"))
+      .toSeq
+    assert(rnWindows.nonEmpty, s"no window in plan:\n$p")
+    rnWindows.foreach(l =>
+      // The partition spec leads the windowspecdefinition argument list.
+      assert(l.contains("windowspecdefinition(bkt#"),
+        s"corpus row_number window not bucket-partitioned: $l"))
   }
 
   test("ngram_jaccard: the pair join shuffles on the block key, no unbounded broadcast") {
