@@ -1532,6 +1532,33 @@ object Similarity extends QueryModule {
       .take(4).map(b => f"$b%02x").mkString
   }
 
+  /** Corpus-size-aware IVF geometry `(kCentroids, nProbe)` — the
+    * production counterpart of the fixture-pinned [[K_CENTROIDS]]/
+    * [[NPROBE]] constants, making the "production takes K ≈ √n"
+    * claims in this module's scaladocs a callable rule.
+    *
+    * K = ⌈√n⌉ balances the two per-query cost terms: routing compares
+    * the query against K centroids, and searching reads ~n/K
+    * candidates per probed cell — their sum K + p·n/K is minimized at
+    * K = √(p·n), and p is a small constant. nProbe comes from the
+    * target recall: with roughly uniform cell occupancy the chance a
+    * true neighbour sits in the probed fraction grows ~p/K-fractional,
+    * so p = ⌈targetRecall · K / recallEfficiency⌉ with the standard
+    * ~4× concentration gain of trained centroids (neighbours
+    * overwhelmingly fall in the query's nearest cells, not uniformly).
+    * Both clamps keep degenerate corpora sane (K ≥ 16, p within
+    * [1, K]). The rule is advisory — serving cost scales linearly in
+    * p, so callers trade recall for latency around it. */
+  def recommendedIvfGeometry(corpusSize: Long,
+      targetRecall: Double = 0.9): (Int, Int) = {
+    require(corpusSize > 0 && targetRecall > 0.0 && targetRecall <= 1.0)
+    val k = math.max(16, math.ceil(math.sqrt(corpusSize.toDouble)).toInt)
+    val recallEfficiency = 4.0
+    val p = math.min(k,
+      math.max(1, math.ceil(targetRecall * k / recallEfficiency).toInt))
+    (k, p)
+  }
+
   /** Corpus-size-aware band geometry `(nBands, bitsPerBand)`.
     *
     * Bits per band come from the target bucket occupancy: each

@@ -147,6 +147,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(trained > 0.0)
   }
 
+  test("recommendedIvfGeometry: sqrt-n centroids, monotone, probes bounded") {
+    val (k1, p1) = Similarity.recommendedIvfGeometry(1000000L)
+    assert(k1 == 1000 && p1 >= 1 && p1 <= k1)
+    // K grows as sqrt(n): 100x the corpus, 10x the centroids.
+    val (k2, _) = Similarity.recommendedIvfGeometry(100000000L)
+    assert(k2 == 10000)
+    // Higher recall targets never probe fewer cells.
+    val probes = Seq(0.5, 0.7, 0.9, 0.99)
+      .map(r => Similarity.recommendedIvfGeometry(1000000L, r)._2)
+    assert(probes == probes.sorted)
+    // Degenerate corpora stay sane.
+    val (kTiny, pTiny) = Similarity.recommendedIvfGeometry(10L)
+    assert(kTiny == 16 && pTiny >= 1 && pTiny <= kTiny)
+  }
+
   test("filtered search: labels respected, ANN results within exact filtered truth") {
     import org.apache.spark.sql.functions.col
     val labels = Tables.embeddings(spark, sfDir)
