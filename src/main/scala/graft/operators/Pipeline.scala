@@ -651,15 +651,32 @@ object Pipeline extends QueryModule {
     * oracle stays the naive global window, proving the decomposition
     * exact (the token_budget_pack contract); CurationSpec pins the
     * window form ≡ bucketed form on skewed corpora mid-bucket. */
-  private def md5BucketedSelect(docsT: DataFrame): DataFrame = {
-    val keyed = docsT.withColumn("mk", md5(col("doc_id").cast("string")))
+  /** `doc_id` keyed by its md5 pick order plus the 2-hex prefix bucket
+    * — the shared first step of every bucketed-rank decomposition
+    * (per-source selection AND the corpus-wide shuffle). */
+  private def md5Keyed(df: DataFrame): DataFrame =
+    df.withColumn("mk", md5(col("doc_id").cast("string")))
       .withColumn("bkt", substring(col("mk"), 1, 2))
-    val wOff = Window.partitionBy(col("source")).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // |sources| × ≤256 rows — broadcastable by construction.
-    val offsets = keyed.groupBy(col("source"), col("bkt"))
-      .agg(count(lit(1)).as("cnt"), max(col("target")).as("target"))
-      .withColumn("offset", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+
+  /** Per-group (bkt, cnt, offset[, extra]) prefix sums over an
+    * [[md5Keyed]] frame — ≤256 COUNT rows per group (broadcastable by
+    * construction), `partCols` empty for the corpus-wide form. */
+  private def bucketOffsets(keyed: DataFrame, partCols: Seq[String],
+      extraAggs: Column*): DataFrame = {
+    val wBase =
+      if (partCols.isEmpty) Window.orderBy(col("bkt"))
+      else Window.partitionBy(partCols.map(col): _*).orderBy(col("bkt"))
+    keyed.groupBy((partCols :+ "bkt").map(col): _*)
+      .agg(count(lit(1)).as("cnt"), extraAggs: _*)
+      .withColumn("offset", coalesce(
+        sum(col("cnt")).over(wBase.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+  }
+
+  private def md5BucketedSelect(docsT: DataFrame): DataFrame = {
+    val keyed = md5Keyed(docsT)
+    val offsets = bucketOffsets(keyed, Seq("source"),
+        max(col("target")).as("target"))
       .select(col("source"), col("bkt"), col("cnt"), col("offset"), col("target"))
     val tagged = keyed.drop("target").join(broadcast(offsets), Seq("source", "bkt"))
     val keepWhole = tagged.filter(col("offset") + col("cnt") <= col("target"))
@@ -712,16 +729,8 @@ object Pipeline extends QueryModule {
   val N_SHARDS = 8
 
   def shuffleShard(spark: SparkSession, dir: String): DataFrame = {
-    val keyed = Tables.documents(spark, dir).select(col("doc_id"))
-      .withColumn("mk", md5(col("doc_id").cast("string")))
-      .withColumn("bkt", substring(col("mk"), 1, 2))
-    // ≤256 rows: the offsets window is driver-scale by construction.
-    val wOff = Window.orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = keyed.groupBy(col("bkt"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("offset", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-      .select(col("bkt"), col("offset"))
+    val keyed = md5Keyed(Tables.documents(spark, dir).select(col("doc_id")))
+    val offsets = bucketOffsets(keyed, Nil).select(col("bkt"), col("offset"))
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("mk"), col("doc_id"))
     keyed.join(broadcast(offsets), "bkt")
       .withColumn("grank", col("offset") + row_number().over(wIn) - 1)

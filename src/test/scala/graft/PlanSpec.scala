@@ -49,28 +49,13 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
-  test("bm25_rank: workload-sized sides broadcast, corpus side streams") {
+  test("bm25_rank: workload-sided broadcasts, no corpus-sized product") {
     val p = plan(operators.InvertedIndex.bm25Rank(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
-    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
-      s"unexpected product beyond the 1-row scalars broadcast:\n$p")
-  }
-
-  test("shuffle_shard: the rank window is bucket-partitioned, never global") {
-    val p = plan(operators.Pipeline.shuffleShard(spark, sfDir))
-    // The row_number that ranks the corpus must be partitioned by the
-    // md5-prefix bucket — a global (empty-partition) row_number window
-    // over the corpus would be the single-partition sort this
-    // decomposition exists to avoid. The only unpartitioned window is
-    // the <=256-row offsets sum.
-    val rnWindows = p.linesIterator
-      .filter(l => l.contains("row_number()"))
-      .toSeq
-    assert(rnWindows.nonEmpty, s"no window in plan:\n$p")
-    rnWindows.foreach(l =>
-      // The partition spec leads the windowspecdefinition argument list.
-      assert(l.contains("windowspecdefinition(bkt#"),
-        s"corpus row_number window not bucket-partitioned: $l"))
+    // The 1-row scalars crossJoin plans as BroadcastNestedLoopJoin
+    // (deliberate, same as cosine_topk); a CartesianProduct would mean
+    // two corpus-sized sides met without a key.
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
   }
 
   test("ngram_jaccard: the pair join shuffles on the block key, no unbounded broadcast") {
@@ -218,7 +203,8 @@ class PlanSpec extends SparkSpecBase {
     // window by (source, bkt). The only source-partitioned window left
     // is the offsets prefix-sum, which sees <=256 COUNT rows per source.
     for (df <- Seq(operators.Pipeline.stratifiedSample(spark, sfDir),
-        operators.Pipeline.mixApply(spark, sfDir))) {
+        operators.Pipeline.mixApply(spark, sfDir),
+        operators.Pipeline.shuffleShard(spark, sfDir))) {
       val p = plan(df)
       val rowNumberSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]*)\\)".r
         .findAllMatchIn(p).map(_.group(1)).toSeq
