@@ -36,6 +36,28 @@ def main():
         f"DuckDB quantile_disc rank convention drifted: expected value at "
         f"rank ceil(p*n) == (10, 5, 1) on 1..10, got {probe}; the "
         f"value_quantiles_approx oracle equivalence no longer holds")
+    # The span_dedup oracle slices token lists as ts[a : b] expecting
+    # 1-based, BOTH-ends-inclusive semantics (mirroring Spark's
+    # slice(ts, a, b-a+1)), and rebuilds text with string_agg(... ORDER
+    # BY span_idx) expecting a deterministic, argument-ordered join.
+    # Pin both so an engine drift fails with a named cause.
+    probe = con.sql("SELECT range(1, 11)[2:4]").fetchone()[0]
+    assert list(probe) == [2, 3, 4], (
+        f"DuckDB list-slice convention drifted: expected [a:b] 1-based "
+        f"inclusive == [2, 3, 4] on range(1,11)[2:4], got {probe}; the "
+        f"span_dedup oracle's span slicing no longer mirrors Spark slice()")
+    probe = con.sql("SELECT range(1, 11)[8:99]").fetchone()[0]
+    assert list(probe) == [8, 9, 10], (
+        f"DuckDB list-slice tail clamping drifted: expected [8, 9, 10] "
+        f"on range(1,11)[8:99], got {probe}; the span_dedup oracle's "
+        f"remainder-keeping tail span no longer mirrors Spark slice()")
+    probe = con.sql(
+        "SELECT string_agg(s, ' ' ORDER BY i) FROM (VALUES (2, 'b'), "
+        "(1, 'a'), (3, 'c')) t(i, s)").fetchone()[0]
+    assert probe == "a b c", (
+        f"DuckDB string_agg ORDER BY drifted: expected 'a b c', got "
+        f"{probe!r}; the span_dedup oracle's text reassembly is no "
+        f"longer deterministic")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))

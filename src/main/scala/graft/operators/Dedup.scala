@@ -939,6 +939,22 @@ object Dedup extends QueryModule {
   def spanDedup(spark: SparkSession, dir: String): DataFrame =
     spanDedupOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
+  /** Gate projection of [[spanDedup]]: the rebuilt text travels as its
+    * 56-bit fingerprint + character length rather than the raw multi-kB
+    * string. Round 10's only hash-red entry was this query, and the
+    * repo's local comparator could not reproduce the driver's mismatch
+    * on bit-identical parquet — the one distinguishing feature was the
+    * free-text `cleaned_text` column, which (columns sorted by name)
+    * also became the PRIMARY row-sort key of the comparison. Hashing it
+    * keeps full value sensitivity while making every gate column a
+    * fixed-width scalar and restoring `doc_id` as the leading sort
+    * column. [[spanDedupOf]] remains the text-returning library API. */
+  def spanDedupGate(spark: SparkSession, dir: String): DataFrame =
+    spanDedup(spark, dir).select(
+      col("doc_id"), col("n_spans"), col("n_kept"),
+      TextFns.hash56(col("cleaned_text")).as("text_h56"),
+      length(col("cleaned_text")).cast("long").as("text_len"))
+
   /** [[spanDedup]] over an arbitrary `(doc_id, text)` frame — the
     * fuzz spec drives generated corpora through it (the shinglesOf
     * pattern). */
@@ -992,12 +1008,13 @@ object Dedup extends QueryModule {
        |  FROM mk GROUP BY doc_id)
        |SELECT d.doc_id, coalesce(pd.n_spans, 0) AS n_spans,
        |  coalesce(pd.n_kept, 0) AS n_kept,
-       |  coalesce(pd.cleaned_text, '') AS cleaned_text
+       |  ${TextFns.hash56Sql(s"coalesce(pd.cleaned_text, '')")} AS text_h56,
+       |  CAST(length(coalesce(pd.cleaned_text, '')) AS BIGINT) AS text_len
        |FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
   override def entries: Seq[QueryDef] = Seq(
-    QueryDef("span_dedup", spanDedup, Some(spanDedupSql),
+    QueryDef("span_dedup", spanDedupGate, Some(spanDedupSql),
       "C4-style span dedup: first occurrence kept, docs rewritten"),
     QueryDef("neardedup_ingest", neardedupIngest, Some(neardedupIngestSql),
       "LSH band-collision cluster admission (streaming core, one batch)"),

@@ -174,7 +174,7 @@ class InvariantSpec extends SparkSpecBase {
   }
 
   test("span_dedup: one keeper per distinct span, drop path exercised") {
-    val rows = SparkEntry.queries("span_dedup")(spark, sfDir)
+    val rows = operators.Dedup.spanDedup(spark, sfDir)
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(rows.nonEmpty)
     rows.foreach { case (_, nSpans, nKept, text) =>
@@ -186,6 +186,13 @@ class InvariantSpec extends SparkSpecBase {
       assert(nTok > (nKept - 1) * operators.Dedup.SPAN_TOKENS || nKept == 0)
     }
     assert(rows.exists(r => r._3 < r._2), "no span was ever dropped")
+    // The gate projection is the same result with the text fingerprinted:
+    // every (doc, counts) row must reappear with hash56Local(text) + length.
+    val gate = SparkEntry.queries("span_dedup")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gate == rows.map { case (id, nS, nK, text) =>
+      (id, nS, nK, graft.functions.TextFns.hash56Local(text), text.length.toLong)
+    })
     // Global accounting: total kept spans == distinct span count — the
     // first-occurrence rule keeps EXACTLY one copy of each.
     val docs = Tables.documents(spark, sfDir)
