@@ -155,9 +155,16 @@ object Bench {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       def once(): Either[String, Double] = {
-        // Clear memoized intermediates (trained models, iterated ranks)
-        // so every timed run is a cold compute — cross-query reuse must
-        // not hide work from the benchmark.
+        // Clear memoized intermediates (iterated ranks, trained spam
+        // models) so every timed run is a cold compute — cross-query
+        // reuse must not hide work from the benchmark. Deliberately
+        // NOT cleared (they are storage, not compute, and their
+        // construction is benched by their own training queries):
+        // the persisted ANN index and the trained-quantizer model
+        // cache (Similarity.builtIndexes / modelCache) — there
+        // `ann_index_build` records the honest full-training cost and
+        // the serving queries record what production pays per query,
+        // serving against trained models.
         Caches.clearAll()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }

@@ -17,9 +17,12 @@ object Caches {
 
   def clearAll(): Unit = clearables.forEach(f => f())
 
-  /** Short stable content key for a dataset path (4-byte-MD5 hex) —
-    * the one definition behind every per-dataset temp location and
-    * view name (ANN index dirs, bloom eval views). */
+  /** Short stable PATH key (4-byte-MD5 hex of the path STRING — not a
+    * content hash; callers that need regeneration-in-place safety mix
+    * in their own dataset fingerprint, as the ANN index identity does
+    * with the embeddings file's mtime+size) — the one definition
+    * behind every per-dataset temp location and view name (ANN index
+    * dirs, bloom eval views). */
   def pathKey(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString

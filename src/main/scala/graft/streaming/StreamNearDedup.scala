@@ -184,11 +184,16 @@ object StreamNearDedup {
     * record (the same shape Spark's own file-sink metadata log uses);
     * `createFile` is atomic on local/HDFS semantics. Idempotent via
     * the caller's skip check; a leftover marker can only exist if the
-    * batch fully committed. */
+    * batch fully committed — so a marker already present on a
+    * SAME-INSTANCE replay (a failure after commit() but before the
+    * in-memory bookkeeping updated, e.g. a localCheckpoint error) is
+    * treated as already-committed rather than crashing the replay
+    * permanently with FileAlreadyExistsException. */
   private def commit(stateDir: String, batchId: Long): Unit = {
     val dir = java.nio.file.Paths.get(stateDir, "commits")
     java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.createFile(dir.resolve(batchId.toString))
+    try java.nio.file.Files.createFile(dir.resolve(batchId.toString))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
   }
 
   /** Read a per-batch partitioned state table restricted to COMMITTED

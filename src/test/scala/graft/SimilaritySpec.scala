@@ -103,6 +103,15 @@ class SimilaritySpec extends SparkSpecBase {
     assert(served == inline)
   }
 
+  test("ann_ivfpq_residual_served: bit-equal to the inline residual pipeline") {
+    // Same contract for the residual variant: the persisted rcodebooks/
+    // rcodes round-trip losslessly and both entries share one serving
+    // tail, so stored-index answers equal inline-trained answers.
+    val inline = Similarity.annIvfPqResidual(spark, sfDir).collect().toSeq
+    val served = Similarity.annIvfPqResidualServed(spark, sfDir).collect().toSeq
+    assert(served == inline)
+  }
+
   test("annNearestTo: single-query serve equals the workload query's rows") {
     // vec_id 0 is in every stride workload, so the interactive served
     // entry must reproduce exactly what ann_ivfpq_served answers for
