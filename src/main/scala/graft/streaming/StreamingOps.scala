@@ -12,6 +12,17 @@ final case class TrendState(prev: Long, cur: Long, lastWindowMs: Long)
 /** One windowed count row flowing into the trending state machine. */
 final case class WindowCount(event_type: String, window_start: java.sql.Timestamp, cnt: Long)
 
+/** One raw event row flowing into the RAW trending state machine —
+  * `event_id == -1` marks a PUNCTUATION row (a watermark tick staged
+  * after the data: it closes the key's open window without being
+  * counted, the raw-source analogue of watermark-driven emission). */
+final case class RawEvent(event_id: Long, event_type: String, ts: java.sql.Timestamp)
+
+/** Per-key state of the raw trending machine: the (prev, cur) trend
+  * tuple plus the currently OPEN 10-min window's start and running
+  * count (`openMs == Long.MinValue` when none is open). */
+final case class TrendRawState(prev: Long, cur: Long, openMs: Long, openCnt: Long)
+
 /** Trending output: current vs previous window + doubling alert. */
 final case class TrendOut(event_type: String, window_start: java.sql.Timestamp,
     cnt: Long, prev_cnt: Long, is_alert: Boolean)
@@ -107,6 +118,60 @@ object StreamingOps extends QueryModule {
             st = TrendState(prev = st.cur, cur = r.cnt, lastWindowMs = r.window_start.getTime)
             out += TrendOut(key, r.window_start, r.cnt, st.prev,
               r.cnt >= ALERT_MIN && r.cnt >= 2 * st.prev)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** The 10-min tumbling window length the raw machine folds inline. */
+  val TREND_WINDOW_MS = 600000L
+
+  /** The trending pipeline consumed from RAW EVENTS in ONE stateful
+    * operator — the reference's DStream shape (`TrendingArrivals
+    * .scala:99-110` counts arrivals and trends them in the same
+    * per-key state pass). Structured Streaming cannot chain a
+    * stateful op after a streaming aggregation, so instead of staging
+    * pre-aggregated counts the 10-min WINDOW COUNTING moves INSIDE
+    * `flatMapGroupsWithState` state: each key's state holds the open
+    * window's running count next to the (prev, cur) trend tuple; an
+    * event belonging to a LATER window closes the open one — emitting
+    * its TrendOut exactly once — because the in-ts-order source
+    * contract (range-sliced files, sorted within batch) guarantees a
+    * closed window can never receive another event. A trailing
+    * punctuation row per key ([[RawEvent]] `event_id == -1`) closes
+    * the final window at end-of-stream, the role the engine's
+    * watermark plays for its own stateful operators. State is O(1)
+    * per key — strictly smaller than the windowed-aggregate form,
+    * which retains every window until eviction. */
+  def trendingRawStateMachine(events: Dataset[RawEvent]): Dataset[TrendOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[TrendRawState, TrendOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[RawEvent], state: GroupState[TrendRawState]) =>
+          val ordered = rows.toSeq.sortBy(_.ts.getTime)
+          val out = Seq.newBuilder[TrendOut]
+          var st = state.getOption
+            .getOrElse(TrendRawState(0L, 0L, Long.MinValue, 0L))
+          def close(): Unit = if (st.openMs != Long.MinValue) {
+            val prev = st.cur
+            out += TrendOut(key, new java.sql.Timestamp(st.openMs),
+              st.openCnt, prev,
+              st.openCnt >= ALERT_MIN && st.openCnt >= 2 * prev)
+            st = TrendRawState(prev, st.openCnt, Long.MinValue, 0L)
+          }
+          ordered.foreach { r =>
+            if (r.event_id == -1L) close()
+            else {
+              val wMs = r.ts.getTime - Math.floorMod(r.ts.getTime, TREND_WINDOW_MS)
+              if (st.openMs == wMs)
+                st = st.copy(openCnt = st.openCnt + 1)
+              else {
+                close()
+                st = st.copy(openMs = wMs, openCnt = 1L)
+              }
+            }
           }
           state.update(st)
           out.result().iterator
@@ -290,31 +355,37 @@ object StreamingOps extends QueryModule {
   private val trendStaged = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
-  /** The 10-min window counts staged as [[TREND_BATCHES]] single-file
-    * parquets sliced by window_start RANGE with strictly increasing
-    * fixed mtimes — so the file source's oldest-first listing delivers
-    * every key's windows in window order across batches (the invariant
-    * that makes the state machine's (prev, cur) equal the lag replay;
-    * within a batch the machine sorts). The slice bounds come from a
+  /** RAW events staged as [[TREND_BATCHES]] single-file parquets
+    * sliced by ts RANGE with strictly increasing fixed mtimes — so the
+    * file source's oldest-first listing delivers every key's events in
+    * ts order across batches (the invariant that lets the raw machine
+    * close a window the moment a later one opens; within a batch the
+    * machine sorts), PLUS one trailing punctuation file (one
+    * `event_id == -1` row per key, ts past the data) that closes each
+    * key's final window at end-of-stream. The slice bounds come from a
     * 1-row min/max aggregate cross-joined in — the stride idiom, no
     * driver collect in the slicing expression itself. */
   private[graft] def stagedTrendingDir(spark: SparkSession, dir: String): String =
     trendStaged.getOrElseUpdate((spark, dir), {
-      import scala.jdk.CollectionConverters._
       val dest = java.nio.file.Files.createTempDirectory("graft_trend_paced_")
-      val counts = trendingCounts(Tables.events(spark, dir))
-      val bounds = counts.agg(
-        min(unix_timestamp(col("window_start"))).as("lo"),
-        max(unix_timestamp(col("window_start"))).as("hi"))
-      val sliced = counts.crossJoin(broadcast(bounds))
+      val raw = Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("ts"))
+      val bounds = raw.agg(
+        min(unix_timestamp(col("ts"))).as("lo"),
+        max(unix_timestamp(col("ts"))).as("hi"))
+      val sliced = raw.crossJoin(broadcast(bounds))
         .withColumn("slice", least(lit(TREND_BATCHES - 1),
-          floor((unix_timestamp(col("window_start")) - col("lo"))
+          floor((unix_timestamp(col("ts")) - col("lo"))
             .cast("double") * TREND_BATCHES / (col("hi") - col("lo") + 1))
           .cast("int")))
-        .select(col("event_type"), col("window_start"), col("cnt"), col("slice"))
+        .select(col("event_id"), col("event_type"), col("ts"), col("slice"))
         .localCheckpoint()
+      val flush = raw.groupBy(col("event_type"))
+        .agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"), col("event_type"),
+          (col("mx") + expr("INTERVAL 20 MINUTES")).as("ts"))
       stageSlicedFiles(dest, (0 until TREND_BATCHES).map(k =>
-        sliced.filter(col("slice") === k).drop("slice")))
+        sliced.filter(col("slice") === k).drop("slice")) :+ flush)
       dest.toString
     })
 
@@ -356,17 +427,23 @@ object StreamingOps extends QueryModule {
     k
   }
 
-  /** Gate/bench query: the doubling-alert STATE MACHINE executed by the
-    * live streaming engine — paced file source (one window-range slice
-    * per micro-batch), `flatMapGroupsWithState` in Update mode on the
-    * RocksDB state store (the 100 TB provider RocksDbStateSpec pins),
-    * `Trigger.AvailableNow`, checkpointed. Every batch after the first
-    * reads its per-key (prev, cur) through the store, so the
-    * cross-batch state path is what produces the answer; range slicing
-    * delivers windows in order, which is exactly the condition under
-    * which the machine equals the lag form — so this query shares
-    * `trending_arrivals`' DuckDB oracle, and the engine must reproduce
-    * the batch replay bit-for-bit across [[TREND_BATCHES]] batches. */
+  /** Gate/bench query: the trending pipeline executed by the live
+    * streaming engine FROM RAW EVENTS — paced file source (one
+    * ts-range slice of the events table per micro-batch, plus the
+    * punctuation flush file), ONE `flatMapGroupsWithState` in Update
+    * mode doing both the 10-min window counting and the doubling
+    * alert ([[trendingRawStateMachine]] — the reference's single
+    * DStream state pass), on the RocksDB state store (the 100 TB
+    * provider RocksDbStateSpec pins), `Trigger.AvailableNow`,
+    * checkpointed. Every batch after the first reads its per-key
+    * (prev, cur, open-window) state through the store, and windows
+    * routinely STRADDLE slice boundaries — their counts accumulate in
+    * state across micro-batches, which is exactly the path the old
+    * pre-aggregated staging could not exercise. Ts-range slicing
+    * delivers events in order, the condition under which the machine
+    * equals the lag form — so this query shares `trending_arrivals`'
+    * DuckDB oracle, and the engine must reproduce the batch replay
+    * bit-for-bit across [[TREND_BATCHES]]+1 batches. */
   def streamTrendingLive(spark: SparkSession, dir: String): DataFrame = {
     val src = stagedTrendingDir(spark, dir)
     val name = s"stream_trending_live_${liveRuns.incrementAndGet()}"
@@ -379,10 +456,10 @@ object StreamingOps extends QueryModule {
     val rows =
       try {
         import ss.implicits._
-        val counts = ss.readStream.schema(ss.read.parquet(src).schema)
+        val events = ss.readStream.schema(ss.read.parquet(src).schema)
           .option("maxFilesPerTrigger", 1).parquet(src)
-          .as[WindowCount]
-        val q = trendingStateMachine(counts)
+          .as[RawEvent]
+        val q = trendingRawStateMachine(events)
           .writeStream.format("memory").queryName(name)
           .outputMode("update")
           .option("checkpointLocation", ckpt.toString)
@@ -486,7 +563,7 @@ object StreamingOps extends QueryModule {
     QueryDef("trending_arrivals", trendingArrivals, Some(trendingArrivalsSql),
       "10-min windows per event type with doubling alerts"),
     QueryDef("stream_trending_live", streamTrendingLive, Some(trendingArrivalsSql),
-      "the doubling-alert state machine run live (RocksDB state, paced source)"),
+      "trending from RAW events live: windowing + alert in one keyed state pass"),
     QueryDef("stream_dedup", streamDedupReplay, Some(streamDedupReplaySql),
       "first-touch dedup per key (batch replay of dropDuplicatesWithinWatermark)"),
     QueryDef("stream_neardedup_live", StreamNearDedup.streamNearDedupLive,

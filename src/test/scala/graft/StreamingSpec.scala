@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{StreamingOps, TrendOut, WindowCount}
+import graft.streaming.{RawEvent, StreamingOps, TrendOut, WindowCount}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -142,30 +142,80 @@ class StreamingSpec extends SparkSpecBase {
     assert(live.exceptAll(replay).isEmpty && replay.exceptAll(live).isEmpty)
   }
 
-  test("trending staging: range slices, increasing mtimes, full coverage") {
+  test("trending staging: raw ts-range slices, increasing mtimes, punctuation last") {
     // The live query's oracle-equality rests on this layout: slices
-    // partition the window counts BY RANGE (so every key's windows
-    // arrive in window order across batches) under strictly increasing
-    // mtimes (so the file source lists them in slice order). A staging
-    // regression must fail here with a named cause.
+    // partition the RAW events BY ts RANGE (so every key's events
+    // arrive in ts order across batches and a closed window can never
+    // receive another event) under strictly increasing mtimes (so the
+    // file source lists them in slice order), with the punctuation
+    // flush file last. A staging regression must fail here with a
+    // named cause.
     val dir = StreamingOps.stagedTrendingDir(spark, sfDir)
     val files = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    assert(files.length == StreamingOps.TREND_BATCHES)
+    assert(files.length == StreamingOps.TREND_BATCHES + 1)
     assert(files.map(_.lastModified).sliding(2).forall { case Array(a, b) => a < b })
-    // Range property: slice k's max window_start < slice k+1's min.
-    val spans = files.map { f =>
-      val r = spark.read.parquet(f.getPath)
-        .agg(min(col("window_start")), max(col("window_start")))
+    // Range property over the data slices: slice k's max ts < slice
+    // k+1's min ts.
+    val spans = files.dropRight(1).map { f =>
+      spark.read.parquet(f.getPath)
+        .agg(min(col("ts")), max(col("ts")))
         .as[(Timestamp, Timestamp)].head()
-      r
     }
     spans.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
-      assert(hiA.before(loB), s"slices overlap: $hiA !< $loB")
+      assert(!hiA.after(loB), s"slices out of order: $hiA !<= $loB")
     }
-    val staged = files.map(f => spark.read.parquet(f.getPath).count()).sum
-    assert(staged ==
-      StreamingOps.trendingCounts(Tables.events(spark, sfDir)).count())
+    val staged = files.dropRight(1)
+      .map(f => spark.read.parquet(f.getPath).count()).sum
+    assert(staged == Tables.events(spark, sfDir).count())
+    // The flush file: exactly one punctuation row per key, ts strictly
+    // past every real event of that key.
+    val flush = spark.read.parquet(files.last.getPath)
+    assert(flush.filter(col("event_id") =!= -1L).count() == 0)
+    val keys = Tables.events(spark, sfDir)
+      .select(col("event_type")).distinct().count()
+    assert(flush.count() == keys)
+    // Ordering is PER KEY (grouped state): each key's punctuation must
+    // land strictly after that key's last real event.
+    val perKeyMax = Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(max(col("ts")).as("mx"))
+    val early = flush.join(perKeyMax, "event_type")
+      .filter(col("ts") <= col("mx")).count()
+    assert(early == 0, s"$early punctuation rows not after their key's last event")
+  }
+
+  test("raw trending machine: window straddling a batch boundary accumulates in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val q = StreamingOps.trendingRawStateMachine(input.toDS())
+      .writeStream.format("memory").queryName("trend_raw_test")
+      .outputMode("update").start()
+    def ev(id: Long, t: String) = RawEvent(id, "click", ts(t))
+    try {
+      // Batch 1: 4 events in window 00:00, 6 in 00:10 — 00:00 closes
+      // (cnt 4), 00:10 stays OPEN in state.
+      input.addData(ev(1, "2024-01-01 00:01:00"), ev(2, "2024-01-01 00:02:00"),
+        ev(3, "2024-01-01 00:03:00"), ev(4, "2024-01-01 00:09:59"),
+        ev(5, "2024-01-01 00:10:00"), ev(6, "2024-01-01 00:11:00"),
+        ev(7, "2024-01-01 00:12:00"), ev(8, "2024-01-01 00:13:00"),
+        ev(9, "2024-01-01 00:14:00"), ev(10, "2024-01-01 00:15:00"))
+      q.processAllAvailable()
+      // Batch 2: 4 MORE events in 00:10 (the straddle), then 00:20
+      // opens — 00:10 must close with the CROSS-BATCH total 10.
+      input.addData(ev(11, "2024-01-01 00:16:00"), ev(12, "2024-01-01 00:17:00"),
+        ev(13, "2024-01-01 00:18:00"), ev(14, "2024-01-01 00:19:00"),
+        ev(15, "2024-01-01 00:20:00"))
+      q.processAllAvailable()
+      // Batch 3: punctuation closes the final window (cnt 1).
+      input.addData(RawEvent(-1L, "click", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("trend_raw_test").as[TrendOut].collect()
+        .sortBy(_.window_start.getTime)
+      assert(got.map(_.cnt).toSeq == Seq(4L, 10L, 1L))
+      assert(got.map(_.prev_cnt).toSeq == Seq(0L, 4L, 10L))
+      // 4: below min; 10: ≥10 and ≥2·4 ✓; 1: below min.
+      assert(got.map(_.is_alert).toSeq == Seq(false, true, false))
+    } finally q.stop()
   }
 
   test("userSessions: session windows merge and close across triggers") {
