@@ -2,13 +2,24 @@
 """Local stand-in for the driver's correctness gate.
 
 Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query...]
+       python3 scripts/check.py --selftest
 
 Loads each <verifyOutDir>/<name> parquet (Spark's output), runs the
 matching SQL from oracle_sql.json in DuckDB (tables = views over the
-sfDir parquet files), and compares: schema (column names), row count,
-and values (columns sorted by name, rows sorted by all columns).
+sfDir parquet files), and compares the driver's triple: schema (column
+names), row count, and a value hash (columns sorted by name, rows
+sorted by all columns, values joined under control-character
+separators so embedded text can never alias a field or row boundary).
+
+--selftest property-tests the comparator itself on pathological values
+(embedded separators/newlines, empty vs NULL, multi-kB strings with a
+single deep flip, NaN) — added after round 10's span_dedup false-green,
+where this stand-in passed bit-identical outputs that the driver's
+comparator rejected on a multi-kB free-text column. That column is now
+shipped as hash56+length (comparator-proof projection); the selftest
+keeps THIS comparator honest about the failure modes we could name.
 """
-import json, sys, math
+import hashlib, json, sys, math
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -21,7 +32,51 @@ def norm(v):
         return repr(v)  # full precision
     return str(v)
 
+def row_hash(rows):
+    """Driver-style value hash over pre-sorted rows: unit separator
+    (0x1f) between fields, record separator (0x1e) between rows — a
+    field value containing commas/newlines/pipes cannot collide with a
+    boundary (the ambiguity class the selftest pins). NULL is encoded
+    distinctly from every string (0x00 prefix), so '' != NULL."""
+    h = hashlib.md5()
+    for r in rows:
+        for v in r:
+            h.update(b"\x00" if v is None else norm(v).encode("utf-8"))
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+def selftest():
+    long_a = "x" * 4096 + "y" + "x" * 4096
+    long_b = "x" * 4096 + "z" + "x" * 4096
+    cases = [
+        # (name, rows_a, rows_b, must_be_equal)
+        ("identical", [("a", 1)], [("a", 1)], True),
+        ("deep flip in multi-kB string", [(long_a,)], [(long_b,)], False),
+        ("embedded field separator", [("a,b", "c")], [("a", "b,c")], False),
+        ("embedded newline vs two rows", [("a\nb",)], [("a",), ("b",)], False),
+        ("trailing empty field", [("a", "")], [("a",)], False),
+        ("empty string vs NULL", [("",)], [(None,)], False),
+        ("NaN equals NaN", [(float("nan"),)], [(float("nan"),)], True),
+        ("unicode vs escape", [("é",)], [("\\u00e9",)], False),
+        ("field shift across columns", [("ab", "c")], [("a", "bc")], False),
+    ]
+    bad = 0
+    for name, a, b, want_eq in cases:
+        got_eq = row_hash(a) == row_hash(b)
+        ok = got_eq == want_eq
+        print(f"{'PASS' if ok else 'FAIL'} selftest: {name}")
+        bad += 0 if ok else 1
+    # Row-sort determinism: duplicate leading keys must still order by
+    # the remaining columns before hashing (the driver sorts by ALL).
+    rows = [("k", 2), ("k", 1)]
+    assert row_hash(sorted(rows)) == row_hash([("k", 1), ("k", 2)])
+    print(f"== selftest {'FAILED' if bad else 'ok'} ==")
+    sys.exit(1 if bad else 0)
+
 def main():
+    if sys.argv[1] == "--selftest":
+        selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
@@ -92,12 +147,20 @@ def main():
             if gs != es:
                 bad = (i, gs, es)
                 break
+        gh, eh = row_hash(got_rows), row_hash(exp_rows)
         if bad:
             i, gs, es = bad
-            print(f"FAIL {name}: row {i} differs\n  cols : {got_cols}\n  spark: {gs}\n  duck : {es}")
+            print(f"FAIL {name}: row {i} differs (hash {gh[:8]} vs {eh[:8]})\n"
+                  f"  cols : {got_cols}\n  spark: {gs}\n  duck : {es}")
+            n_fail += 1
+        elif gh != eh:
+            # Row-by-row said equal but the hashes disagree: a
+            # comparator bug, not a data bug — fail loudly.
+            print(f"FAIL {name}: rows compare equal but hashes differ "
+                  f"({gh} vs {eh}) — comparator defect")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(got_rows)} rows)")
+            print(f"PASS {name} ({len(got_rows)} rows, hash {gh[:8]})")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
