@@ -103,7 +103,14 @@ object ScaleProbe {
       // K — expected SUPER-linear here by design; the production
       // regime takes K ≈ √n, so the probe documents the fixed-K
       // worst case honestly).
-      "decontaminate_bloom", "semantic_dedup")
+      "decontaminate_bloom", "semantic_dedup",
+      // round-11 additions: the span-fingerprint explode + window
+      // (state grows with token volume, shuffle on span fingerprints),
+      // and the two md5-bucketed prefix-sum family members with
+      // corpus-wide rank decompositions — the claim to check is that
+      // removing the single-task global sort really left only
+      // per-bucket work (factor ≈ growth, no straggler blowup).
+      "span_dedup", "shuffle_shard", "mix_apply")
     def timeAll(sfDir: String): Map[String, (Double, Long)] =
       queries.map { q =>
         graft.Caches.clearAll()
@@ -112,11 +119,19 @@ object ScaleProbe {
         q -> ((System.nanoTime() - t0) / 1e9, rows)
       }.toMap
 
-    // Warm the session with a full throwaway pass at the small scale —
+    // Warm the session with a full throwaway pass at EACH scale —
     // codegen/JIT cost otherwise lands entirely on the first measured
-    // query and skews every factor low.
+    // query and skews every factor low, and the trained-quantizer
+    // model cache (which survives clearAll by design) would otherwise
+    // make the small scale warm-served but the large scale
+    // cold-trained, turning the ANN factors into a warm-vs-cold
+    // comparison instead of a scaling one. With both sides warm the
+    // factors measure the SERVING path's growth — the question a
+    // scale probe asks; training growth is ann_index_build's own
+    // bench story.
     timeAll(baseDir)
     val small = timeAll(baseDir)
+    timeAll(dir.toString)
     val large = timeAll(dir.toString)
 
     // Streaming admission at sf1 with 2× the paced gate's batch count
