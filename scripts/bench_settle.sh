@@ -1,0 +1,48 @@
+#!/usr/bin/env bash
+# Settle-and-min bench protocol: the round's definitive bench artifact
+# in ONE step instead of serial re-runs as the box settles (which left
+# three "definitive" bench commits in round 10). Runs the full bench up
+# to MAX_RUNS times, stops early once two consecutive totals agree
+# within TOL percent (a machine-wide noise burst inflates a whole run,
+# so agreement means the box is quiet), and records the MINIMUM-total
+# run's JSON line as the round's BENCH_FULL artifact — the same min
+# convention the bench applies per query.
+#
+# Usage: scripts/bench_settle.sh   (env: SPARK_GRAFT_SF_DIR,
+#        SPARK_GRAFT_CPUS, MAX_RUNS, TOL)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
+CPUS=${SPARK_GRAFT_CPUS:-32}
+MAX_RUNS=${MAX_RUNS:-3}
+TOL=${TOL:-5} # percent
+
+best=""
+best_total=""
+prev_total=""
+for i in $(seq 1 "$MAX_RUNS"); do
+  line=$(SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | tail -1)
+  [ -n "$line" ] || { echo "bench produced no JSON line" >&2; exit 1; }
+  total=$(python3 -c "import json,sys; print(json.loads(sys.argv[1])['value'])" "$line")
+  echo "bench run $i: total=${total}s" >&2
+  if [ -z "$best_total" ] || \
+     python3 -c "import sys; sys.exit(0 if float('$total') < float('$best_total') else 1)"; then
+    best="$line"; best_total="$total"
+  fi
+  if [ -n "$prev_total" ] && python3 -c "
+import sys
+a, b = float('$prev_total'), float('$total')
+sys.exit(0 if abs(a - b) / min(a, b) * 100 <= float('$TOL') else 1)"; then
+    echo "settled: $prev_total vs $total within ${TOL}%" >&2
+    break
+  fi
+  prev_total="$total"
+done
+
+# Same round inference the bench uses: one past the newest DRIVER stamp.
+round=$(ls BENCH_r*.json 2>/dev/null | sed -E 's/[^0-9]*0*([0-9]+).*/\1/' | sort -n | tail -1)
+round=$(( ${round:-0} + 1 ))
+out=$(printf 'BENCH_FULL_r%02d.json' "$round")
+printf '%s\n' "$best" > "$out"
+echo "wrote $out (total=${best_total}s, min of the settled runs)" >&2
