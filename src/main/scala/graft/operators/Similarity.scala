@@ -1089,7 +1089,14 @@ object Similarity extends QueryModule {
     val coded = pqAssignSubs(subs, books).join(cellOf, "vec_id")
     cent.write.mode("overwrite").parquet(s"$base/centroids")
     books.write.mode("overwrite").parquet(s"$base/codebooks")
-    coded.write.partitionBy("cell").mode("overwrite").parquet(s"$base/codes")
+    // Cluster by cell before the partitioned write: without it every
+    // shuffle partition emits a sliver into every cell directory
+    // (partitions × cells small files); clustered, each cell directory
+    // holds one compact file — fewer files to commit here and to list
+    // and open on every serve-path read, and the layout a 100 TB
+    // inverted file wants (large sequential runs per cell).
+    coded.repartition(col("cell")).write.partitionBy("cell")
+      .mode("overwrite").parquet(s"$base/codes")
     if (!withResiduals) return
     // Residual-PQ artifacts (the [[annIvfPqResidual]] refinement,
     // train-once form): residual r = v − centroid(cell(v)) per vector,
@@ -1113,7 +1120,8 @@ object Similarity extends QueryModule {
     val rcoded = pqAssignSubs(rsubs, rbooks)
       .join(resid.select(col("vec_id"), col("cell")), "vec_id")
     rbooks.write.mode("overwrite").parquet(s"$base/rcodebooks")
-    rcoded.write.partitionBy("cell").mode("overwrite").parquet(s"$base/rcodes")
+    rcoded.repartition(col("cell")).write.partitionBy("cell")
+      .mode("overwrite").parquet(s"$base/rcodes")
   }
 
   private def buildIndex(spark: SparkSession, dir: String): String = {
@@ -1187,7 +1195,7 @@ object Similarity extends QueryModule {
     // grew would see the just-appended ids and empty the residual
     // append's input.
     val fresh = raw.join(known, Seq("vec_id"), "left_anti").localCheckpoint()
-    encodeWith(spark, indexBase, fresh)
+    encodeWith(spark, indexBase, fresh).repartition(col("cell"))
       .write.partitionBy("cell").mode("append").parquet(s"$indexBase/codes")
     // Both code families stay in lockstep: residual serving over an
     // upserted index must cover the union too. An index built without
@@ -1195,7 +1203,7 @@ object Similarity extends QueryModule {
     // serving to keep consistent, so the append is skipped.
     if (java.nio.file.Files.exists(
         java.nio.file.Paths.get(indexBase, "rcodebooks")))
-      encodeResidWith(spark, indexBase, fresh)
+      encodeResidWith(spark, indexBase, fresh).repartition(col("cell"))
         .write.partitionBy("cell").mode("append").parquet(s"$indexBase/rcodes")
   }
 
