@@ -46,4 +46,39 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  private val textStaged = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
+
+  /** TEXT-MODE table access — the reference's per-query `--text` flag
+    * (every Q1–Q7 main accepts `--text` | `--parquet`,
+    * `/root/reference/Spark/SparkSQL/Q1.scala:30-39`) expressed as a
+    * LOADER property: every operator in this library is a function of
+    * DataFrames, so dual input modes compose with all of them instead
+    * of being re-implemented per query (`q1_text` gates the
+    * composition end-to-end; `tbl_scan` pins the csv round-trip
+    * itself). The fixture ships parquet, so the table is staged once
+    * per (session, dataset, table) as a pipe-delimited `.tbl` dump
+    * and read back through the csv source under the parquet schema —
+    * input staging, not memoized compute, so deliberately NOT
+    * registered with [[Caches]] (the stream-staging posture).
+    * Timestamps round-trip through an explicit microsecond format
+    * (the csv default truncates to millis) under the fixed UTC
+    * session timezone; doubles round-trip via Spark's shortest-repr
+    * formatting. Scalar (TPC-H-shaped) tables only — exactly the
+    * tables the reference's `.tbl` mode covers; array-typed columns
+    * (documents/embeddings) have no `.tbl` form there either. */
+  def textTable(s: SparkSession, d: String, name: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val src = load(s, d, name)
+    val dir = textStaged.getOrElseUpdate((s, d, name), {
+      val dest = java.nio.file.Files
+        .createTempDirectory(s"graft_tbl_${name}_").toString
+      src.write.mode("overwrite").option("sep", "|")
+        .option("timestampFormat", tsFmt).csv(dest)
+      dest
+    })
+    s.read.schema(src.schema).option("sep", "|")
+      .option("timestampFormat", tsFmt).csv(dir)
+  }
 }

@@ -45,9 +45,21 @@ object Relational extends QueryModule {
 
   // --- Q1: count of items shipped on a date (Q1.scala:30-41) -------------
   def q1(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    q1Of(Tables.lineitem(spark, dir))
+
+  private def q1Of(lineitem: DataFrame): DataFrame =
+    lineitem
       .filter(col("l_shipdate") === d(SHIP_DATE))
       .agg(count(lit(1)).as("cnt"))
+
+  /** [[q1]] over the TEXT input mode (`Q1.scala:30-39`'s `--text`
+    * flag): the identical query logic composed with
+    * [[Tables.textTable]]'s `.tbl`-staged lineitem — dual input modes
+    * are a loader property here, so this one gate entry proves the
+    * composition for every query in the module. Shares q1's oracle:
+    * the text round-trip must be value-exact. */
+  def q1Text(spark: SparkSession, dir: String): DataFrame =
+    q1Of(Tables.textTable(spark, dir, "lineitem"))
 
   val q1Sql =
     s"SELECT count(*) AS cnt FROM lineitem WHERE l_shipdate = TIMESTAMP '$SHIP_DATE'"
@@ -295,6 +307,8 @@ object Relational extends QueryModule {
 
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("q1_count_shipped", q1, Some(q1Sql), "Q1: count items shipped on a date"),
+    QueryDef("q1_text", q1Text, Some(q1Sql),
+      "Q1 over the --text input mode: .tbl-staged lineitem, same oracle"),
     QueryDef("q2_clerks", q2, Some(q2Sql), "Q2: order priorities for a ship date, first 20 by order key"),
     QueryDef("q3_part_supplier", q3, Some(q3Sql), "Q3: part/supplier names via broadcast joins"),
     QueryDef("q4_shipments_by_nation", q4, Some(q4Sql), "Q4: per-nation shipment counts, 4-way join"),

@@ -347,6 +347,23 @@ class InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("text input mode: every TPC-H table round-trips value-exact, queries compose") {
+    // The --text loader property behind q1_text: the .tbl dump must be
+    // value-exact for every scalar fixture table (timestamps at micro
+    // precision, doubles shortest-repr), and a multi-table JOIN query
+    // must produce identical rows over either input mode.
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem")) {
+      val pq = Tables.load(spark, sfDir, t)
+      val tx = Tables.textTable(spark, sfDir, t)
+      assert(tx.schema == pq.schema, s"$t: schema drift through text mode")
+      assert(tx.exceptAll(pq).isEmpty && pq.exceptAll(tx).isEmpty,
+        s"$t: text round-trip not value-exact")
+    }
+    assert(operators.Relational.q1Text(spark, sfDir).collect().toSeq ==
+      operators.Relational.q1(spark, sfDir).collect().toSeq)
+  }
+
   test("cosine_topk: ranks contiguous from 1, cosine non-increasing") {
     val byQuery = operators.Similarity.cosineTopk(spark, sfDir)
       .select("query_id", "rank", "cosine")
