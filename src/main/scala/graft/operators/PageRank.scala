@@ -162,6 +162,41 @@ object PageRank extends QueryModule {
       .select(col("nodeid") +: srcIdx.map(i => round(col(s"r$i"), 8).as(s"r$i")): _*)
       .orderBy(col("nodeid"))
 
+  /** Plain (uniform-prior) PageRank — the reference ships this only as
+    * the single-node JUNG utility (`SequentialPageRank.java:102`); its
+    * distributed program is personalized-only, so the gate mirrors
+    * that choice and this stays a library form (PageRankSpec pins it
+    * against a plain-Scala power iteration). Same scatter / gather /
+    * dangling-mass loop as [[ranksDf]] with init 1/V and the teleport
+    * (α + (1−α)·missing)/V spread to EVERY node instead of the source
+    * vector. */
+  def pagerankUniform(spark: SparkSession, dir: String): DataFrame = {
+    val parts = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, (V / 16).toInt))
+    val g = graphDf(spark, dir).repartition(parts, col("nodeid")).persist()
+    var ranks = g.select(col("nodeid"), lit(1.0 / V).as("r"))
+    for (_ <- 1 to ITERATIONS) {
+      val msgs = ranks.join(g, "nodeid")
+        .filter(col("outdeg") > 0)
+        .select(explode(col("adj")).as("dst"), (col("r") / col("outdeg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        .localCheckpoint(true)
+      val arrived = msgs.agg(sum(col("m"))).collect()(0)
+      val missing = 1.0 - (if (arrived.isNullAt(0)) 0.0 else arrived.getDouble(0))
+      ranks = g.select(col("nodeid"))
+        .join(msgs, col("nodeid") === col("dst"), "left_outer")
+        .select(col("nodeid"),
+          (lit(1.0 - ALPHA) * coalesce(col("m"), lit(0.0))
+            + lit((ALPHA + (1.0 - ALPHA) * missing) / V)).as("r"))
+    }
+    val out = ranks
+      .select(col("nodeid"), round(col("r"), 8).as("r"))
+      .orderBy(col("nodeid"))
+      .localCheckpoint(true)
+    g.unpersist()
+    out
+  }
+
   /** DuckDB oracle for the iterative loop: the [[ITERATIONS]] sparse
     * linear-space updates unrolled as a CTE chain — scatter (unnest
     * adj), gather (per-dst sum), dangling-mass fold (global sum), and

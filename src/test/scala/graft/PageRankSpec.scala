@@ -65,6 +65,28 @@ class PageRankSpec extends SparkSpecBase {
     }
   }
 
+  test("pagerankUniform matches the sequential uniform power iteration") {
+    // The plain-PageRank library form (the reference's JUNG
+    // SequentialPageRank): init 1/V, teleport spread to every node.
+    val adj = localGraph()
+    var r = Array.fill(V)(1.0 / V)
+    for (_ <- 1 to PageRank.ITERATIONS) {
+      val m = Array.fill(V)(0.0)
+      for (v <- 0 until V; out = adj.getOrElse(v, Seq.empty); if out.nonEmpty;
+           d <- out) m(d) += r(v) / out.length
+      val missing = 1.0 - m.sum
+      r = Array.tabulate(V)(v => (1.0 - PageRank.ALPHA) * m(v) +
+        (PageRank.ALPHA + (1.0 - PageRank.ALPHA) * missing) / V)
+    }
+    val got = PageRank.pagerankUniform(spark, sfDir)
+      .as[(Long, Double)].collect()
+    assert(got.length == V)
+    got.foreach { case (v, g) =>
+      assert(math.abs(g - r(v.toInt)) < 1e-7, s"node $v: got $g expected ${r(v.toInt)}")
+    }
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-6, "uniform mass not conserved")
+  }
+
   test("mass conservation: each source's ranks sum to 1") {
     val sums = PageRank.ranksDf(spark, sfDir)
       .agg(sum(col("r0")), sum(col("r1")), sum(col("r2"))).collect()(0)
