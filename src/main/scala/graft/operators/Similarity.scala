@@ -1186,26 +1186,59 @@ object Similarity extends QueryModule {
     * shifts — the documented trade of every production IVF system; the
     * rebuild path is the periodic re-train. SimilaritySpec pins
     * append ≡ one-pass frozen encode of the union, bit-for-bit. */
-  def annIndexUpsert(spark: SparkSession, indexBase: String,
-      raw: DataFrame): Unit = {
-    val known = spark.read.parquet(s"$indexBase/codes")
-      .select(col("vec_id")).distinct()
-    // Snapshot the fresh slice BEFORE the first append: the anti-join
-    // reads the codes table, so re-evaluating it lazily after codes
-    // grew would see the just-appended ids and empty the residual
-    // append's input.
-    val fresh = raw.join(known, Seq("vec_id"), "left_anti").localCheckpoint()
-    encodeWith(spark, indexBase, fresh).repartition(col("cell"))
-      .write.partitionBy("cell").mode("append").parquet(s"$indexBase/codes")
-    // Both code families stay in lockstep: residual serving over an
-    // upserted index must cover the union too. An index built without
-    // residual artifacts (`withResiduals = false`) has no residual
-    // serving to keep consistent, so the append is skipped.
-    if (java.nio.file.Files.exists(
-        java.nio.file.Paths.get(indexBase, "rcodebooks")))
-      encodeResidWith(spark, indexBase, fresh).repartition(col("cell"))
-        .write.partitionBy("cell").mode("append").parquet(s"$indexBase/rcodes")
+  /** Per-index-base upsert serialization: two concurrent upserts into
+    * one base would pick the same delta id and clobber each other's
+    * staging — a maintenance loop is single-writer by nature, and the
+    * lock makes that true within a JVM rather than assumed. */
+  private val upsertLocks = scala.collection.concurrent.TrieMap
+    .empty[String, Object]
+
+  /** Delta ids whose commit marker exists — the single source of truth
+    * for what an index read sees beyond the base build (the
+    * [[graft.streaming.StreamNearDedup]] marker protocol applied to
+    * the inverted file). */
+  private def committedDeltas(base: String): Seq[Long] = {
+    val dir = new java.io.File(s"$base/commits")
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName.toLongOption).toSeq.sorted
   }
+
+  def annIndexUpsert(spark: SparkSession, indexBase: String,
+      raw: DataFrame): Unit =
+    upsertLocks.getOrElseUpdate(indexBase, new Object).synchronized {
+      // Known = COMMITTED codes only. A bare parquet append would be
+      // the corruption path here: a job-level crash mid-append can
+      // leave a vector with a partial code set that a retry's
+      // anti-join then treats as already-indexed — 3 of M code rows
+      // forever, every served ADC sum for it wrong. Instead each
+      // upsert writes a fresh DELTA directory and lands a commit
+      // marker LAST: uncommitted partials are invisible to reads and
+      // to this anti-join, and the retry overwrites them wholesale
+      // (delta id = max committed + 1, so a crashed attempt's id is
+      // reused and its debris clobbered — self-healing replay).
+      val known = readCodes(spark, indexBase)
+        .select(col("vec_id")).distinct()
+      val fresh = raw.join(known, Seq("vec_id"), "left_anti").localCheckpoint()
+      if (!fresh.isEmpty) {
+        val k = committedDeltas(indexBase).maxOption.getOrElse(0L) + 1
+        val delta = s"$indexBase/deltas/$k"
+        encodeWith(spark, indexBase, fresh).repartition(col("cell"))
+          .write.partitionBy("cell").mode("overwrite").parquet(s"$delta/codes")
+        // Both code families stay in lockstep: one marker covers both,
+        // so a crash between the two writes leaves NEITHER visible. An
+        // index built without residual artifacts (`withResiduals =
+        // false`) has no residual serving to keep consistent, so that
+        // write is skipped.
+        if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get(indexBase, "rcodebooks")))
+          encodeResidWith(spark, indexBase, fresh).repartition(col("cell"))
+            .write.partitionBy("cell").mode("overwrite").parquet(s"$delta/rcodes")
+        val commits = java.nio.file.Paths.get(indexBase, "commits")
+        java.nio.file.Files.createDirectories(commits)
+        try java.nio.file.Files.createFile(commits.resolve(k.toString))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
 
   /** IVF-PQ serving straight from an index at an explicit location,
     * `raw` supplying the float corpus for the exact re-rank and the
@@ -1236,14 +1269,24 @@ object Similarity extends QueryModule {
       base
     })
 
-  /** The read-back coded corpus (plain `codes` or residual `rcodes`) —
-    * the partition column comes back with the inferred (int) partition
-    * type, recast to the vec_id-domain long every join expects. */
-  private def readCodes(spark: SparkSession, base: String,
-      table: String = "codes"): DataFrame =
-    spark.read.parquet(s"$base/$table")
-      .select(col("vec_id"), col("m"), col("code"),
-        col("cell").cast("long").as("cell"))
+  /** The read-back coded corpus (plain `codes` or residual `rcodes`):
+    * the base build unioned with every COMMITTED delta directory —
+    * uncommitted (crashed) upsert debris is invisible by construction.
+    * Each root is read as its own partitioned table (partition
+    * discovery per root; pruning by cell still reaches every scan),
+    * and the partition column comes back with the inferred (int)
+    * partition type, recast to the vec_id-domain long every join
+    * expects. */
+  private[graft] def readCodes(spark: SparkSession, base: String,
+      table: String = "codes"): DataFrame = {
+    val roots = s"$base/$table" +:
+      committedDeltas(base).map(k => s"$base/deltas/$k/$table")
+    roots.filter(p => new java.io.File(p).exists())
+      .map(p => spark.read.parquet(p)
+        .select(col("vec_id"), col("m"), col("code"),
+          col("cell").cast("long").as("cell")))
+      .reduce(_ unionByName _)
+  }
 
   /** Gate query: build + persist the index, then emit the stored codes
     * table (read BACK from parquet — the artifact itself is what gets

@@ -218,12 +218,11 @@ class SimilaritySpec extends SparkSpecBase {
     Similarity.annIndexUpsert(spark, idx, delta)
     // The stored inverted file after the append must equal encoding the
     // WHOLE union in one pass with the same frozen quantizers — the
-    // upsert invariant (append-mode partition layout included).
-    val stored = spark.read.parquet(s"$idx/codes")
-      .select(col("vec_id"), col("m"), col("code"), col("cell").cast("long"))
+    // upsert invariant (the committed-delta read path included).
+    val stored = Similarity.readCodes(spark, idx)
       .as[(Long, Int, Long, Long)].collect().toSet
     val onePass = Similarity.encodeWith(spark, idx, raw)
-      .select(col("vec_id"), col("m"), col("code"), col("cell"))
+      .select(col("vec_id"), col("m").cast("int"), col("code"), col("cell"))
       .as[(Long, Int, Long, Long)].collect().toSet
     assert(stored == onePass)
     val nVecs = raw.count()
@@ -233,8 +232,7 @@ class SimilaritySpec extends SparkSpecBase {
     // no-op (already-indexed ids are anti-joined away — a duplicate
     // append would double-count those vectors in every served ADC sum).
     Similarity.annIndexUpsert(spark, idx, delta)
-    val restored = spark.read.parquet(s"$idx/codes")
-      .select(col("vec_id"), col("m"), col("code"), col("cell").cast("long"))
+    val restored = Similarity.readCodes(spark, idx)
       .as[(Long, Int, Long, Long)].collect()
     assert(restored.length == stored.size && restored.toSet == stored)
     // Serving the union from the upserted index returns only union
@@ -247,6 +245,48 @@ class SimilaritySpec extends SparkSpecBase {
     served.foreach(v => assert(ids.contains(v)))
     assert(served.exists(_ % 4 == 3),
       "no delta vector in any served top-k — appended codes unreachable?")
+  }
+
+  test("annIndexUpsert: a crashed (uncommitted) delta is invisible and replay heals it") {
+    // The failure mode the delta-commit protocol exists for: a
+    // mid-append crash must not leave vectors with partial code sets
+    // that a retry then skips (served ADC would sum M' < M lookups for
+    // them, silently wrong forever under a bare parquet append).
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = raw.filter(col("vec_id") % 4 =!= 3)
+    val delta = raw.filter(col("vec_id") % 4 === 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft_crash_idx_")
+      .toString
+    Similarity.buildIndexAt(spark, base, idx)
+    val baseCodes = Similarity.readCodes(spark, idx)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // Plant a poisoned PARTIAL delta — one truncated code row for a
+    // delta vector, no commit marker (a crash between write and
+    // commit).
+    val someDelta = delta.select(col("vec_id")).as[Long].head()
+    Seq((someDelta, 0, 0L)).toDF("vec_id", "m", "code")
+      .withColumn("cell", lit(0L))
+      .write.partitionBy("cell").parquet(s"$idx/deltas/1/codes")
+    // Invisible: reads see exactly the base build.
+    assert(Similarity.readCodes(spark, idx)
+      .as[(Long, Int, Long, Long)].collect().toSet == baseCodes)
+    // Replay: the retry reuses delta id 1, overwrites the debris, and
+    // commits — the stored union equals the one-pass frozen encode.
+    Similarity.annIndexUpsert(spark, idx, raw)
+    val healed = Similarity.readCodes(spark, idx)
+      .as[(Long, Int, Long, Long)].collect()
+    val onePass = Similarity.encodeWith(spark, idx, raw)
+      .select(col("vec_id"), col("m").cast("int"), col("code"), col("cell"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(healed.length == onePass.size && healed.toSet == onePass,
+      "replay did not heal the poisoned partial delta")
+    // The poisoned truncated row is gone: every vector carries exactly
+    // M codes.
+    val counts = Similarity.readCodes(spark, idx)
+      .groupBy(col("vec_id")).count()
+      .filter(col("count") =!= Similarity.PQ_M).count()
+    assert(counts == 0, "a vector survived with a partial code set")
   }
 
   test("semantic_dedup: keep/drop decisions match a brute-force replay") {
