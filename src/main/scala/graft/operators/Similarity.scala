@@ -1603,18 +1603,26 @@ object Similarity extends QueryModule {
     * no-op replay against already-appended ids), and the benched cost
     * is what production pays per maintenance cycle: frozen-quantizer
     * encode + partitioned append. */
-  def annIndexUpserted(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val sliceBase = builtIndexes.getOrElseUpdate(s"${indexDir(dir)}_upsert", {
+  /** The cached base-slice index the maintenance gates append to —
+    * trained once per dataset fingerprint on the non-delta 3/4 of the
+    * corpus (input-shaped storage, the [[builtIndexes]] posture);
+    * shared by `ann_index_upsert` and the live streaming form so both
+    * exercise the same frozen quantizers. */
+  private[graft] def upsertSliceIndex(spark: SparkSession, dir: String): String =
+    builtIndexes.getOrElseUpdate(s"${indexDir(dir)}_upsert", {
       val b = s"${indexDir(dir)}_upsert"
       buildIndexAt(spark,
-        raw.filter(col("vec_id") % UPSERT_MOD =!= UPSERT_MOD - 1), b,
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % UPSERT_MOD =!= UPSERT_MOD - 1), b,
         withResiduals = false)
       b
     })
+
+  def annIndexUpserted(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val work = java.nio.file.Files
       .createTempDirectory("graft_upsert_work_").toString
-    copyDir(sliceBase, work)
+    copyDir(upsertSliceIndex(spark, dir), work)
     annIndexUpsert(spark, work, raw)
     readCodes(spark, work)
       .select(col("vec_id"), col("m").cast("int").as("m"), col("code"), col("cell"))
@@ -1624,7 +1632,7 @@ object Similarity extends QueryModule {
   /** Recursive local-filesystem copy — gate-query scaffolding that
     * keeps the cached slice index immutable across executions (index
     * bases here are always local temp directories). */
-  private def copyDir(from: String, to: String): Unit = {
+  private[graft] def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)
     scala.util.Using.resource(java.nio.file.Files.walk(src)) { s =>

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.Tables
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming ANN index maintenance — the serving tier's ingest loop
+  * under the LIVE engine: embeddings arrive as a paced file stream and
+  * every micro-batch lands one marker-committed delta on the persisted
+  * inverted file via [[Similarity.annIndexUpsert]] (frozen quantizers,
+  * no retraining, crash-safe by the delta-commit protocol). The final
+  * stored index must equal the ONE-PASS frozen encode of the union —
+  * batch boundaries, the per-batch anti-join against committed codes,
+  * and the delta union on the read path must all be invisible in the
+  * result — so the gate shares `ann_index_upsert`'s slice-training +
+  * union-encode oracle. This is the 100 TB posture end-to-end: a
+  * production vector-serving stack trains rarely
+  * (`ann_index_build`), appends constantly (this loop), and serves
+  * from storage (`ann_ivfpq_served`). */
+object StreamAnnUpsert {
+
+  /** Micro-batches for the delta stream — enough that cross-batch
+    * commit state (each batch's anti-join sees the previous batches'
+    * commits) is the path under test. */
+  val BATCHES = 3
+
+  private val staged = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** The delta vectors (the same `vec_id % UPSERT_MOD` holdout the
+    * batch gate appends) staged as [[BATCHES]] single-file parquets —
+    * residue-class slices under strictly increasing mtimes, so the
+    * file source delivers batch k = slice k (the
+    * [[StreamNearDedup]] staging contract). Input staging, not
+    * memoized compute — not registered with [[graft.Caches]]. */
+  private def stagedDeltaDir(spark: SparkSession, dir: String): String =
+    staged.getOrElseUpdate((spark, dir), {
+      val dest = java.nio.file.Files.createTempDirectory("graft_annups_src_")
+      val m = Similarity.UPSERT_MOD
+      val delta = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") % m === m - 1)
+      val n = StreamingOps.stageSlicedFiles(dest, (0 until BATCHES).map(k =>
+        delta.filter(pmod(col("vec_id"), lit(BATCHES)) === k)))
+      require(n == BATCHES,
+        s"delta staging produced $n of $BATCHES batch files — an empty " +
+          "residue class would collapse a micro-batch")
+      dest.toString
+    })
+
+  /** Gate/bench query: copy the cached base-slice index (immutable
+    * storage, [[Similarity.upsertSliceIndex]]), stream the delta
+    * through the live engine one file per micro-batch with a
+    * foreachBatch upsert, and emit the stored codes read back through
+    * the committed-delta union. Runs in an isolated `newSession`
+    * (the [[StreamNearDedup]] posture); the result is a plain parquet
+    * read in the caller's session. */
+  def streamAnnUpsertLive(spark: SparkSession, dir: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_annups_work_").toString
+    Similarity.copyDir(Similarity.upsertSliceIndex(spark, dir), work)
+    val src = stagedDeltaDir(spark, dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_annups_ckpt_")
+    val ss = spark.newSession()
+    // The per-batch deltas are tiny; 32 shuffle partitions would be
+    // pure task overhead on every window/join inside the upsert (the
+    // runLiveComplete convention).
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    try {
+      val q = ss.readStream.schema(ss.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch((b: DataFrame, _: Long) =>
+          Similarity.annIndexUpsert(b.sparkSession, work, b))
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally StreamingOps.deleteRecursively(ckpt)
+    Similarity.readCodes(spark, work)
+      .select(col("vec_id"), col("m").cast("int").as("m"), col("code"), col("cell"))
+      .orderBy(col("vec_id"), col("m"))
+  }
+}

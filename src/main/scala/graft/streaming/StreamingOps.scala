@@ -571,5 +571,8 @@ object StreamingOps extends QueryModule {
       "LSH near-dedup admission run by the live streaming engine"),
     QueryDef("stream_neardedup_paced", StreamNearDedup.streamNearDedupPaced,
       Some(graft.operators.Dedup.streamNearDedupPacedSql),
-      "the same admission paced one file per micro-batch (cross-batch state live)"))
+      "the same admission paced one file per micro-batch (cross-batch state live)"),
+    QueryDef("stream_ann_upsert_live", StreamAnnUpsert.streamAnnUpsertLive,
+      Some(graft.operators.Similarity.annIndexUpsertSql),
+      "ANN maintenance live: one marker-committed index delta per micro-batch"))
 }

@@ -247,6 +247,17 @@ class SimilaritySpec extends SparkSpecBase {
       "no delta vector in any served top-k — appended codes unreachable?")
   }
 
+  test("stream_ann_upsert_live: streamed delta commits equal the one-shot upsert") {
+    // Batch boundaries, per-batch anti-joins, and the delta-union read
+    // path must all be invisible in the stored result: N micro-batch
+    // commits over the live engine == one annIndexUpsert of the whole
+    // delta, row for row.
+    val one = Similarity.annIndexUpserted(spark, sfDir).collect().toSeq
+    val streamed = graft.streaming.StreamAnnUpsert
+      .streamAnnUpsertLive(spark, sfDir).collect().toSeq
+    assert(streamed == one)
+  }
+
   test("annIndexUpsert: a crashed (uncommitted) delta is invisible and replay heals it") {
     // The failure mode the delta-commit protocol exists for: a
     // mid-append crash must not leave vectors with partial code sets
