@@ -1082,22 +1082,27 @@ object Similarity extends QueryModule {
     val en = normalizedFrom(raw).localCheckpoint()
     val cent = trainedCodebook(en, strideCodebook(en), IVF_TRAIN_ITERS)
       .localCheckpoint() // feeds assignment, residual join, and the writes
+    // Checkpointed because BOTH code families consume it (the plain
+    // coded join and the residual subtraction) — uncheckpointed, each
+    // re-executes the O(n·K) assignment crossJoin.
     val cellOf = nearestCells(cent)(en, 1)
       .select(col("vec_id"), col("cid").as("cell"))
-    val subs = subspaces(en, "vec_id").localCheckpoint()
-    val books = trainedPqBooks(subs, pqCodebooks(en), PQ_TRAIN_ITERS)
-    val coded = pqAssignSubs(subs, books).join(cellOf, "vec_id")
+      .localCheckpoint()
     cent.write.mode("overwrite").parquet(s"$base/centroids")
-    books.write.mode("overwrite").parquet(s"$base/codebooks")
-    // Cluster by cell before the partitioned write: without it every
+    // Cluster by cell before the partitioned writes: without it every
     // shuffle partition emits a sliver into every cell directory
     // (partitions × cells small files); clustered, each cell directory
     // holds one compact file — fewer files to commit here and to list
     // and open on every serve-path read, and the layout a 100 TB
     // inverted file wants (large sequential runs per cell).
-    coded.repartition(col("cell")).write.partitionBy("cell")
-      .mode("overwrite").parquet(s"$base/codes")
-    if (!withResiduals) return
+    def plainFamily(): Unit = {
+      val subs = subspaces(en, "vec_id").localCheckpoint()
+      val books = trainedPqBooks(subs, pqCodebooks(en), PQ_TRAIN_ITERS)
+      books.write.mode("overwrite").parquet(s"$base/codebooks")
+      pqAssignSubs(subs, books).join(cellOf, "vec_id")
+        .repartition(col("cell")).write.partitionBy("cell")
+        .mode("overwrite").parquet(s"$base/codes")
+    }
     // Residual-PQ artifacts (the [[annIvfPqResidual]] refinement,
     // train-once form): residual r = v − centroid(cell(v)) per vector,
     // per-subspace codebooks trained over the residual slices, and the
@@ -1108,20 +1113,38 @@ object Similarity extends QueryModule {
     // the residual form (the upsert gate's slice index) — the residual
     // tables are then absent, and [[annIndexUpsert]] keeps only the
     // families that exist in lockstep.
-    val resid = en.join(cellOf, "vec_id")
-      .join(cent.select(col("cid").as("cell"), col("cv")), "cell")
-      .select(col("vec_id"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"), col("cell"))
-      .localCheckpoint()
-    val rsubs = subspaces(resid.select(col("vec_id"), col("v")), "vec_id")
-      .localCheckpoint()
-    val rbooks = trainedPqBooks(rsubs,
-      pqCodebooks(resid.select(col("vec_id"), col("v"))), PQ_TRAIN_ITERS)
-    val rcoded = pqAssignSubs(rsubs, rbooks)
-      .join(resid.select(col("vec_id"), col("cell")), "vec_id")
-    rbooks.write.mode("overwrite").parquet(s"$base/rcodebooks")
-    rcoded.repartition(col("cell")).write.partitionBy("cell")
-      .mode("overwrite").parquet(s"$base/rcodes")
+    def residualFamily(): Unit = {
+      val resid = en.join(cellOf, "vec_id")
+        .join(cent.select(col("cid").as("cell"), col("cv")), "cell")
+        .select(col("vec_id"),
+          zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"), col("cell"))
+        .localCheckpoint()
+      val rsubs = subspaces(resid.select(col("vec_id"), col("v")), "vec_id")
+        .localCheckpoint()
+      val rbooks = trainedPqBooks(rsubs,
+        pqCodebooks(resid.select(col("vec_id"), col("v"))), PQ_TRAIN_ITERS)
+      val rcoded = pqAssignSubs(rsubs, rbooks)
+        .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+      rbooks.write.mode("overwrite").parquet(s"$base/rcodebooks")
+      rcoded.repartition(col("cell")).write.partitionBy("cell")
+        .mode("overwrite").parquet(s"$base/rcodes")
+    }
+    if (!withResiduals) plainFamily()
+    else {
+      // The two code families are INDEPENDENT once (cent, cellOf) are
+      // materialized — train and write them as concurrent job chains
+      // on the shared context (Spark schedules concurrent jobs from
+      // separate threads; outputs are disjoint directories, results
+      // deterministic regardless of interleaving). On a cluster this
+      // is standard multi-job submission; locally it fills the
+      // scheduler gaps each short training stage leaves.
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fams = Seq(
+        scala.concurrent.Future(plainFamily()),
+        scala.concurrent.Future(residualFamily()))
+      fams.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    }
   }
 
   private def buildIndex(spark: SparkSession, dir: String): String = {
