@@ -258,6 +258,52 @@ class SimilaritySpec extends SparkSpecBase {
     assert(streamed == one)
   }
 
+  test("delta-commit fuzz: random batch splits with injected debris equal the one-pass encode") {
+    // Seeded randomized drive of the maintenance protocol: the delta
+    // arrives as 1–4 random disjoint chunks, and before a random
+    // subset of them a poisoned PARTIAL delta directory (no marker) is
+    // planted at the id the next upsert will claim. Whatever the
+    // split and wherever the debris, the final stored index — BOTH
+    // code families — must equal the one-pass frozen encode of the
+    // union.
+    val rnd = new scala.util.Random(4242)
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = raw.filter(col("vec_id") % 4 =!= 3)
+    val deltaIds = raw.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id")).as[Long].collect()
+    val idx = java.nio.file.Files.createTempDirectory("graft_fuzz_idx_")
+      .toString
+    Similarity.buildIndexAt(spark, base, idx) // with residuals
+    val shuffled = rnd.shuffle(deltaIds.toVector)
+    val nChunks = 1 + rnd.nextInt(4)
+    val chunks = shuffled.grouped(
+      math.max(1, (shuffled.size + nChunks - 1) / nChunks)).toSeq
+    var nextId = 1L
+    chunks.foreach { chunk =>
+      if (rnd.nextBoolean()) {
+        // Crash debris at the id the upsert will claim next.
+        Seq((chunk.head, 0, 0L)).toDF("vec_id", "m", "code")
+          .withColumn("cell", lit(0L))
+          .write.mode("overwrite")
+          .partitionBy("cell").parquet(s"$idx/deltas/$nextId/codes")
+      }
+      Similarity.annIndexUpsert(spark, idx,
+        raw.filter(col("vec_id").isInCollection(chunk)))
+      nextId += 1
+    }
+    for (table <- Seq("codes", "rcodes")) {
+      val stored = Similarity.readCodes(spark, idx, table)
+        .as[(Long, Int, Long, Long)].collect()
+      val onePass = (if (table == "codes") Similarity.encodeWith(spark, idx, raw)
+        else Similarity.encodeResidWith(spark, idx, raw))
+        .select(col("vec_id"), col("m").cast("int"), col("code"), col("cell"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(stored.length == onePass.size && stored.toSet == onePass,
+        s"$table diverged after ${chunks.size} chunked upserts with debris")
+    }
+  }
+
   test("annIndexUpsert: a crashed (uncommitted) delta is invisible and replay heals it") {
     // The failure mode the delta-commit protocol exists for: a
     // mid-append crash must not leave vectors with partial code sets
