@@ -183,6 +183,25 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("serving from an upserted index: the delta union stays scan-shaped") {
+    // The committed-delta read path must not change the serving plan
+    // class: base + delta are parquet scans under a Union feeding the
+    // same broadcast cell join — no retraining aggregates, no
+    // cartesian, and the float re-rank still the only corpus read.
+    val raw = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_planups_idx_")
+      .toString
+    operators.Similarity.buildIndexAt(spark,
+      raw.filter("vec_id % 4 != 3"), idx)
+    operators.Similarity.annIndexUpsert(spark, idx, raw)
+    val p = plan(operators.Similarity.serveFromIndex(spark, idx, raw))
+    assert(p.contains("Union"), s"expected base+delta union of codes scans:\n$p")
+    assert("graft_planups_idx".r.findAllIn(p).nonEmpty,
+      s"expected scans of the upserted index dir:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("decontaminate_fuzzy: the eval band frame broadcasts") {
     // Same posture as the exact form: the benchmark slice is the
     // broadcast side; the train-side band frame streams.
