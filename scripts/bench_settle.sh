@@ -21,9 +21,17 @@ best=""
 best_total=""
 prev_total=""
 for i in $(seq 1 "$MAX_RUNS"); do
+  # `|| true` keeps a failed run (sbt crash, no JSON in output) from
+  # aborting the whole protocol under set -e/pipefail: previously
+  # collected runs — possibly already settled — must still be
+  # recorded; an empty line just skips this iteration.
   line=$(SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
-    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | tail -1)
-  [ -n "$line" ] || { echo "bench produced no JSON line" >&2; exit 1; }
+    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | tail -1 \
+    || true)
+  if [ -z "$line" ]; then
+    echo "bench run $i produced no JSON line — skipping it" >&2
+    continue
+  fi
   total=$(python3 -c "import json,sys; print(json.loads(sys.argv[1])['value'])" "$line")
   echo "bench run $i: total=${total}s" >&2
   if [ -z "$best_total" ] || \
@@ -39,6 +47,11 @@ sys.exit(0 if abs(a - b) / min(a, b) * 100 <= float('$TOL') else 1)"; then
   fi
   prev_total="$total"
 done
+
+if [ -z "$best" ]; then
+  echo "no bench run produced a JSON line — nothing to record" >&2
+  exit 1
+fi
 
 # Same round inference the bench uses: one past the newest DRIVER stamp.
 round=$(ls BENCH_r*.json 2>/dev/null | sed -E 's/[^0-9]*0*([0-9]+).*/\1/' | sort -n | tail -1)

@@ -36,15 +36,26 @@ def row_hash(rows):
     """Driver-style value hash over pre-sorted rows: unit separator
     (0x1f) between fields, record separator (0x1e) between rows — a
     field value containing commas/newlines/pipes cannot collide with a
-    boundary (the ambiguity class the selftest pins). NULL is encoded
-    distinctly from every string (0x00 prefix), so '' != NULL."""
+    boundary (the ambiguity class the selftest pins). Every non-NULL
+    value is tagged 0x01 and NULL is the bare tag 0x00, so NULL is
+    distinct from EVERY string — including '', the literal 'None', and
+    a lone NUL character."""
     h = hashlib.md5()
     for r in rows:
         for v in r:
-            h.update(b"\x00" if v is None else norm(v).encode("utf-8"))
+            if v is None:
+                h.update(b"\x00")
+            else:
+                h.update(b"\x01" + norm(v).encode("utf-8"))
             h.update(b"\x1f")
         h.update(b"\x1e")
     return h.hexdigest()
+
+def norm_row(r):
+    """Row normalization for the row-by-row compare: None-ness is part
+    of the value (norm alone would render NULL as the string 'None' and
+    call a genuine data difference a comparator defect)."""
+    return [(v is None, None if v is None else norm(v)) for v in r]
 
 def selftest():
     long_a = "x" * 4096 + "y" + "x" * 4096
@@ -57,6 +68,8 @@ def selftest():
         ("embedded newline vs two rows", [("a\nb",)], [("a",), ("b",)], False),
         ("trailing empty field", [("a", "")], [("a",)], False),
         ("empty string vs NULL", [("",)], [(None,)], False),
+        ("literal 'None' vs NULL", [("None",)], [(None,)], False),
+        ("lone NUL char vs NULL", [("\x00",)], [(None,)], False),
         ("NaN equals NaN", [(float("nan"),)], [(float("nan"),)], True),
         ("unicode vs escape", [("é",)], [("\\u00e9",)], False),
         ("field shift across columns", [("ab", "c")], [("a", "bc")], False),
@@ -143,7 +156,7 @@ def main():
             continue
         bad = None
         for i, (g, e) in enumerate(zip(got_rows, exp_rows)):
-            gs, es = [norm(x) for x in g], [norm(x) for x in e]
+            gs, es = norm_row(g), norm_row(e)
             if gs != es:
                 bad = (i, gs, es)
                 break

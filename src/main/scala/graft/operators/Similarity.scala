@@ -995,8 +995,25 @@ object Similarity extends QueryModule {
     * stale ANN answers, and concurrent JVMs never clobber each
     * other. */
   private def indexDir(dir: String): String = {
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val fp = graft.Caches.pathKey(s"${src.lastModified}_${src.length}")
+    // Fingerprint over the DATA FILES, recursively: embeddings.parquet
+    // may be a Spark-written directory, whose own inode mtime/size is
+    // second-granular and near-constant — a same-second in-place
+    // regeneration would collide. Max mtime + total size + file count
+    // over the part files changes whenever the dataset does.
+    val src = java.nio.file.Paths.get(s"$dir/embeddings.parquet")
+    val fp =
+      if (!java.nio.file.Files.exists(src)) "absent"
+      else scala.util.Using.resource(java.nio.file.Files.walk(src)) { s =>
+        var (n, bytes, mt) = (0L, 0L, 0L)
+        s.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            n += 1
+            bytes += java.nio.file.Files.size(p)
+            mt = math.max(mt, java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          }
+        }
+        graft.Caches.pathKey(s"${n}_${bytes}_$mt")
+      }
     s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${graft.Caches.pathKey(dir)}" +
       s"_$fp" + s"_pid${ProcessHandle.current().pid()}"
   }
@@ -1029,17 +1046,45 @@ object Similarity extends QueryModule {
     * [[Caches.pathKey]] of the [[indexDir]] identity, so in-place
     * dataset regeneration invalidates naturally. */
   private val modelCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+    .empty[(SparkSession, String, String), (String, DataFrame)]
+
+  /** Per-identity construction locks: `TrieMap.getOrElseUpdate`
+    * returns one winning VALUE under race but still evaluates the
+    * thunk in every racing thread — fine for a lock Object (losers
+    * adopt the winner's), NOT fine for a builder that writes
+    * `mode("overwrite")` into a shared directory. Every index/model
+    * build therefore synchronizes on the identity's lock first. */
+  private val buildLocks = scala.collection.concurrent.TrieMap
+    .empty[String, Object]
+
+  private def lockFor(identity: String): Object =
+    buildLocks.getOrElseUpdate(identity, new Object)
 
   /** Memoized model table: trains (by-name) on first use for this
-    * (session, dataset-fingerprint, kind), then serves the
-    * materialized result. `localCheckpoint` detaches the cached frame
-    * from its training lineage — entries are O(K)–O(n·M) rows, the
-    * exact content the persisted index stores as parquet. */
+    * (session, dataset, kind), then serves the materialized result.
+    * `localCheckpoint` detaches the cached frame from its training
+    * lineage — entries are O(K)–O(n·M) rows, the exact content the
+    * persisted index stores as parquet. The key is the dataset PATH;
+    * the fingerprinted identity rides in the VALUE, so a regenerated-
+    * in-place dataset replaces its stale entry instead of training
+    * beside it (at most one pinned frame per (session, dataset,
+    * kind)). Training is serialized per identity (see [[buildLocks]]:
+    * a bare getOrElseUpdate would double-train under race —
+    * deterministic but wasted work). */
   private def cachedModel(spark: SparkSession, dir: String, kind: String)(
-      train: => DataFrame): DataFrame =
-    modelCache.getOrElseUpdate((spark, indexDir(dir), kind),
-      train.localCheckpoint())
+      train: => DataFrame): DataFrame = {
+    val id = indexDir(dir)
+    val key = (spark, graft.Caches.pathKey(dir), kind)
+    lockFor(s"$id#$kind").synchronized {
+      modelCache.get(key) match {
+        case Some((storedId, df)) if storedId == id => df
+        case _ =>
+          val df = train.localCheckpoint()
+          modelCache(key) = (id, df)
+          df
+      }
+    }
+  }
 
   /** Train the IVF-PQ index and PERSIST it as parquet model tables —
     * the train-once half of production ANN serving:
@@ -1114,11 +1159,7 @@ object Similarity extends QueryModule {
     // tables are then absent, and [[annIndexUpsert]] keeps only the
     // families that exist in lockstep.
     def residualFamily(): Unit = {
-      val resid = en.join(cellOf, "vec_id")
-        .join(cent.select(col("cid").as("cell"), col("cv")), "cell")
-        .select(col("vec_id"),
-          zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"), col("cell"))
-        .localCheckpoint()
+      val resid = residualFrame(en, cent, cellOf).localCheckpoint()
       val rsubs = subspaces(resid.select(col("vec_id"), col("v")), "vec_id")
         .localCheckpoint()
       val rbooks = trainedPqBooks(rsubs,
@@ -1171,6 +1212,20 @@ object Similarity extends QueryModule {
     pqAssignSubs(subspaces(en, "vec_id"), books).join(cellOf, "vec_id")
   }
 
+  /** Residual frame `r = v − centroid(cell(v))` — THE single
+    * definition of the residual convention, shared by the index build
+    * ([[buildIndexAt]]) and the frozen upsert encode
+    * ([[encodeResidWith]]) so the two can never drift apart (the
+    * append ≡ one-pass invariant rests on it; the inline
+    * [[annIvfPqResidual]] derives the same rows in one pass and is
+    * pinned equal to the served form by SimilaritySpec). */
+  private def residualFrame(en: DataFrame, cent: DataFrame,
+      cellOf: DataFrame): DataFrame =
+    en.join(cellOf, "vec_id")
+      .join(cent.select(col("cid").as("cell"), col("cv")), "cell")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"), col("cell"))
+
   /** Residual twin of [[encodeWith]]: frozen-centroid cell assignment,
     * residual `v − centroid(cell(v))`, codes from the stored FROZEN
     * residual codebooks — the rcodes rows an upsert appends. */
@@ -1181,10 +1236,7 @@ object Similarity extends QueryModule {
     val en = normalizedFrom(raw).localCheckpoint()
     val cellOf = nearestCells(cent)(en, 1)
       .select(col("vec_id"), col("cid").as("cell"))
-    val resid = en.join(cellOf, "vec_id")
-      .join(cent.select(col("cid").as("cell"), col("cv")), "cell")
-      .select(col("vec_id"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"), col("cell"))
+    val resid = residualFrame(en, cent, cellOf)
     pqAssignSubs(subspaces(resid.select(col("vec_id"), col("v")), "vec_id"),
         rbooks)
       .join(resid.select(col("vec_id"), col("cell")), "vec_id")
@@ -1279,18 +1331,21 @@ object Similarity extends QueryModule {
   /** The built index for a dataset, building on first use — so
     * `ann_ivfpq_served` stays self-contained when it runs before
     * `ann_index_build` (Verify's map order is arbitrary).
-    * `getOrElseUpdate` on the TrieMap serializes construction per
-    * index identity: two concurrent queries in one JVM build once
-    * instead of racing overlapping `mode("overwrite")` writes into
-    * the same directory. */
-  private def ensureIndex(spark: SparkSession, dir: String): String =
-    builtIndexes.getOrElseUpdate(indexDir(dir), {
-      val base = indexDir(dir)
-      buildIndexAt(spark,
-        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
-        base)
-      base
-    })
+    * Construction is serialized on the identity's [[buildLocks]]
+    * lock: TrieMap's `getOrElseUpdate` alone still evaluates the
+    * thunk in every racing thread, which would race overlapping
+    * `mode("overwrite")` writes into the same directory. */
+  private def ensureIndex(spark: SparkSession, dir: String): String = {
+    val base = indexDir(dir)
+    lockFor(base).synchronized {
+      builtIndexes.getOrElseUpdate(base, {
+        buildIndexAt(spark,
+          Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+          base)
+        base
+      })
+    }
+  }
 
   /** The read-back coded corpus (plain `codes` or residual `rcodes`):
     * the base build unioned with every COMMITTED delta directory —
@@ -1302,9 +1357,13 @@ object Similarity extends QueryModule {
     * expects. */
   private[graft] def readCodes(spark: SparkSession, base: String,
       table: String = "codes"): DataFrame = {
-    val roots = s"$base/$table" +:
-      committedDeltas(base).map(k => s"$base/deltas/$k/$table")
-    roots.filter(p => new java.io.File(p).exists())
+    val roots = (s"$base/$table" +:
+      committedDeltas(base).map(k => s"$base/deltas/$k/$table"))
+      .filter(p => new java.io.File(p).exists())
+    require(roots.nonEmpty,
+      s"index at $base has no '$table' table — built withResiduals=false? " +
+        "(the residual serving path needs an index that stored rcodes)")
+    roots
       .map(p => spark.read.parquet(p)
         .select(col("vec_id"), col("m"), col("code"),
           col("cell").cast("long").as("cell")))
@@ -1631,20 +1690,40 @@ object Similarity extends QueryModule {
     * corpus (input-shaped storage, the [[builtIndexes]] posture);
     * shared by `ann_index_upsert` and the live streaming form so both
     * exercise the same frozen quantizers. */
-  private[graft] def upsertSliceIndex(spark: SparkSession, dir: String): String =
-    builtIndexes.getOrElseUpdate(s"${indexDir(dir)}_upsert", {
-      val b = s"${indexDir(dir)}_upsert"
-      buildIndexAt(spark,
-        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-          .filter(col("vec_id") % UPSERT_MOD =!= UPSERT_MOD - 1), b,
-        withResiduals = false)
-      b
-    })
+  private[graft] def upsertSliceIndex(spark: SparkSession, dir: String): String = {
+    val b = s"${indexDir(dir)}_upsert"
+    lockFor(b).synchronized {
+      builtIndexes.getOrElseUpdate(b, {
+        buildIndexAt(spark,
+          Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+            .filter(col("vec_id") % UPSERT_MOD =!= UPSERT_MOD - 1), b,
+          withResiduals = false)
+        b
+      })
+    }
+  }
+
+  /** Previous executions' work directories per (purpose, dataset) —
+    * reclaimed at the NEXT execution (the returned DataFrame reads the
+    * current one lazily, so it cannot be deleted on return): repeated
+    * gate/bench runs leave at most one prior copy on disk instead of
+    * one per run. */
+  private val workDirs = scala.collection.concurrent.TrieMap
+    .empty[String, String]
+
+  private[graft] def freshWorkDir(tag: String, dataset: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_work_").toString
+    workDirs.put(s"$tag#$dataset", dir).foreach { prev =>
+      graft.streaming.StreamingOps.deleteRecursively(
+        java.nio.file.Paths.get(prev))
+    }
+    dir
+  }
 
   def annIndexUpserted(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_upsert_work_").toString
+    val work = freshWorkDir("upsert", dir)
     copyDir(upsertSliceIndex(spark, dir), work)
     annIndexUpsert(spark, work, raw)
     readCodes(spark, work)

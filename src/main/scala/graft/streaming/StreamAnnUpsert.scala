@@ -57,8 +57,7 @@ object StreamAnnUpsert {
     * (the [[StreamNearDedup]] posture); the result is a plain parquet
     * read in the caller's session. */
   def streamAnnUpsertLive(spark: SparkSession, dir: String): DataFrame = {
-    val work = java.nio.file.Files
-      .createTempDirectory("graft_annups_work_").toString
+    val work = Similarity.freshWorkDir("annups", dir)
     Similarity.copyDir(Similarity.upsertSliceIndex(spark, dir), work)
     val src = stagedDeltaDir(spark, dir)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_annups_ckpt_")

@@ -18,10 +18,11 @@ final case class WindowCount(event_type: String, window_start: java.sql.Timestam
   * counted, the raw-source analogue of watermark-driven emission). */
 final case class RawEvent(event_id: Long, event_type: String, ts: java.sql.Timestamp)
 
-/** Per-key state of the raw trending machine: the (prev, cur) trend
-  * tuple plus the currently OPEN 10-min window's start and running
-  * count (`openMs == Long.MinValue` when none is open). */
-final case class TrendRawState(prev: Long, cur: Long, openMs: Long, openCnt: Long)
+/** Per-key state of the raw trending machine: the LAST CLOSED window's
+  * count `cur` (the next close's prev_cnt) plus the currently OPEN
+  * 10-min window's start and running count (`openMs == Long.MinValue`
+  * when none is open). */
+final case class TrendRawState(cur: Long, openMs: Long, openCnt: Long)
 
 /** Trending output: current vs previous window + doubling alert. */
 final case class TrendOut(event_type: String, window_start: java.sql.Timestamp,
@@ -153,13 +154,13 @@ object StreamingOps extends QueryModule {
           val ordered = rows.toSeq.sortBy(_.ts.getTime)
           val out = Seq.newBuilder[TrendOut]
           var st = state.getOption
-            .getOrElse(TrendRawState(0L, 0L, Long.MinValue, 0L))
+            .getOrElse(TrendRawState(0L, Long.MinValue, 0L))
           def close(): Unit = if (st.openMs != Long.MinValue) {
             val prev = st.cur
             out += TrendOut(key, new java.sql.Timestamp(st.openMs),
               st.openCnt, prev,
               st.openCnt >= ALERT_MIN && st.openCnt >= 2 * prev)
-            st = TrendRawState(prev, st.openCnt, Long.MinValue, 0L)
+            st = TrendRawState(st.openCnt, Long.MinValue, 0L)
           }
           ordered.foreach { r =>
             if (r.event_id == -1L) close()
