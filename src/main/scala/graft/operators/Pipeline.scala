@@ -305,6 +305,112 @@ object Pipeline extends QueryModule {
       |  quantile_disc(value, 0.95) AS p95_approx
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- weighted_sample: A-ES weighted reservoir, no global sort ----------
+  /** Per-source sample size. */
+  val WEIGHTED_SAMPLE_K = 8
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws a deterministic uniform u ∈ (0,1] from its id hash
+    * and competes on the exponential key −ln(u)/w (w = n_chars), and
+    * the k SMALLEST keys per source win — inclusion probability
+    * proportional to weight, the standard quality-weighted corpus
+    * subsample. One pass, one hash aggregation: the k-bounded
+    * [[graft.functions.BoundedTopK]] heap (fed the negated key, since
+    * it keeps largest-v) replaces the per-source sort a window-rank
+    * form would pay — O(n log k) map-side + a k-sized shuffle record
+    * per partition, the same shape as `source_cap`, so a billion-doc
+    * source never materializes. The key is rounded at micro precision
+    * INTO A LONG on both engines before ranking, so a last-ulp ln()
+    * difference cannot flip a selection at the rank-k boundary (the
+    * QueryDef portability rules, applied to the ordering key itself;
+    * ties then break on doc_id identically in both engines). */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val tk = udaf(new graft.functions.BoundedTopK(WEIGHTED_SAMPLE_K))
+    val h = TextFns.hash56(col("doc_id").cast("string"))
+    val u = (h.cast("double") + lit(1.0)) / lit(7.2057594037927936e16)
+    val keyMicro = round(-log(u) / greatest(col("n_chars"), lit(1L)) * lit(1e6), 0)
+      .cast("long")
+    Tables.documents(spark, dir)
+      .withColumn("skey_micro", keyMicro)
+      .groupBy(col("source"))
+      .agg(tk((-col("skey_micro")).as("v"), col("doc_id")).as("tk"))
+      .select(col("source"), explode(col("tk.entries")).as("e"))
+      .select(col("source"), col("e.tie").as("doc_id"),
+        round(-col("e.v") / lit(1e6), 6).as("skey"))
+      .orderBy(col("source"), col("skey"), col("doc_id"))
+  }
+
+  /** Oracle: the window-rank form of the same A-ES draw — per-source
+    * `row_number` over the identical micro-rounded key. */
+  val weightedSampleSql = {
+    val u = s"(${TextFns.hash56Sql("CAST(doc_id AS VARCHAR)")} + 1) / 72057594037927936.0"
+    s"""WITH keyed AS (
+       |  SELECT source, doc_id,
+       |    CAST(round(-ln($u) / greatest(n_chars, 1) * 1000000, 0) AS BIGINT)
+       |      AS skey_micro
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, skey_micro, row_number() OVER (
+       |    PARTITION BY source ORDER BY skey_micro, doc_id) AS rk
+       |  FROM keyed)
+       |SELECT source, doc_id, round(skey_micro / 1000000.0, 6) AS skey
+       |FROM r WHERE rk <= $WEIGHTED_SAMPLE_K
+       |ORDER BY source, skey, doc_id""".stripMargin
+  }
+
+  // --- cardinality_sketch: mergeable HLL distinct counting ---------------
+  /** DataSketches HLL geometry: 2^12 registers ⇒ relative standard
+    * error ≈ 0.98/√4096 ≈ 1.5%; the gate contract below allows ~3
+    * standard errors. */
+  val HLL_LGK = 12
+  /** Shards for the merge-algebra leg: per-(type, shard) sketches
+    * union-merged back per type — the partial-aggregation shape a
+    * 1000-executor count-distinct actually runs, made explicit. */
+  val HLL_SHARDS = 8
+  val HLL_REL_TOL = 0.05
+
+  /** Distinct users per event type, three ways at once: the exact
+    * count (the oracle-checked value), a DataSketches HLL estimate
+    * gate-checked against its ERROR CONTRACT (|est−exact| ≤ 5%·exact —
+    * an estimator drifting out of spec turns the boolean and fails the
+    * hash gate), and the same estimate recomputed by UNION-MERGING
+    * per-shard sketches (`hll_union_agg`) — the property that makes
+    * HLL the 100 TB swap for `count_distinct`: sketches built on
+    * disjoint shards merge losslessly, so the exact form's full
+    * (type, user) de-dup shuffle becomes one 4 KB register array per
+    * partition. SamplingSketchSpec pins merged ≡ direct exactly (same
+    * register algebra) and the error contract in the genuinely
+    * estimating regime (10^5 distinct). */
+  def cardinalitySketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val direct = ev.groupBy(col("event_type")).agg(
+      count_distinct(col("user_id")).as("exact_users"),
+      hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(HLL_LGK))).as("est_direct"))
+    val merged = ev
+      .withColumn("shard", pmod(col("user_id"), lit(HLL_SHARDS)))
+      .groupBy(col("event_type"), col("shard"))
+      .agg(hll_sketch_agg(col("user_id"), lit(HLL_LGK)).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sk"), lit(false))).as("est_merged"))
+    direct.join(merged, "event_type")
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est_direct") - col("exact_users"))
+          <= lit(HLL_REL_TOL) * col("exact_users")).as("approx_ok"),
+        (abs(col("est_merged") - col("est_direct"))
+          <= lit(HLL_REL_TOL) * col("exact_users")).as("merge_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle: the exact distinct count plus the two contract booleans
+    * at their must-hold values. */
+  val cardinalitySketchSql =
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS approx_ok, TRUE AS merge_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- doc_fingerprint: polynomial rolling hash --------------------------
   /** Order-sensitive rolling hash over the token stream: each token is
     * fingerprinted portably (first 14 hex digits of its md5 → bigint)
@@ -1185,5 +1291,10 @@ object Pipeline extends QueryModule {
       "exact p50/p95 per event type (percentile_approx is the 100 TB swap)"),
     QueryDef("value_quantiles_approx", valueQuantilesApprox,
       Some(valueQuantilesApproxSql),
-      "the 100 TB swap itself: percentile_approx sketch p50/p95 per type"))
+      "the 100 TB swap itself: percentile_approx sketch p50/p95 per type"),
+    QueryDef("weighted_sample", weightedSample, Some(weightedSampleSql),
+      "A-ES weighted reservoir per source via the bounded-PQ heap"),
+    QueryDef("cardinality_sketch", cardinalitySketch,
+      Some(cardinalitySketchSql),
+      "HLL distinct users per type: exact + error-contract + shard merge"))
 }

@@ -75,6 +75,28 @@ object StreamingOps extends QueryModule {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("cnt"))
 
+  /** Sliding-window geometry: 60-min windows advancing every 30 min,
+    * so every event belongs to exactly duration/slide = 2 overlapping
+    * windows. */
+  val SLIDE_DURATION = "60 minutes"
+  val SLIDE_STEP = "30 minutes"
+
+  /** SLIDING 60-min counts every 30 min — the overlapping-window form
+    * of [[eventCounts]] (`window(ts, dur, slide)`), the moving-average
+    * shape the tumbling queries can't express. Same unified API: the
+    * one definition serves batch replay and the live engine, and the
+    * state cost is bounded — each event feeds exactly 2 window groups
+    * (the engine explodes it into its member windows BEFORE the
+    * partial aggregation, so the shuffle carries 2 pre-aggregated
+    * rows per (window, partition), not 2× the events) and the
+    * watermark evicts closed windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WATERMARK)
+      .groupBy(window(col("ts"), SLIDE_DURATION, SLIDE_STEP))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("cnt"))
+
   /** Region tag via conditional extraction (`RegionEventCount.scala:85-91`
     * — the fixture has no coordinates, so the bbox predicate becomes an
     * event_type partition, FIXTURES.md). */
@@ -494,6 +516,25 @@ object StreamingOps extends QueryModule {
       |  count(*) AS cnt
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  def eventCountSliding(spark: SparkSession, dir: String): DataFrame =
+    slidingCounts(Tables.events(spark, dir)).orderBy(col("window_start"))
+
+  /** Oracle: each event's two member windows are its 30-min bucket and
+    * the one before it (both always cover the event: ts ∈ [s, s+30) ⊂
+    * [s, s+60) and ⊂ [s−30, s+30)), so the sliding aggregation is a
+    * 2-way window-start explode + tumbling count — which is exactly
+    * how the engine itself physically evaluates `window(dur, slide)`. */
+  val eventCountSlidingSql =
+    """WITH cand AS (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start
+      |    FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+      |    FROM events)
+      |SELECT window_start, window_start + INTERVAL '60 minutes' AS window_end,
+      |  count(*) AS cnt
+      |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin
+
   def regionEventCount(spark: SparkSession, dir: String): DataFrame =
     regionEventCounts(Tables.events(spark, dir))
       .orderBy(col("window_start"), col("region"))
@@ -559,6 +600,9 @@ object StreamingOps extends QueryModule {
       "tumbling 60-min event counts (batch replay of the streaming query)"),
     QueryDef("stream_hourly_live", streamHourlyLive, Some(eventCountHourlySql),
       "the same hourly counts run by the live streaming engine (file queue, AvailableNow)"),
+    QueryDef("event_count_sliding", eventCountSliding,
+      Some(eventCountSlidingSql),
+      "sliding 60-min/30-min counts (overlapping windows, 2 per event)"),
     QueryDef("region_event_count", regionEventCount, Some(regionEventCountSql),
       "tumbling 60-min counts per region tag"),
     QueryDef("trending_arrivals", trendingArrivals, Some(trendingArrivalsSql),

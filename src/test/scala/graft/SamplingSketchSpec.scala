@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins for the sampling/sketch operators:
+  *
+  *   - `weighted_sample` (A-ES weighted reservoir): the k-bounded-heap
+  *     form equals a plain-Scala replay of the Efraimidis–Spirakis
+  *     draw, weights actually steer selection, and the result is
+  *     invariant under repartitioning;
+  *   - `cardinality_sketch` (DataSketches HLL): the shard-merged
+  *     estimate equals the direct estimate (lossless union algebra —
+  *     the property that makes the sketch the `count_distinct` swap),
+  *     the fixture-gate booleans hold, and the error contract holds in
+  *     the genuinely ESTIMATING regime (10^5 distinct values, where
+  *     HLL is approximating rather than recording).
+  */
+class SamplingSketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("weighted_sample equals a sequential A-ES replay per source") {
+    val got = operators.Pipeline.weightedSample(spark, sfDir)
+      .select("source", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect()
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      src -> rows.map { case (_, id, w) =>
+        val u = (functions.TextFns.hash56Local(id.toString) + 1.0) /
+          7.2057594037927936e16
+        val key = math.round(-math.log(u) / math.max(w, 1L) * 1e6)
+        (key, id)
+      }.sortBy(identity).take(operators.Pipeline.WEIGHTED_SAMPLE_K)
+        .map(_._2).toSet
+    }
+    assert(got == expected)
+  }
+
+  test("weighted_sample: weights steer selection; repartition-invariant") {
+    // 40 docs of weight 1 and one doc of weight 10^6: the heavy doc's
+    // exponential key is ~10^6 smaller than any light doc's, so it is
+    // (deterministically, via the fixed hash draw) always selected.
+    val docs = ((1L to 40L).map(i => (i, "s", 1L)) :+ (99L, "s", 1000000L))
+      .toDF("doc_id", "source", "n_chars")
+    def sample(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val tk = udaf(new graft.functions.BoundedTopK(4))
+      val h = functions.TextFns.hash56(col("doc_id").cast("string"))
+      val u = (h.cast("double") + lit(1.0)) / lit(7.2057594037927936e16)
+      val key = round(-log(u) / greatest(col("n_chars"), lit(1L)) * lit(1e6), 0)
+        .cast("long")
+      df.withColumn("k", key).groupBy(col("source"))
+        .agg(tk((-col("k")).as("v"), col("doc_id")).as("tk"))
+        .select(explode(col("tk.entries.tie")).as("doc_id"))
+        .as[Long].collect().toSet
+    }
+    val base = sample(docs)
+    assert(base.contains(99L), s"heavy doc must win a slot, got $base")
+    assert(base.size == 4)
+    assert(sample(docs.repartition(7)) == base,
+      "A-ES selection must not depend on physical layout")
+  }
+
+  test("cardinality_sketch: fixture booleans hold; merged ≡ direct") {
+    val rows = operators.Pipeline.cardinalitySketch(spark, sfDir)
+      .select("event_type", "approx_ok", "merge_ok")
+      .as[(String, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, a, m) =>
+      assert(a, s"$t: estimate outside the 5% contract")
+      assert(m, s"$t: shard-merged estimate diverged from direct")
+    }
+  }
+
+  test("HLL error contract and union algebra in the estimating regime") {
+    val n = 100000L
+    val ids = spark.range(n).select((col("id") * 2654435761L).as("u"))
+    val direct = ids.agg(hll_sketch_estimate(
+      hll_sketch_agg(col("u"), lit(operators.Pipeline.HLL_LGK))).as("est"))
+      .as[Long].head()
+    // 2^12 registers ⇒ RSE ≈ 1.5%; 3σ ≈ 4.6% — the 5% gate contract.
+    assert(math.abs(direct - n) <= operators.Pipeline.HLL_REL_TOL * n,
+      s"direct estimate $direct vs $n")
+    // Union of disjoint-shard sketches: same estimate as one sketch
+    // over everything — the lossless merge that lets count-distinct
+    // partial-aggregate at 100 TB.
+    val merged = ids
+      .withColumn("shard", pmod(col("u"), lit(operators.Pipeline.HLL_SHARDS)))
+      .groupBy(col("shard"))
+      .agg(hll_sketch_agg(col("u"), lit(operators.Pipeline.HLL_LGK)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+      .as[Long].head()
+    assert(merged == direct,
+      s"union algebra must be lossless: merged $merged vs direct $direct")
+  }
+}

@@ -41,6 +41,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("slidingCounts over MemoryStream equals batch; 2 windows per event") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.slidingCounts(events)
+      .writeStream.format("memory").queryName("slide_test")
+      .outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (ts("2024-01-01 00:05:00"), "click"), // windows 23:30, 00:00
+        (ts("2024-01-01 00:40:00"), "view"),  // windows 00:00, 00:30
+        (ts("2024-01-01 01:05:00"), "click")) // windows 00:30, 01:00
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("slide_test")
+        .select("window_start", "cnt").as[(Timestamp, Long)].collect().toMap
+      assert(got == Map(
+        ts("2023-12-31 23:30:00") -> 1L,
+        ts("2024-01-01 00:00:00") -> 2L,
+        ts("2024-01-01 00:30:00") -> 2L,
+        ts("2024-01-01 01:00:00") -> 1L))
+      // Overlap accounting: each event is in exactly dur/slide = 2
+      // windows, so the counts total twice the events.
+      assert(got.values.sum == 2L * rows.size)
+      val batch = StreamingOps.slidingCounts(rows.toDF("ts", "event_type"))
+        .select("window_start", "cnt").as[(Timestamp, Long)].collect().toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("regionEventCounts streaming equals batch on fixture-shaped data") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
