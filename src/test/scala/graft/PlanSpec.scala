@@ -155,6 +155,21 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"heap form must not window-sort:\n$p")
   }
 
+  test("weighted_sample: A-ES heap aggregates partial then final, no sort") {
+    val p = plan(operators.Pipeline.weightedSample(spark, sfDir))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("Window"), s"heap form must not window-sort:\n$p")
+  }
+
+  test("cardinality_sketch: HLL aggregates partial then final (mergeable)") {
+    val p = plan(operators.Pipeline.cardinalitySketch(spark, sfDir))
+    // Both legs (direct sketch, shard merge) must partial-aggregate —
+    // the register-array merge is the whole 100 TB story.
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 4,
+      s"expected partial+final HLL aggregation on both legs:\n$p")
+  }
+
   test("value_quantiles_approx: sketch aggregates partial then final (mergeable)") {
     // The whole point of the swap: the percentile sketch must combine
     // map-side (partial ObjectHashAggregate) and merge at the reducer —
