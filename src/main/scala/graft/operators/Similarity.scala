@@ -1355,10 +1355,87 @@ object Similarity extends QueryModule {
     * and the partition column comes back with the inferred (int)
     * partition type, recast to the vec_id-domain long every join
     * expects. */
+  /** Compaction pointer: `(generation, foldedUpTo)`. Generation g > 0
+    * keeps its code tables at `codes-g<g>`/`rcodes-g<g>` and has the
+    * deltas with id ≤ foldedUpTo folded in; generation 0 (no MANIFEST
+    * file) is the base build's own `codes`/`rcodes` with nothing
+    * folded. The pointer is replaced by ATOMIC_MOVE, so readers see
+    * either the old generation (+ its deltas) or the new one — never a
+    * half-compacted mix. */
+  private def manifest(base: String): (Long, Long) = {
+    val p = java.nio.file.Paths.get(base, "MANIFEST")
+    if (java.nio.file.Files.exists(p)) {
+      val parts = java.nio.file.Files.readString(p).trim.split("\\s+")
+      (parts(0).toLong, parts(1).toLong)
+    } else (0L, 0L)
+  }
+
+  private def codesRoot(base: String, table: String, gen: Long): String =
+    if (gen == 0L) s"$base/$table" else s"$base/$table-g$gen"
+
+  /** Fold every committed delta into a new base generation — the LSM
+    * compaction step of the maintenance loop. Without it the read path
+    * unions one partitioned table PER COMMITTED DELTA forever: a
+    * serving stack appending every few minutes accumulates thousands
+    * of roots, and every query pays partition discovery + a scan per
+    * root. Compaction restores O(1) read cost while the append path
+    * keeps running: stage the union as `codes-g<gen+1>` (+ rcodes in
+    * lockstep), swap the MANIFEST pointer atomically, then GC the
+    * folded delta payloads and the previous generation.
+    *
+    * Crash-safety is the delta-commit argument one level up: staging
+    * directories are invisible until the pointer swap (a crashed
+    * attempt's debris sits at the gen id the retry deterministically
+    * reuses and mode("overwrite") clobbers), the swap itself is an
+    * ATOMIC_MOVE, and a crash before GC leaves only invisible
+    * garbage a later compaction removes. Folded deltas keep their
+    * commit MARKERS (ids must stay monotonic for the next append);
+    * readCodes skips them via the manifest's foldedUpTo bound. GC
+    * assumes the maintenance loop's single-writer posture and no
+    * in-flight reader plans against the old generation (both true for
+    * the gate/serve paths, which build their read plans after this
+    * call returns). */
+  def annIndexCompact(spark: SparkSession, indexBase: String): Unit =
+    upsertLocks.getOrElseUpdate(indexBase, new Object).synchronized {
+      val (gen, folded) = manifest(indexBase)
+      val pending = committedDeltas(indexBase).filter(_ > folded)
+      if (pending.nonEmpty) {
+        val newGen = gen + 1
+        def stage(table: String): Boolean = {
+          val has = new java.io.File(codesRoot(indexBase, table, gen)).exists()
+          if (has) readCodes(spark, indexBase, table)
+            .repartition(col("cell"))
+            .write.partitionBy("cell").mode("overwrite")
+            .parquet(codesRoot(indexBase, table, newGen))
+          has
+        }
+        stage("codes")
+        stage("rcodes")
+        val tmp = java.nio.file.Paths.get(indexBase, "MANIFEST.tmp")
+        java.nio.file.Files.writeString(tmp, s"$newGen ${pending.max}")
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(indexBase, "MANIFEST"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // Visible state is now gen+1 only — reclaim what it replaced.
+        pending.foreach { k =>
+          graft.streaming.StreamingOps.deleteRecursively(
+            java.nio.file.Paths.get(s"$indexBase/deltas/$k"))
+        }
+        for (table <- Seq("codes", "rcodes")) {
+          val old = java.nio.file.Paths.get(codesRoot(indexBase, table, gen))
+          if (java.nio.file.Files.exists(old))
+            graft.streaming.StreamingOps.deleteRecursively(old)
+        }
+      }
+    }
+
   private[graft] def readCodes(spark: SparkSession, base: String,
       table: String = "codes"): DataFrame = {
-    val roots = (s"$base/$table" +:
-      committedDeltas(base).map(k => s"$base/deltas/$k/$table"))
+    val (gen, folded) = manifest(base)
+    val roots = (codesRoot(base, table, gen) +:
+      committedDeltas(base).filter(_ > folded)
+        .map(k => s"$base/deltas/$k/$table"))
       .filter(p => new java.io.File(p).exists())
     require(roots.nonEmpty,
       s"index at $base has no '$table' table — built withResiduals=false? " +
@@ -1726,6 +1803,22 @@ object Similarity extends QueryModule {
     val work = freshWorkDir("upsert", dir)
     copyDir(upsertSliceIndex(spark, dir), work)
     annIndexUpsert(spark, work, raw)
+    readCodes(spark, work)
+      .select(col("vec_id"), col("m").cast("int").as("m"), col("code"), col("cell"))
+      .orderBy(col("vec_id"), col("m"))
+  }
+
+  /** Gate query for [[annIndexCompact]]: run the maintenance append,
+    * compact it into a new generation, and emit the stored codes read
+    * from the compacted file alone — which must be indistinguishable
+    * from the pre-compaction delta-union read, so the query shares
+    * `ann_index_upsert`'s slice-training + union-encode oracle. */
+  def annIndexCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val work = freshWorkDir("compactq", dir)
+    copyDir(upsertSliceIndex(spark, dir), work)
+    annIndexUpsert(spark, work, raw)
+    annIndexCompact(spark, work)
     readCodes(spark, work)
       .select(col("vec_id"), col("m").cast("int").as("m"), col("code"), col("cell"))
       .orderBy(col("vec_id"), col("m"))
@@ -2353,6 +2446,8 @@ object Similarity extends QueryModule {
       "train + persist the IVF-PQ index: centroids, codebooks, codes by cell"),
     QueryDef("ann_index_upsert", annIndexUpserted, Some(annIndexUpsertSql),
       "index maintenance: slice-trained index + frozen-quantizer delta append"),
+    QueryDef("ann_index_compact", annIndexCompacted, Some(annIndexUpsertSql),
+      "LSM compaction: committed deltas folded into one base generation"),
     QueryDef("ann_ivfpq_served", annIvfPqServed, Some(annIvfPqTopkSql),
       "IVF-PQ serving from the persisted index — no retraining"),
     QueryDef("cosine_topk_filtered", cosineTopkFiltered, Some(cosineTopkFilteredSql),

@@ -304,6 +304,59 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("annIndexCompact: folds deltas losslessly, collapses the read path, survives debris") {
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = raw.filter(col("vec_id") % 4 < 2)
+    val d1 = raw.filter(col("vec_id") % 8 === 3)
+    val d2 = raw.filter(col("vec_id") % 8 === 7)
+    val idx = java.nio.file.Files.createTempDirectory("graft_compact_idx_")
+      .toString
+    Similarity.buildIndexAt(spark, base, idx) // with residuals
+    Similarity.annIndexUpsert(spark, idx, d1)
+    Similarity.annIndexUpsert(spark, idx, d2)
+    val before = Similarity.readCodes(spark, idx)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val rbefore = Similarity.readCodes(spark, idx, "rcodes")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // Crash debris: a partial staging directory at the generation the
+    // compaction will claim (a failed earlier attempt) — must be
+    // clobbered, not trusted.
+    Seq((0L, 0, 0L)).toDF("vec_id", "m", "code").withColumn("cell", lit(0L))
+      .write.partitionBy("cell").parquet(s"$idx/codes-g1")
+    Similarity.annIndexCompact(spark, idx)
+    // Lossless: both code families read back identical.
+    assert(Similarity.readCodes(spark, idx)
+      .as[(Long, Int, Long, Long)].collect().toSet == before)
+    assert(Similarity.readCodes(spark, idx, "rcodes")
+      .as[(Long, Int, Long, Long)].collect().toSet == rbefore)
+    // Read path is ONE root again: the folded delta payloads are gone
+    // (their commit markers stay — ids must remain monotonic) and the
+    // serve-path plan scans no delta directory.
+    assert(!new java.io.File(s"$idx/deltas/1/codes").exists() &&
+      !new java.io.File(s"$idx/deltas/2/codes").exists(),
+      "folded delta payloads must be reclaimed")
+    val plan = Similarity.serveFromIndex(spark, idx, raw)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("/deltas/"),
+      s"served plan still unions delta scans after compaction:\n$plan")
+    // No pending deltas ⇒ compaction is a no-op (same generation).
+    Similarity.annIndexCompact(spark, idx)
+    assert(Similarity.readCodes(spark, idx)
+      .as[(Long, Int, Long, Long)].collect().toSet == before)
+    // The maintenance loop continues across compactions: a genuinely
+    // NEW slice appends onto generation 1 (its delta id continues past
+    // the folded ones) and the stored union equals the one-pass frozen
+    // encode of everything seen so far.
+    val d3 = raw.filter(col("vec_id") % 4 === 2)
+    Similarity.annIndexUpsert(spark, idx, d3)
+    val onePass = Similarity.encodeWith(spark, idx, raw)
+      .select(col("vec_id"), col("m").cast("int"), col("code"), col("cell"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(Similarity.readCodes(spark, idx)
+      .as[(Long, Int, Long, Long)].collect().toSet == onePass)
+  }
+
   test("annIndexUpsert: a crashed (uncommitted) delta is invisible and replay heals it") {
     // The failure mode the delta-commit protocol exists for: a
     // mid-append crash must not leave vectors with partial code sets
