@@ -110,7 +110,14 @@ object ScaleProbe {
       // corpus-wide rank decompositions — the claim to check is that
       // removing the single-task global sort really left only
       // per-bucket work (factor ≈ growth, no straggler blowup).
-      "span_dedup", "shuffle_shard", "mix_apply")
+      "span_dedup", "shuffle_shard", "mix_apply",
+      // round-11 continuation: the A-ES heap sample (claim: k-bounded
+      // partial buffers keep it scan-shaped — factor ≈ growth with no
+      // per-source sort emerging) and the index maintenance loop
+      // (upsert + LSM compaction: both scale with the encoded DELTA
+      // and the fold's one read-union-write pass, never with delta
+      // COUNT).
+      "weighted_sample", "ann_index_compact")
     def timeAll(sfDir: String): Map[String, (Double, Long)] =
       queries.map { q =>
         graft.Caches.clearAll()
