@@ -291,6 +291,11 @@ class SimilaritySpec extends SparkSpecBase {
       Similarity.annIndexUpsert(spark, idx,
         raw.filter(col("vec_id").isInCollection(chunk)))
       nextId += 1
+      // Random LSM compactions interleave with the append stream: the
+      // generation fold must be invisible to everything that follows
+      // (later upserts anti-join against the compacted base, ids keep
+      // climbing past the folded markers).
+      if (rnd.nextBoolean()) Similarity.annIndexCompact(spark, idx)
     }
     for (table <- Seq("codes", "rcodes")) {
       val stored = Similarity.readCodes(spark, idx, table)
