@@ -56,8 +56,20 @@ object StreamAnnUpsert {
     * the committed-delta union. Runs in an isolated `newSession`
     * (the [[StreamNearDedup]] posture); the result is a plain parquet
     * read in the caller's session. */
-  def streamAnnUpsertLive(spark: SparkSession, dir: String): DataFrame = {
-    val work = Similarity.freshWorkDir("annups", dir)
+  def streamAnnUpsertLive(spark: SparkSession, dir: String): DataFrame =
+    streamAnnUpsertLive(spark, dir, compactEvery = 0)
+
+  /** `compactEvery > 0` additionally folds the index every that-many
+    * micro-batches ([[Similarity.annIndexCompact]]) — the FULL
+    * production loop (append, compact, append again onto the new
+    * generation) under the live engine. The fold must be invisible in
+    * the stored result, so SimilaritySpec pins this form row-equal to
+    * the append-only gate form; 0 = append-only (the gate/bench
+    * query, which keeps the honest per-delta read-union cost). */
+  def streamAnnUpsertLive(spark: SparkSession, dir: String,
+      compactEvery: Int): DataFrame = {
+    val work = Similarity.freshWorkDir(
+      if (compactEvery > 0) s"annups_c$compactEvery" else "annups", dir)
     Similarity.copyDir(Similarity.upsertSliceIndex(spark, dir), work)
     val src = stagedDeltaDir(spark, dir)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_annups_ckpt_")
@@ -71,8 +83,11 @@ object StreamAnnUpsert {
       val q = ss.readStream.schema(ss.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream
-        .foreachBatch((b: DataFrame, _: Long) =>
-          Similarity.annIndexUpsert(b.sparkSession, work, b))
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          Similarity.annIndexUpsert(b.sparkSession, work, b)
+          if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
+            Similarity.annIndexCompact(b.sparkSession, work)
+        }
         .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -256,6 +256,13 @@ class SimilaritySpec extends SparkSpecBase {
     val streamed = graft.streaming.StreamAnnUpsert
       .streamAnnUpsertLive(spark, sfDir).collect().toSeq
     assert(streamed == one)
+    // The FULL production loop: a compaction folding generations
+    // between micro-batch appends must be invisible in the stored
+    // result too.
+    val compacted = graft.streaming.StreamAnnUpsert
+      .streamAnnUpsertLive(spark, sfDir, compactEvery = 2).collect().toSeq
+    assert(compacted == one,
+      "live append/compact/append loop diverged from the one-shot upsert")
   }
 
   test("delta-commit fuzz: random batch splits with injected debris equal the one-pass encode") {
