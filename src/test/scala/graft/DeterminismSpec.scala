@@ -37,7 +37,10 @@ class DeterminismSpec extends SparkSpecBase {
     "cosine_topk_filtered", // window ties on rounded cosine (label join)
     "ann_ivf_filtered", // probe join order + window ties on rounded cosine
     "ann_ivfpq_filtered", // persisted index + label-filtered ADC shortlist
-    "bm25_rank") // tf join order + window ties on rounded scores
+    "bm25_rank", // tf join order + window ties on rounded scores
+    "weighted_sample", // typed-Aggregator heap merge order + key ties
+    "cardinality_sketch", // HLL register serialization + shard union order
+    "ann_index_compact") // delta fold + generation swap must round-trip
 
   risky.foreach { name =>
     test(s"$name is run-to-run deterministic") {
