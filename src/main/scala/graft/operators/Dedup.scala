@@ -850,6 +850,81 @@ object Dedup extends QueryModule {
        |  SELECT doc_id FROM r GROUP BY doc_id HAVING min(comp) < doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Slice modulus for `neardedup_probe`: docs with doc_id ≡ 0 are
+    * the ingested state corpus, the rest the probe candidates — the
+    * serving-tier shape (a large candidate stream probing a curated
+    * core). */
+  val PROBE_MOD = 4
+
+  /** Read-only admission probe — the SERVING half of the streaming
+    * near-dedup story ([[neardedupIngest]] is the write half): given
+    * the persisted band-key state of an admitted corpus, answer
+    * "would this document be admitted?" for a batch of candidates
+    * WITHOUT mutating state. Per candidate the verdict is the pure
+    * cross-batch rule — `n_hits` of its LSH bands colliding with the
+    * state, admit iff zero (a lone probe has no intra-batch cluster
+    * step) — and the whole probe is one equi-join on
+    * (band_idx, band_key) against the state table: exactly the lookup
+    * shape the externalized state was designed for, so at 100 TB it is
+    * a keyed point-read per band against the transactional store while
+    * candidate minhashing stays embarrassingly parallel. The gate form
+    * ingests the non-holdout slice from empty state (one batch, the
+    * ingest query's own math) and probes the holdout. */
+  def neardedupProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val stateDocs = docs.filter(col("doc_id") % PROBE_MOD === 0)
+    val probeDocs = docs.filter(col("doc_id") % PROBE_MOD =!= 0)
+    val (_, stateKeys) = graft.streaming.StreamNearDedup
+      .admitBatch(spark, stateDocs, graft.streaming.StreamNearDedup
+        .emptyState(spark))
+    val state = stateKeys.select(col("band_idx"), col("band_key")).distinct()
+    val hits = bandKeys(spark, probeDocs)
+      .join(state, Seq("band_idx", "band_key"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    probeDocs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("n_hits"),
+        (coalesce(col("hits"), lit(0L)) === 0).as("would_admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the [[neardedupIngestSql]] replay restricted to the state
+    * slice (same recursive min-label closure over its collision graph)
+    * to derive the admitted set, then each probe doc's band rows
+    * counted against the admitted docs' distinct band keys. */
+  val neardedupProbeSql: String =
+    s"""WITH RECURSIVE $bandReplayCtes,
+       |sbx AS MATERIALIZED (
+       |  SELECT doc_id, i, k FROM bx WHERE doc_id % $PROBE_MOD = 0),
+       |be AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+       |  FROM sbx a JOIN sbx b ON a.i = b.i AND a.k = b.k AND a.doc_id <> b.doc_id),
+       |r AS (
+       |  SELECT s AS doc_id, s AS comp FROM be
+       |  UNION
+       |  SELECT be.d AS doc_id, r.comp AS comp
+       |  FROM r JOIN be ON be.s = r.doc_id
+       |  WHERE r.comp < be.d
+       |),
+       |adm AS MATERIALIZED (
+       |  SELECT d.doc_id FROM documents d
+       |  WHERE d.doc_id % $PROBE_MOD = 0 AND d.doc_id NOT IN (
+       |    SELECT doc_id FROM r GROUP BY doc_id HAVING min(comp) < doc_id)),
+       |sk AS MATERIALIZED (
+       |  SELECT DISTINCT i, k FROM sbx JOIN adm USING (doc_id)),
+       |h AS (
+       |  SELECT p.doc_id, count(*) AS n_hits
+       |  FROM bx p JOIN sk ON p.i = sk.i AND p.k = sk.k
+       |  WHERE p.doc_id % $PROBE_MOD <> 0
+       |  GROUP BY p.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  coalesce(h.n_hits, 0) = 0 AS would_admit
+       |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+       |WHERE d.doc_id % $PROBE_MOD <> 0
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Number of staged files (= micro-batches) for the PACED streaming
     * gate query; batch k holds doc_id ≡ k (mod PACED_BATCHES), which is
     * what lets the oracle replay the exact batch boundaries in SQL. */
@@ -1018,6 +1093,8 @@ object Dedup extends QueryModule {
       "C4-style span dedup: first occurrence kept, docs rewritten"),
     QueryDef("neardedup_ingest", neardedupIngest, Some(neardedupIngestSql),
       "LSH band-collision cluster admission (streaming core, one batch)"),
+    QueryDef("neardedup_probe", neardedupProbe, Some(neardedupProbeSql),
+      "read-only admission probe of a holdout vs the ingested band state"),
     QueryDef("near_dedup", nearDedup, Some(nearDedupSql),
       "MinHash + banded LSH near-dup pairs, exact-Jaccard verified"),
     QueryDef("near_dedup_salted", nearDedupSalted, Some(nearDedupSql),

@@ -23,6 +23,34 @@ class InvariantSpec extends SparkSpecBase {
     assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
   }
 
+  test("neardedup_probe: verdicts match live singleton admission; read-only") {
+    val out = operators.Dedup.neardedupProbe(spark, sfDir)
+      .select("doc_id", "n_hits", "would_admit")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, h, adm) =>
+      assert(h >= 0 && h <= operators.Dedup.LSH_BANDS, s"doc $id: n_hits $h")
+      assert(adm == (h == 0), s"doc $id: verdict inconsistent with hits")
+    }
+    // The probe must agree with the engine's own cross-batch rule: a
+    // probe doc fed as a SINGLETON second batch after ingesting the
+    // state slice is admitted iff the read-only probe said so (a lone
+    // doc has no intra-batch cluster step — the two paths coincide).
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val m = operators.Dedup.PROBE_MOD
+    val (_, stateKeys) = streaming.StreamNearDedup.admitBatch(spark,
+      docs.filter(col("doc_id") % m === 0),
+      streaming.StreamNearDedup.emptyState(spark))
+    val state = stateKeys.localCheckpoint()
+    val sample = (out.filter(_._3).take(2) ++ out.filterNot(_._3).take(2)).toSeq
+    assert(sample.size >= 3, "fixture should yield both verdicts")
+    sample.foreach { case (id, _, adm) =>
+      val live = streaming.StreamNearDedup.admitBatch(spark,
+        docs.filter(col("doc_id") === id), state)._1.count() == 1
+      assert(live == adm, s"doc $id: probe said $adm, live admission $live")
+    }
+  }
+
   test("bigram_relfreq: relfreq sums to ~1 per left word") {
     val sums = operators.TextCore.bigramRelfreq(spark, sfDir)
       .groupBy("w1").agg(sum("relfreq").as("s"))
