@@ -15,6 +15,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   sim <vec_id> [k]            exact top-k neighbours of a vector
   *   ann <vec_id> [k]            approximate top-k from the persisted IVF-PQ index
   *   near <doc_id>               the doc's near-duplicate cluster
+  *   admit <doc_id>              would-be-admitted probe vs the rest of the corpus
   *   quit
   * }}}
   *
@@ -47,6 +48,9 @@ object Repl {
       case Seq("near", id) =>
         for (i <- id.toLongOption; if i >= 0)
           yield operators.Dedup.nearCluster(spark, sfDir, i)
+      case Seq("admit", id) =>
+        for (i <- id.toLongOption; if i >= 0)
+          yield operators.Dedup.probeOne(spark, sfDir, i)
       case Seq("ann", id) =>
         for (i <- id.toLongOption; if i >= 0)
           yield operators.Similarity.annNearestTo(spark, sfDir, i,
@@ -74,7 +78,7 @@ object Repl {
     spark.sparkContext.setLogLevel("WARN")
     println(s"graft repl over $sfDir — " +
       "`q <postfix boolean>`, `rank <free text>`, `sim <vec_id> [k]`, " +
-      "`ann <vec_id> [k]`, `near <doc_id>`, `quit`")
+      "`ann <vec_id> [k]`, `near <doc_id>`, `admit <doc_id>`, `quit`")
     var line = scala.io.StdIn.readLine("graft> ")
     while (line != null && line.trim != "quit" && line.trim != "exit") {
       // One guard around dispatch AND show: a malformed-but-plausible
@@ -83,7 +87,7 @@ object Repl {
       try dispatch(spark, sfDir, line) match {
         case Some(df) => df.show(50, truncate = false)
         case None => println(
-          "commands: q <postfix boolean query> | rank <free text> | sim <vec_id> [k] | ann <vec_id> [k] | near <doc_id> | quit")
+          "commands: q <postfix boolean query> | rank <free text> | sim <vec_id> [k] | ann <vec_id> [k] | near <doc_id> | admit <doc_id> | quit")
       } catch { case e: Exception => println(s"error: ${e.getMessage}") }
       line = scala.io.StdIn.readLine("graft> ")
     }

@@ -925,6 +925,26 @@ object Dedup extends QueryModule {
        |WHERE d.doc_id % $PROBE_MOD <> 0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Interactive single-candidate form of [[neardedupProbe]] (the
+    * Repl's `admit <doc_id>`): would `docId` be admitted against the
+    * state the REST of the corpus ingests? Same per-candidate verdict
+    * columns as the gate query. */
+  def probeOne(spark: SparkSession, dir: String, docId: Long): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val (_, stateKeys) = graft.streaming.StreamNearDedup.admitBatch(spark,
+      docs.filter(col("doc_id") =!= docId),
+      graft.streaming.StreamNearDedup.emptyState(spark))
+    val state = stateKeys.select(col("band_idx"), col("band_key")).distinct()
+    val hits = bandKeys(spark, docs.filter(col("doc_id") === docId))
+      .join(state, Seq("band_idx", "band_key"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    docs.filter(col("doc_id") === docId).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).cast("long").as("n_hits"),
+        (coalesce(col("hits"), lit(0L)) === 0).as("would_admit"))
+  }
+
   /** Number of staged files (= micro-batches) for the PACED streaming
     * gate query; batch k holds doc_id ≡ k (mod PACED_BATCHES), which is
     * what lets the oracle replay the exact batch boundaries in SQL. */

@@ -58,6 +58,29 @@ class ReplSpec extends SparkSpecBase {
     assert(Repl.dispatch(spark, sfDir, "near -1").isEmpty)
   }
 
+  test("admit routes to the single-candidate probe with both verdicts") {
+    // A doc with a near-dup elsewhere in the corpus collides with the
+    // rest-of-corpus state (would_admit = false); a singleton doc
+    // probes clean. An absent id yields zero rows; a negative id, the
+    // help path.
+    val comps = SparkEntry.queries("dedup_components")(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val dup = comps.head._1
+    val dupRow = Repl.dispatch(spark, sfDir, s"admit $dup").get
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(dupRow.size == 1 && dupRow.head._1 == dup)
+    assert(!dupRow.head._3 && dupRow.head._2 > 0,
+      s"near-dup doc $dup must collide with the rest-of-corpus state")
+    val clustered = comps.map(_._1).toSet
+    val singleton = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .as[Long].collect().find(!clustered(_)).get
+    val s = Repl.dispatch(spark, sfDir, s"admit $singleton").get
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(s == Seq((singleton, 0L, true)))
+    assert(Repl.dispatch(spark, sfDir, "admit 999999999").get.count() == 0)
+    assert(Repl.dispatch(spark, sfDir, "admit -1").isEmpty)
+  }
+
   test("ann routes to the persisted-index serve with default and explicit k") {
     val d = Repl.dispatch(spark, sfDir, "ann 0").get
       .as[(Long, Double, Int)].collect().toSeq
