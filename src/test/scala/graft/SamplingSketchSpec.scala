@@ -61,6 +61,37 @@ class SamplingSketchSpec extends SparkSpecBase {
       "A-ES selection must not depend on physical layout")
   }
 
+  test("weighted_sample: seeded fuzz vs the sequential replay on random corpora") {
+    val rnd = new scala.util.Random(20260814L)
+    for (fuzzRound <- 1 to 3) {
+      val n = 50 + rnd.nextInt(150)
+      val k = 1 + rnd.nextInt(6)
+      val docs = (1 to n).map { i =>
+        (rnd.nextLong(1L << 40).abs, s"s${rnd.nextInt(4)}",
+          1L + rnd.nextInt(100000))
+      }.distinctBy(_._1) // doc_id must be unique for the tiebreak
+      val df = docs.toDF("doc_id", "source", "n_chars").repartition(5)
+      val tk = udaf(new graft.functions.BoundedTopK(k))
+      val h = functions.TextFns.hash56(col("doc_id").cast("string"))
+      val u = (h.cast("double") + lit(1.0)) / lit(7.2057594037927936e16)
+      val key = round(-log(u) / greatest(col("n_chars"), lit(1L)) * lit(1e6), 0)
+        .cast("long")
+      val got = df.withColumn("kk", key).groupBy(col("source"))
+        .agg(tk((-col("kk")).as("v"), col("doc_id")).as("tk"))
+        .select(col("source"), explode(col("tk.entries.tie")).as("doc_id"))
+        .as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = docs.groupBy(_._2).map { case (src, rows) =>
+        src -> rows.map { case (id, _, w) =>
+          val uu = (functions.TextFns.hash56Local(id.toString) + 1.0) /
+            7.2057594037927936e16
+          (math.round(-math.log(uu) / math.max(w, 1L) * 1e6), id)
+        }.sorted.take(k).map(_._2).toSet
+      }
+      assert(got == want, s"fuzz round $fuzzRound (n=$n k=$k) diverged")
+    }
+  }
+
   test("cardinality_sketch: fixture booleans hold; merged ≡ direct") {
     val rows = operators.Pipeline.cardinalitySketch(spark, sfDir)
       .select("event_type", "approx_ok", "merge_ok")
