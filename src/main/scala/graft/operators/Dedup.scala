@@ -870,22 +870,31 @@ object Dedup extends QueryModule {
     * candidate minhashing stays embarrassingly parallel. The gate form
     * ingests the non-holdout slice from empty state (one batch, the
     * ingest query's own math) and probes the holdout. */
-  def neardedupProbe(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val stateDocs = docs.filter(col("doc_id") % PROBE_MOD === 0)
-    val probeDocs = docs.filter(col("doc_id") % PROBE_MOD =!= 0)
-    val (_, stateKeys) = graft.streaming.StreamNearDedup
-      .admitBatch(spark, stateDocs, graft.streaming.StreamNearDedup
-        .emptyState(spark))
+  /** Per-candidate probe verdict against an admitted band-key state —
+    * THE one definition behind the gate query and the Repl's
+    * single-candidate `admit` (a drifting copy would desynchronize
+    * the interactive verdict from the oracle-checked one): count each
+    * candidate's LSH bands colliding with the state, admit iff zero. */
+  private def probeVerdicts(spark: SparkSession, stateKeys: DataFrame,
+      candidates: DataFrame): DataFrame = {
     val state = stateKeys.select(col("band_idx"), col("band_key")).distinct()
-    val hits = bandKeys(spark, probeDocs)
+    val hits = bandKeys(spark, candidates)
       .join(state, Seq("band_idx", "band_key"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
-    probeDocs.select(col("doc_id"))
+    candidates.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("hits"), lit(0L)).cast("long").as("n_hits"),
         (coalesce(col("hits"), lit(0L)) === 0).as("would_admit"))
+  }
+
+  def neardedupProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val (_, stateKeys) = graft.streaming.StreamNearDedup
+      .admitBatch(spark, docs.filter(col("doc_id") % PROBE_MOD === 0),
+        graft.streaming.StreamNearDedup.emptyState(spark))
+    probeVerdicts(spark, stateKeys,
+      docs.filter(col("doc_id") % PROBE_MOD =!= 0))
       .orderBy(col("doc_id"))
   }
 
@@ -934,15 +943,7 @@ object Dedup extends QueryModule {
     val (_, stateKeys) = graft.streaming.StreamNearDedup.admitBatch(spark,
       docs.filter(col("doc_id") =!= docId),
       graft.streaming.StreamNearDedup.emptyState(spark))
-    val state = stateKeys.select(col("band_idx"), col("band_key")).distinct()
-    val hits = bandKeys(spark, docs.filter(col("doc_id") === docId))
-      .join(state, Seq("band_idx", "band_key"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
-    docs.filter(col("doc_id") === docId).select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("hits"), lit(0L)).cast("long").as("n_hits"),
-        (coalesce(col("hits"), lit(0L)) === 0).as("would_admit"))
+    probeVerdicts(spark, stateKeys, docs.filter(col("doc_id") === docId))
   }
 
   /** Number of staged files (= micro-batches) for the PACED streaming

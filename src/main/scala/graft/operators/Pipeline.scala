@@ -324,14 +324,23 @@ object Pipeline extends QueryModule {
     * difference cannot flip a selection at the rank-k boundary (the
     * QueryDef portability rules, applied to the ordering key itself;
     * ties then break on doc_id identically in both engines). */
+  /** The A-ES ordering key as a micro-rounded long — THE one
+    * definition (production query, SamplingSketchSpec's injected
+    * corpora, and the oracle's SQL mirror below must all rank on
+    * identical math; a drifting copy would keep tests green while the
+    * shipped query diverges). `double(h) + 1.0` everywhere: adding
+    * before the double conversion re-rounds differently for
+    * h ≥ 2^53. */
+  def aesKeyMicro(docId: Column, weight: Column): Column = {
+    val u = (TextFns.hash56(docId.cast("string")).cast("double") + lit(1.0)) /
+      lit(7.2057594037927936e16)
+    round(-log(u) / greatest(weight, lit(1L)) * lit(1e6), 0).cast("long")
+  }
+
   def weightedSample(spark: SparkSession, dir: String): DataFrame = {
     val tk = udaf(new graft.functions.BoundedTopK(WEIGHTED_SAMPLE_K))
-    val h = TextFns.hash56(col("doc_id").cast("string"))
-    val u = (h.cast("double") + lit(1.0)) / lit(7.2057594037927936e16)
-    val keyMicro = round(-log(u) / greatest(col("n_chars"), lit(1L)) * lit(1e6), 0)
-      .cast("long")
     Tables.documents(spark, dir)
-      .withColumn("skey_micro", keyMicro)
+      .withColumn("skey_micro", aesKeyMicro(col("doc_id"), col("n_chars")))
       .groupBy(col("source"))
       .agg(tk((-col("skey_micro")).as("v"), col("doc_id")).as("tk"))
       .select(col("source"), explode(col("tk.entries")).as("e"))
@@ -343,7 +352,14 @@ object Pipeline extends QueryModule {
   /** Oracle: the window-rank form of the same A-ES draw — per-source
     * `row_number` over the identical micro-rounded key. */
   val weightedSampleSql = {
-    val u = s"(${TextFns.hash56Sql("CAST(doc_id AS VARCHAR)")} + 1) / 72057594037927936.0"
+    // CAST to DOUBLE BEFORE adding 1: Spark computes double(h) + 1.0,
+    // and for h ≥ 2^53 (most 56-bit draws) DuckDB's exact-integer
+    // (h + 1) can round to a DIFFERENT double, shifting the key by an
+    // ulp and potentially flipping a rank-k selection at a .5 micro
+    // boundary — the failure class the long-rounding exists to absorb,
+    // reintroduced by operation order.
+    val u = s"(CAST(${TextFns.hash56Sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 1)" +
+      " / 72057594037927936.0"
     s"""WITH keyed AS (
        |  SELECT source, doc_id,
        |    CAST(round(-ln($u) / greatest(n_chars, 1) * 1000000, 0) AS BIGINT)

@@ -1397,18 +1397,23 @@ object Similarity extends QueryModule {
     * call returns). */
   def annIndexCompact(spark: SparkSession, indexBase: String): Unit =
     upsertLocks.getOrElseUpdate(indexBase, new Object).synchronized {
+      // Sweep FIRST, from current manifest state alone: everything the
+      // pointer no longer references — folded delta payloads, non-
+      // current generations — is garbage no matter which crashed or
+      // completed attempt left it, so a GC interrupted last time is
+      // finished this time (this is what makes "a later compaction
+      // removes crash debris" true rather than aspirational).
+      gcInvisible(indexBase)
       val (gen, folded) = manifest(indexBase)
       val pending = committedDeltas(indexBase).filter(_ > folded)
       if (pending.nonEmpty) {
         val newGen = gen + 1
-        def stage(table: String): Boolean = {
-          val has = new java.io.File(codesRoot(indexBase, table, gen)).exists()
-          if (has) readCodes(spark, indexBase, table)
-            .repartition(col("cell"))
-            .write.partitionBy("cell").mode("overwrite")
-            .parquet(codesRoot(indexBase, table, newGen))
-          has
-        }
+        def stage(table: String): Unit =
+          if (new java.io.File(codesRoot(indexBase, table, gen)).exists())
+            readCodes(spark, indexBase, table)
+              .repartition(col("cell"))
+              .write.partitionBy("cell").mode("overwrite")
+              .parquet(codesRoot(indexBase, table, newGen))
         stage("codes")
         stage("rcodes")
         val tmp = java.nio.file.Paths.get(indexBase, "MANIFEST.tmp")
@@ -1418,17 +1423,35 @@ object Similarity extends QueryModule {
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         // Visible state is now gen+1 only — reclaim what it replaced.
-        pending.foreach { k =>
-          graft.streaming.StreamingOps.deleteRecursively(
-            java.nio.file.Paths.get(s"$indexBase/deltas/$k"))
-        }
-        for (table <- Seq("codes", "rcodes")) {
-          val old = java.nio.file.Paths.get(codesRoot(indexBase, table, gen))
-          if (java.nio.file.Files.exists(old))
-            graft.streaming.StreamingOps.deleteRecursively(old)
-        }
+        gcInvisible(indexBase)
       }
     }
+
+  /** Delete every code payload the CURRENT manifest does not
+    * reference: delta directories with id ≤ foldedUpTo and code-table
+    * generations other than the live one (including the gen-0 build
+    * tables once a later generation is live). Markers are kept — ids
+    * must stay monotonic across folds. Derived purely from on-disk
+    * pointer state, so it is safe to run at any point the compaction
+    * lock is held and idempotent across crashes. */
+  private def gcInvisible(indexBase: String): Unit = {
+    val (gen, folded) = manifest(indexBase)
+    committedDeltas(indexBase).filter(_ <= folded).foreach { k =>
+      val d = java.nio.file.Paths.get(s"$indexBase/deltas/$k")
+      if (java.nio.file.Files.exists(d))
+        graft.streaming.StreamingOps.deleteRecursively(d)
+    }
+    for (table <- Seq("codes", "rcodes")) {
+      val live = codesRoot(indexBase, table, gen)
+      val stale = (0L to gen).map(g => codesRoot(indexBase, table, g))
+        .filterNot(_ == live)
+      stale.foreach { p =>
+        val sp = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(sp))
+          graft.streaming.StreamingOps.deleteRecursively(sp)
+      }
+    }
+  }
 
   private[graft] def readCodes(spark: SparkSession, base: String,
       table: String = "codes"): DataFrame = {

