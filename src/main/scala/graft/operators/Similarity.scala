@@ -1124,6 +1124,27 @@ object Similarity extends QueryModule {
     * the cached per-dataset index. */
   private[graft] def buildIndexAt(spark: SparkSession, raw: DataFrame,
       base: String, withResiduals: Boolean = true): Unit = {
+    // A rebuild is a FRESH index: wipe all maintenance state first —
+    // the MANIFEST generation pointer, committed deltas/markers, and
+    // historical generation directories. Without this, rebuilding over
+    // a compacted index writes gen-0 tables a gen-N MANIFEST never
+    // references: readCodes keeps serving the stale generation and the
+    // next compaction's GC deletes the fresh rebuild as non-current.
+    locally {
+      val b = java.nio.file.Paths.get(base)
+      if (java.nio.file.Files.exists(b)) {
+        val stale = scala.util.Using.resource(java.nio.file.Files.list(b)) { s =>
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n == "MANIFEST" || n == "MANIFEST.tmp" || n == "deltas" ||
+              n == "commits" || n.startsWith("codes-g") ||
+              n.startsWith("rcodes-g")
+          }.toList
+        }
+        stale.foreach(graft.streaming.StreamingOps.deleteRecursively)
+      }
+    }
     val en = normalizedFrom(raw).localCheckpoint()
     val cent = trainedCodebook(en, strideCodebook(en), IVF_TRAIN_ITERS)
       .localCheckpoint() // feeds assignment, residual join, and the writes
@@ -1441,16 +1462,22 @@ object Similarity extends QueryModule {
       if (java.nio.file.Files.exists(d))
         graft.streaming.StreamingOps.deleteRecursively(d)
     }
-    for (table <- Seq("codes", "rcodes")) {
-      val live = codesRoot(indexBase, table, gen)
-      val stale = (0L to gen).map(g => codesRoot(indexBase, table, g))
-        .filterNot(_ == live)
-      stale.foreach { p =>
-        val sp = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.exists(sp))
-          graft.streaming.StreamingOps.deleteRecursively(sp)
-      }
+    // Stale generations by DIRECTORY LISTING, not by probing every id
+    // in 0..gen — a long-lived maintenance loop's gen counter grows
+    // forever, and per-fold GC cost must scale with what actually
+    // exists (a handful of live entries), not with the loop's age.
+    val live = Set(codesRoot(indexBase, "codes", gen),
+      codesRoot(indexBase, "rcodes", gen))
+    val b = java.nio.file.Paths.get(indexBase)
+    val stale = scala.util.Using.resource(java.nio.file.Files.list(b)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        (n == "codes" || n == "rcodes" || n.startsWith("codes-g") ||
+          n.startsWith("rcodes-g")) && !live.contains(p.toString)
+      }.toList
     }
+    stale.foreach(graft.streaming.StreamingOps.deleteRecursively)
   }
 
   private[graft] def readCodes(spark: SparkSession, base: String,
@@ -1821,31 +1848,34 @@ object Similarity extends QueryModule {
     dir
   }
 
-  def annIndexUpserted(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared chassis of the two maintenance gate queries (one
+    * definition — they register the SAME oracle, so their projection
+    * and ordering must never drift apart): copy the cached base-slice
+    * index, append the full corpus as a frozen-quantizer delta, run
+    * `andThen` on the work dir, and emit the stored codes read back
+    * from parquet. */
+  private def upsertGate(spark: SparkSession, dir: String, tag: String)(
+      andThen: String => Unit): DataFrame = {
     val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val work = freshWorkDir("upsert", dir)
+    val work = freshWorkDir(tag, dir)
     copyDir(upsertSliceIndex(spark, dir), work)
     annIndexUpsert(spark, work, raw)
+    andThen(work)
     readCodes(spark, work)
       .select(col("vec_id"), col("m").cast("int").as("m"), col("code"), col("cell"))
       .orderBy(col("vec_id"), col("m"))
   }
 
-  /** Gate query for [[annIndexCompact]]: run the maintenance append,
-    * compact it into a new generation, and emit the stored codes read
-    * from the compacted file alone — which must be indistinguishable
-    * from the pre-compaction delta-union read, so the query shares
+  def annIndexUpserted(spark: SparkSession, dir: String): DataFrame =
+    upsertGate(spark, dir, "upsert")(_ => ())
+
+  /** Gate query for [[annIndexCompact]]: the maintenance append
+    * followed by a generation fold — the stored codes read from the
+    * compacted file alone must be indistinguishable from the
+    * pre-compaction delta-union read, so the query shares
     * `ann_index_upsert`'s slice-training + union-encode oracle. */
-  def annIndexCompacted(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val work = freshWorkDir("compactq", dir)
-    copyDir(upsertSliceIndex(spark, dir), work)
-    annIndexUpsert(spark, work, raw)
-    annIndexCompact(spark, work)
-    readCodes(spark, work)
-      .select(col("vec_id"), col("m").cast("int").as("m"), col("code"), col("cell"))
-      .orderBy(col("vec_id"), col("m"))
-  }
+  def annIndexCompacted(spark: SparkSession, dir: String): DataFrame =
+    upsertGate(spark, dir, "compactq")(w => annIndexCompact(spark, w))
 
   /** Recursive local-filesystem copy — gate-query scaffolding that
     * keeps the cached slice index immutable across executions (index

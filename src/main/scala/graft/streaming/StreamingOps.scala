@@ -75,11 +75,19 @@ object StreamingOps extends QueryModule {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("cnt"))
 
-  /** Sliding-window geometry: 60-min windows advancing every 30 min,
-    * so every event belongs to exactly duration/slide = 2 overlapping
-    * windows. */
-  val SLIDE_DURATION = "60 minutes"
-  val SLIDE_STEP = "30 minutes"
+  /** Sliding-window geometry: SLIDE_DUR_MIN-minute windows advancing
+    * every SLIDE_STEP_MIN minutes, so every event belongs to exactly
+    * duration/step overlapping windows (the step must divide the
+    * duration — Spark's own window() requirement for the member-window
+    * explode the oracle mirrors). Oracle and query both derive from
+    * these two ints, so retuning the geometry cannot desynchronize
+    * them. */
+  val SLIDE_DUR_MIN = 60
+  val SLIDE_STEP_MIN = 30
+  require(SLIDE_DUR_MIN % SLIDE_STEP_MIN == 0,
+    "sliding-window step must divide the duration")
+  val SLIDE_DURATION = s"$SLIDE_DUR_MIN minutes"
+  val SLIDE_STEP = s"$SLIDE_STEP_MIN minutes"
 
   /** SLIDING 60-min counts every 30 min — the overlapping-window form
     * of [[eventCounts]] (`window(ts, dur, slide)`), the moving-average
@@ -519,21 +527,25 @@ object StreamingOps extends QueryModule {
   def eventCountSliding(spark: SparkSession, dir: String): DataFrame =
     slidingCounts(Tables.events(spark, dir)).orderBy(col("window_start"))
 
-  /** Oracle: each event's two member windows are its 30-min bucket and
-    * the one before it (both always cover the event: ts ∈ [s, s+30) ⊂
-    * [s, s+60) and ⊂ [s−30, s+30)), so the sliding aggregation is a
-    * 2-way window-start explode + tumbling count — which is exactly
-    * how the engine itself physically evaluates `window(dur, slide)`. */
-  val eventCountSlidingSql =
-    """WITH cand AS (
-      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start
-      |    FROM events
-      |  UNION ALL
-      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
-      |    FROM events)
-      |SELECT window_start, window_start + INTERVAL '60 minutes' AS window_end,
-      |  count(*) AS cnt
-      |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin
+  /** Oracle: each event's member windows are its step-bucket and the
+    * duration/step − 1 buckets before it (every one covers the event:
+    * ts ∈ [s, s+step) ⊂ [s − k·step, s − k·step + dur) for
+    * k < dur/step), so the sliding aggregation is a member-window
+    * explode + tumbling count — which is exactly how the engine itself
+    * physically evaluates `window(dur, slide)`. Rendered from the same
+    * SLIDE_* ints as the query. */
+  val eventCountSlidingSql = {
+    val starts = (0 until SLIDE_DUR_MIN / SLIDE_STEP_MIN).map { k =>
+      s"""  SELECT time_bucket(INTERVAL '$SLIDE_STEP', ts)""" +
+        (if (k == 0) "" else s" - INTERVAL '${k * SLIDE_STEP_MIN} minutes'") +
+        s" AS window_start\n    FROM events"
+    }.mkString("WITH cand AS (\n", "\n  UNION ALL\n", ")")
+    s"""$starts
+       |SELECT window_start,
+       |  window_start + INTERVAL '$SLIDE_DURATION' AS window_end,
+       |  count(*) AS cnt
+       |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   def regionEventCount(spark: SparkSession, dir: String): DataFrame =
     regionEventCounts(Tables.events(spark, dir))

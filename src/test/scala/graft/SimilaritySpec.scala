@@ -367,6 +367,18 @@ class SimilaritySpec extends SparkSpecBase {
       .as[(Long, Int, Long, Long)].collect().toSet
     assert(Similarity.readCodes(spark, idx)
       .as[(Long, Int, Long, Long)].collect().toSet == onePass)
+    // Rebuild-in-place (the periodic re-train the upsert scaladoc
+    // routes re-embedded ids to) must RESET the maintenance state: a
+    // gen-N MANIFEST left behind would keep serving the old
+    // generation and the next GC would delete the fresh gen-0 tables.
+    Similarity.buildIndexAt(spark, base, idx)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx, "MANIFEST")),
+      "rebuild must clear the generation pointer")
+    assert(Similarity.readCodes(spark, idx)
+      .select(col("vec_id")).distinct().as[Long].collect().toSet ==
+      base.select(col("vec_id")).as[Long].collect().toSet,
+      "rebuild must serve exactly the rebuilt corpus")
   }
 
   test("annIndexUpsert: a crashed (uncommitted) delta is invisible and replay heals it") {
