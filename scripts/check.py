@@ -104,27 +104,36 @@ def main():
         f"DuckDB quantile_disc rank convention drifted: expected value at "
         f"rank ceil(p*n) == (10, 5, 1) on 1..10, got {probe}; the "
         f"value_quantiles_approx oracle equivalence no longer holds")
-    # The span_dedup oracle slices token lists as ts[a : b] expecting
-    # 1-based, BOTH-ends-inclusive semantics (mirroring Spark's
-    # slice(ts, a, b-a+1)), and rebuilds text with string_agg(... ORDER
-    # BY span_idx) expecting a deterministic, argument-ordered join.
-    # Pin both so an engine drift fails with a named cause.
-    probe = con.sql("SELECT range(1, 11)[2:4]").fetchone()[0]
-    assert list(probe) == [2, 3, 4], (
-        f"DuckDB list-slice convention drifted: expected [a:b] 1-based "
-        f"inclusive == [2, 3, 4] on range(1,11)[2:4], got {probe}; the "
-        f"span_dedup oracle's span slicing no longer mirrors Spark slice()")
-    probe = con.sql("SELECT range(1, 11)[8:99]").fetchone()[0]
-    assert list(probe) == [8, 9, 10], (
-        f"DuckDB list-slice tail clamping drifted: expected [8, 9, 10] "
-        f"on range(1,11)[8:99], got {probe}; the span_dedup oracle's "
-        f"remainder-keeping tail span no longer mirrors Spark slice()")
+    # The span_dedup oracle derives spans from token ORDINALS: zipped
+    # `unnest(ts)` + `generate_subscripts(ts, 1)` in one SELECT must
+    # yield exactly len(ts) rows pairing each element with its 1-based
+    # position (the round-11 driver red was an oracle construct the
+    # driver's DuckDB evaluated differently; after the port, every
+    # construct the oracle uses uniquely is pinned here by name).
+    probe = con.sql(
+        "SELECT unnest(['a','b','c']) AS tok, "
+        "generate_subscripts(['a','b','c'], 1) AS ord").fetchall()
+    assert probe == [("a", 1), ("b", 2), ("c", 3)], (
+        f"DuckDB zipped unnest/generate_subscripts drifted: expected "
+        f"[('a',1),('b',2),('c',3)], got {probe}; the span_dedup "
+        f"oracle's ordinality derivation no longer pairs tokens with "
+        f"their 1-based positions")
+    # Span bucketing: floor((ord-1)/10.0) must map ordinals 1..10 to
+    # span 0 and 11 to span 1 (the remainder-keeping tail span falls
+    # out of grouping — no slice clamping involved).
+    probe = con.sql(
+        "SELECT CAST(floor((x - 1) / 10.0) AS INT) FROM "
+        "(VALUES (1), (10), (11)) t(x) ORDER BY x").fetchall()
+    assert [r[0] for r in probe] == [0, 0, 1], (
+        f"DuckDB floor-division span bucketing drifted: expected "
+        f"[0, 0, 1] for ordinals 1/10/11 at span size 10, got {probe}; "
+        f"the span_dedup oracle's span_idx no longer matches Spark's")
     probe = con.sql(
         "SELECT string_agg(s, ' ' ORDER BY i) FROM (VALUES (2, 'b'), "
         "(1, 'a'), (3, 'c')) t(i, s)").fetchone()[0]
     assert probe == "a b c", (
         f"DuckDB string_agg ORDER BY drifted: expected 'a b c', got "
-        f"{probe!r}; the span_dedup oracle's text reassembly is no "
+        f"{probe!r}; the span_dedup oracle's span/text reassembly is no "
         f"longer deterministic")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

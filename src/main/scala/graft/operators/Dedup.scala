@@ -1085,28 +1085,46 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Oracle for [[spanDedupGate]]. Round 11's only driver-red row was
+    * this query, with the engine output proven correct by three-way
+    * agreement (Spark local[4]≡local[32], DuckDB 1.0.0 local gate,
+    * pure-Python replay) — the mismatch was the driver's DuckDB
+    * evaluating one of the oracle's uniquely-used constructs
+    * differently. This formulation drops all three suspects: spans are
+    * derived from token ORDINALS (zipped `unnest` +
+    * `generate_subscripts`, the Postgres-era construct family) instead
+    * of a correlated `CROSS JOIN unnest(range(...))`; each span is
+    * rebuilt with `string_agg(token ORDER BY ord)` per
+    * `(doc_id, span_idx)` instead of `ts[a:b]` slice sugar; and kept
+    * rows are filtered in a CTE BEFORE any aggregate, so no
+    * NULL-skipping `string_agg(CASE WHEN ...)` remains. Verified
+    * value-identical to the previous formulation on sf0.01 under
+    * DuckDB 1.0.0; `scripts/check.py` pins each construct with a named
+    * self-probe. */
   val spanDedupSql = {
     val ts = TextFns.tokenizeSql("text")
     s"""WITH d AS (SELECT doc_id, $ts AS ts FROM documents),
-       |sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx,
-       |    array_to_string(ts[i * $SPAN_TOKENS + 1 : (i + 1) * $SPAN_TOKENS], ' ') AS span
-       |  FROM d CROSS JOIN
-       |    unnest(range(0, CAST(ceil(len(ts) / ${SPAN_TOKENS}.0) AS BIGINT))) AS t(i)
-       |  WHERE len(ts) > 0),
+       |tk AS (SELECT doc_id, unnest(ts) AS tok,
+       |    generate_subscripts(ts, 1) AS ord FROM d),
+       |sp AS (SELECT doc_id,
+       |    CAST(floor((ord - 1) / ${SPAN_TOKENS}.0) AS INT) AS span_idx,
+       |    string_agg(tok, ' ' ORDER BY ord) AS span
+       |  FROM tk GROUP BY doc_id, span_idx),
        |mk AS (SELECT doc_id, span_idx, span,
        |    row_number() OVER (PARTITION BY ${TextFns.hash56Sql("span")}
        |      ORDER BY doc_id, span_idx) = 1 AS kept
        |  FROM sp),
-       |pd AS (SELECT doc_id, count(*) AS n_spans,
-       |    sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
-       |    coalesce(string_agg(CASE WHEN kept THEN span END, ' '
-       |      ORDER BY span_idx), '') AS cleaned_text
-       |  FROM mk GROUP BY doc_id)
-       |SELECT d.doc_id, coalesce(pd.n_spans, 0) AS n_spans,
-       |  coalesce(pd.n_kept, 0) AS n_kept,
-       |  ${TextFns.hash56Sql(s"coalesce(pd.cleaned_text, '')")} AS text_h56,
-       |  CAST(length(coalesce(pd.cleaned_text, '')) AS BIGINT) AS text_len
-       |FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+       |cnt AS (SELECT doc_id, count(*) AS n_spans FROM mk GROUP BY doc_id),
+       |kp AS (SELECT doc_id, span_idx, span FROM mk WHERE kept),
+       |kpa AS (SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(span, ' ' ORDER BY span_idx) AS cleaned_text
+       |  FROM kp GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(cnt.n_spans, 0) AS n_spans,
+       |  coalesce(kpa.n_kept, 0) AS n_kept,
+       |  ${TextFns.hash56Sql(s"coalesce(kpa.cleaned_text, '')")} AS text_h56,
+       |  CAST(length(coalesce(kpa.cleaned_text, '')) AS BIGINT) AS text_len
+       |FROM d LEFT JOIN cnt USING (doc_id)
+       |LEFT JOIN kpa USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
   override def entries: Seq[QueryDef] = Seq(
