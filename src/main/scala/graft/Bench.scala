@@ -188,6 +188,27 @@ object Bench {
     val total = timings.values.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"prev":$prevs,"delta":$deltas,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
+    // The driver snapshots only the LAST ~2000 chars of stdout into
+    // BENCH_r{N}.json; the full line above is >2x that, so its head is
+    // cut off and the driver's JSON parse of it fails ("parsed": null,
+    // rounds 7-11). Emit a final COMPACT line that fits the tail whole:
+    // same shape (metric/value/unit/queries/sf), but the queries map
+    // holds only the slowest entries that fit a ~1700-char budget —
+    // the ones any plan audit reads first — with the rest summarized
+    // by count and a pointer to the always-whole BENCH_FULL artifact.
+    val fullName =
+      f"BENCH_FULL_r${currentRoundOrInferred(new java.io.File("."))}%02d.json"
+    val bySlowest = timings.toSeq.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","sf":"$sfDir","n_queries":${timings.size},"n_errors":${errors.size},"queries_full":${jstr(fullName)},"queries":{"""
+    val tail = "}}"
+    val budget = 1700 - head.length - tail.length
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    bySlowest.foreach { case (k, v) =>
+      val e = s"${jstr(k)}:${math.round(v * 1000) / 1000.0}"
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+    }
+    println(head + entries.mkString(",") + tail)
     // Persist the line WHOLE under a round-stamped name: the driver's
     // BENCH_r{N}.json snapshot of stdout has arrived tail-truncated
     // (round 7 lost 10 query entries and the total), which broke the
