@@ -1336,6 +1336,43 @@ object Similarity extends QueryModule {
       }
     }
 
+  /** Delete vectors from the index WITHOUT rewriting any code file —
+    * the third LSM maintenance op. Deletes land as a TOMBSTONE delta
+    * (`deltas/<k>/tombstones`, one vec_id column) under the same
+    * commit-marker protocol as the append: uncommitted tombstones are
+    * invisible, a crashed attempt's debris sits at the id the retry
+    * reuses and clobbers. At read time a tombstone masks code rows
+    * from every earlier sequence ([[readCodes]]) in BOTH code
+    * families; a later upsert of the same id resurrects it with fresh
+    * codes (last-writer-wins — and the upsert's known-ids anti-join
+    * sees tombstoned ids as absent, so re-insertion is the ordinary
+    * append path). Compaction physically drops masked code rows (its
+    * staging read IS [[readCodes]]) and GC reclaims folded tombstone
+    * payloads — the reclaim half of the protocol.
+    *
+    * Ids with no live codes are dropped before writing (semi-join
+    * against the visible id set), so re-delivering the same delete is
+    * a no-op rather than an unbounded tombstone-delta trail — the
+    * delete twin of the upsert's idempotence anti-join. */
+  def annIndexDelete(spark: SparkSession, indexBase: String,
+      ids: DataFrame): Unit =
+    upsertLocks.getOrElseUpdate(indexBase, new Object).synchronized {
+      val live = readCodes(spark, indexBase).select(col("vec_id")).distinct()
+      val doomed = ids.select(col("vec_id")).distinct()
+        .join(live, Seq("vec_id"), "left_semi").localCheckpoint()
+      if (!doomed.isEmpty) {
+        val k = committedDeltas(indexBase).maxOption.getOrElse(0L) + 1
+        // One file: a tombstone batch is ids only — megabytes at a
+        // scale where the codes they mask are terabytes.
+        doomed.coalesce(1).write.mode("overwrite")
+          .parquet(s"$indexBase/deltas/$k/tombstones")
+        val commits = java.nio.file.Paths.get(indexBase, "commits")
+        java.nio.file.Files.createDirectories(commits)
+        try java.nio.file.Files.createFile(commits.resolve(k.toString))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      }
+    }
+
   /** IVF-PQ serving straight from an index at an explicit location,
     * `raw` supplying the float corpus for the exact re-rank and the
     * stride query workload — [[annIvfPqServed]] for test-built
@@ -1386,7 +1423,17 @@ object Similarity extends QueryModule {
   private def manifest(base: String): (Long, Long) = {
     val p = java.nio.file.Paths.get(base, "MANIFEST")
     if (java.nio.file.Files.exists(p)) {
-      val parts = java.nio.file.Files.readString(p).trim.split("\\s+")
+      // Validated parse: ATOMIC_MOVE makes a torn pointer unlikely on a
+      // POSIX local FS, but the write is not fsynced and object-store
+      // backends lack atomic rename — a corrupt pointer must fail
+      // naming the index and the bytes found, not with a bare
+      // NumberFormatException three frames down.
+      val raw = java.nio.file.Files.readString(p)
+      val parts = raw.trim.split("\\s+")
+      require(parts.length == 2 && parts.forall(_.forall(_.isDigit)),
+        s"corrupt MANIFEST at $base: expected '<generation> <foldedUpTo>', " +
+          s"got ${raw.take(80).trim} — the compaction pointer is unreadable; " +
+          "restore it or delete it to fall back to generation 0")
       (parts(0).toLong, parts(1).toLong)
     } else (0L, 0L)
   }
@@ -1411,11 +1458,16 @@ object Similarity extends QueryModule {
     * ATOMIC_MOVE, and a crash before GC leaves only invisible
     * garbage a later compaction removes. Folded deltas keep their
     * commit MARKERS (ids must stay monotonic for the next append);
-    * readCodes skips them via the manifest's foldedUpTo bound. GC
-    * assumes the maintenance loop's single-writer posture and no
-    * in-flight reader plans against the old generation (both true for
-    * the gate/serve paths, which build their read plans after this
-    * call returns). */
+    * readCodes skips them via the manifest's foldedUpTo bound.
+    *
+    * GC is DEFERRED one fold: this call reclaims only what the
+    * manifest already stopped referencing before it ran (the previous
+    * fold's generation and folded deltas), never the generation it is
+    * replacing in this call — so a reader that built a plan against
+    * generation N just before the swap keeps its files until the
+    * NEXT compaction, and overlap between one fold and in-flight
+    * serves is safe. The single-writer posture (the per-base lock)
+    * remains required on the write side only. */
   def annIndexCompact(spark: SparkSession, indexBase: String): Unit =
     upsertLocks.getOrElseUpdate(indexBase, new Object).synchronized {
       // Sweep FIRST, from current manifest state alone: everything the
@@ -1423,7 +1475,9 @@ object Similarity extends QueryModule {
       // current generations — is garbage no matter which crashed or
       // completed attempt left it, so a GC interrupted last time is
       // finished this time (this is what makes "a later compaction
-      // removes crash debris" true rather than aspirational).
+      // removes crash debris" true rather than aspirational). Running
+      // the sweep ONLY here, before the fold, is the one-fold grace
+      // period the scaladoc promises in-flight readers.
       gcInvisible(indexBase)
       val (gen, folded) = manifest(indexBase)
       val pending = committedDeltas(indexBase).filter(_ > folded)
@@ -1443,8 +1497,10 @@ object Similarity extends QueryModule {
           java.nio.file.Paths.get(indexBase, "MANIFEST"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        // Visible state is now gen+1 only — reclaim what it replaced.
-        gcInvisible(indexBase)
+        // Visible state is now gen+1 only. What it replaced is NOT
+        // reclaimed here — the next compaction's entry sweep does it,
+        // giving in-flight readers of the old generation a full fold
+        // of grace (see scaladoc).
       }
     }
 
@@ -1483,18 +1539,44 @@ object Similarity extends QueryModule {
   private[graft] def readCodes(spark: SparkSession, base: String,
       table: String = "codes"): DataFrame = {
     val (gen, folded) = manifest(base)
-    val roots = (codesRoot(base, table, gen) +:
-      committedDeltas(base).filter(_ > folded)
-        .map(k => s"$base/deltas/$k/$table"))
-      .filter(p => new java.io.File(p).exists())
+    val pending = committedDeltas(base).filter(_ > folded)
+    // Every root carries its SEQUENCE (generation tables = 0, delta k =
+    // k): a tombstone in delta t masks code rows from any strictly
+    // earlier sequence, and a later re-upsert (codes at j > t)
+    // resurrects the id — last-writer-wins, the LSM ordering. The
+    // generation table is always sequence 0 because everything folded
+    // into it predates every pending delta (folded < k for all pending
+    // k), tombstones included — compaction bakes their effect in and
+    // GC reclaims them.
+    val roots = ((0L, codesRoot(base, table, gen)) +:
+      pending.map(k => (k, s"$base/deltas/$k/$table")))
+      .filter { case (_, p) => new java.io.File(p).exists() }
     require(roots.nonEmpty,
       s"index at $base has no '$table' table — built withResiduals=false? " +
         "(the residual serving path needs an index that stored rcodes)")
-    roots
-      .map(p => spark.read.parquet(p)
+    val codes = roots
+      .map { case (seq, p) => spark.read.parquet(p)
         .select(col("vec_id"), col("m"), col("code"),
-          col("cell").cast("long").as("cell")))
+          col("cell").cast("long").as("cell"), lit(seq).as("seq")) }
       .reduce(_ unionByName _)
+    val tombRoots = pending.map(k => (k, s"$base/deltas/$k/tombstones"))
+      .filter { case (_, p) => new java.io.File(p).exists() }
+    if (tombRoots.isEmpty) codes.drop("seq")
+    else {
+      // Newest tombstone per id, then one equi-join + filter: between
+      // compactions the pending tombstone set is maintenance-window
+      // sized, so Catalyst broadcasts it; if a delete backlog ever
+      // outgrew that, the same plan degrades to a shuffled join, not a
+      // rewrite.
+      val tombs = tombRoots
+        .map { case (seq, p) => spark.read.parquet(p)
+          .select(col("vec_id"), lit(seq).as("tseq")) }
+        .reduce(_ unionByName _)
+        .groupBy(col("vec_id")).agg(max(col("tseq")).as("tseq"))
+      codes.join(tombs, Seq("vec_id"), "left")
+        .filter(col("tseq").isNull || col("seq") > col("tseq"))
+        .drop("seq", "tseq")
+    }
   }
 
   /** Gate query: build + persist the index, then emit the stored codes
@@ -1794,6 +1876,13 @@ object Similarity extends QueryModule {
     * frozen quantizers. */
   val UPSERT_MOD = 4
 
+  /** Deleted slice for the delete gate: `vec_id % DELETE_MOD ==
+    * DELETE_MOD − 2`. 5 is coprime with [[UPSERT_MOD]]'s 4, so the
+    * tombstoned set straddles both the trained base slice and the
+    * appended delta — a delete that only ever hit one of them would
+    * leave the other root's masking untested. */
+  val DELETE_MOD = 5
+
   /** Gate query: the ANN maintenance loop — an EXISTING index (trained
     * on the base slice only; quantizers never saw the delta) receives
     * the delta via [[annIndexUpsert]] (frozen-quantizer encode, codes
@@ -1877,6 +1966,19 @@ object Similarity extends QueryModule {
   def annIndexCompacted(spark: SparkSession, dir: String): DataFrame =
     upsertGate(spark, dir, "compactq")(w => annIndexCompact(spark, w))
 
+  /** Gate query for [[annIndexDelete]]: the maintenance append
+    * followed by a tombstone delete of the `% DELETE_MOD` slice — the
+    * stored read (tombstone-masked delta union) must be
+    * indistinguishable from an index that never held those vectors,
+    * which is exactly what the oracle replays (slice-training +
+    * union-encode minus the deleted ids). */
+  def annIndexDeleted(spark: SparkSession, dir: String): DataFrame =
+    upsertGate(spark, dir, "deleteq") { w =>
+      annIndexDelete(spark, w,
+        Tables.embeddings(spark, dir).select(col("vec_id"))
+          .filter(col("vec_id") % DELETE_MOD === DELETE_MOD - 2))
+    }
+
   /** Recursive local-filesystem copy — gate-query scaffolding that
     * keeps the cached slice index immutable across executions (index
     * bases here are always local temp directories). */
@@ -1899,7 +2001,7 @@ object Similarity extends QueryModule {
     * codebook picks, exactly as [[buildIndexAt]] sees them), then
     * assign and encode the FULL corpus against the frozen results —
     * the one-pass-union form the append is spec-pinned equal to. */
-  val annIndexUpsertSql = {
+  private def annIndexUpsertSqlWhere(finalWhere: String) = {
     val ivfIters = (1 to IVF_TRAIN_ITERS).map { i =>
       kmeansIterSqlOn("ben", if (i == 1) "icent" else s"icent$i", s"i$i",
         s"icent${i + 1}")
@@ -1939,8 +2041,21 @@ object Similarity extends QueryModule {
        |${pqAssignSqlVs(fb, "f", "fcodes")}
        |SELECT c.vec_id, CAST(c.m AS INT) AS m, c.code, cl.cell
        |FROM fcodes c JOIN cells cl ON cl.vec_id = c.vec_id
+       |$finalWhere
        |ORDER BY c.vec_id, c.m""".stripMargin
   }
+
+  /** Oracle for `ann_index_upsert` (and, unchanged, for
+    * `ann_index_compact` — the fold must be invisible): see
+    * [[annIndexUpsertSqlWhere]]'s scaladoc. */
+  val annIndexUpsertSql = annIndexUpsertSqlWhere("")
+
+  /** Oracle for `ann_index_delete`: the same slice-training +
+    * union-encode replay MINUS the deleted ids — tombstones must make
+    * the stored read indistinguishable from an index that never held
+    * those vectors. */
+  val annIndexDeleteSql = annIndexUpsertSqlWhere(
+    s"WHERE c.vec_id % $DELETE_MOD <> ${DELETE_MOD - 2}")
 
   val annIvfPqTopkSql =
     s"""$ivfPqIndexBodySql,
@@ -2499,6 +2614,8 @@ object Similarity extends QueryModule {
       "train + persist the IVF-PQ index: centroids, codebooks, codes by cell"),
     QueryDef("ann_index_upsert", annIndexUpserted, Some(annIndexUpsertSql),
       "index maintenance: slice-trained index + frozen-quantizer delta append"),
+    QueryDef("ann_index_delete", annIndexDeleted, Some(annIndexDeleteSql),
+      "tombstone delete from the persisted index: masked reads, no rewrite"),
     QueryDef("ann_index_compact", annIndexCompacted, Some(annIndexUpsertSql),
       "LSM compaction: committed deltas folded into one base generation"),
     QueryDef("ann_ivfpq_served", annIvfPqServed, Some(annIvfPqTopkSql),

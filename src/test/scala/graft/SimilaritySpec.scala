@@ -342,18 +342,26 @@ class SimilaritySpec extends SparkSpecBase {
       .as[(Long, Int, Long, Long)].collect().toSet == before)
     assert(Similarity.readCodes(spark, idx, "rcodes")
       .as[(Long, Int, Long, Long)].collect().toSet == rbefore)
-    // Read path is ONE root again: the folded delta payloads are gone
-    // (their commit markers stay — ids must remain monotonic) and the
-    // serve-path plan scans no delta directory.
-    assert(!new java.io.File(s"$idx/deltas/1/codes").exists() &&
-      !new java.io.File(s"$idx/deltas/2/codes").exists(),
-      "folded delta payloads must be reclaimed")
+    // Read path is ONE root again: the serve-path plan scans no delta
+    // directory. The folded payloads are still ON DISK — GC is
+    // deferred one fold so in-flight readers of the old generation
+    // survive the swap — but the manifest makes them invisible.
+    assert(new java.io.File(s"$idx/deltas/1/codes").exists(),
+      "deferred GC must leave the just-folded payloads for one fold")
     val plan = Similarity.serveFromIndex(spark, idx, raw)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("/deltas/"),
       s"served plan still unions delta scans after compaction:\n$plan")
-    // No pending deltas ⇒ compaction is a no-op (same generation).
+    // No pending deltas ⇒ compaction is a no-op (same generation), and
+    // its entry sweep is where the PREVIOUS fold's garbage — folded
+    // delta payloads, the replaced generation — is finally reclaimed
+    // (commit markers stay: ids must remain monotonic).
     Similarity.annIndexCompact(spark, idx)
+    assert(!new java.io.File(s"$idx/deltas/1/codes").exists() &&
+      !new java.io.File(s"$idx/deltas/2/codes").exists(),
+      "the next compaction's sweep must reclaim folded delta payloads")
+    assert(!new java.io.File(s"$idx/codes").exists(),
+      "the next compaction's sweep must reclaim the replaced generation")
     assert(Similarity.readCodes(spark, idx)
       .as[(Long, Int, Long, Long)].collect().toSet == before)
     // The maintenance loop continues across compactions: a genuinely
@@ -421,6 +429,107 @@ class SimilaritySpec extends SparkSpecBase {
       .groupBy(col("vec_id")).count()
       .filter(col("count") =!= Similarity.PQ_M).count()
     assert(counts == 0, "a vector survived with a partial code set")
+  }
+
+  test("annIndexDelete: tombstones mask both families, compaction drops them, re-upsert resurrects") {
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = raw.filter(col("vec_id") % 4 =!= 3)
+    val delta = raw.filter(col("vec_id") % 4 === 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft_delete_idx_")
+      .toString
+    Similarity.buildIndexAt(spark, base, idx) // with residuals
+    Similarity.annIndexUpsert(spark, idx, delta)
+    // Doomed slice straddles the base build AND the appended delta, so
+    // the mask is exercised against both the generation root and a
+    // delta root.
+    val doomed = raw.filter(col("vec_id") % 5 === 3).select(col("vec_id"))
+    val doomedIds = doomed.as[Long].collect().toSet
+    assert(doomedIds.exists(_ % 4 == 3) && doomedIds.exists(_ % 4 != 3))
+    Similarity.annIndexDelete(spark, idx, doomed)
+    // Serve-after-delete ≡ rebuild-without-the-rows: the stored read of
+    // BOTH code families equals the one-pass frozen encode of the
+    // surviving corpus.
+    val survivors = raw.filter(col("vec_id") % 5 =!= 3)
+    for (table <- Seq("codes", "rcodes")) {
+      val stored = Similarity.readCodes(spark, idx, table)
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val onePass = (if (table == "codes")
+          Similarity.encodeWith(spark, idx, survivors)
+        else Similarity.encodeResidWith(spark, idx, survivors))
+        .select(col("vec_id"), col("m").cast("int"), col("code"), col("cell"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(stored == onePass,
+        s"$table after delete != one-pass encode of the survivors")
+    }
+    // No deleted vector can be served.
+    val served = Similarity.serveFromIndex(spark, idx, survivors)
+      .select(col("vec_id")).as[Long].collect()
+    assert(served.nonEmpty && !served.exists(doomedIds.contains),
+      "a tombstoned vector surfaced in served top-k")
+    // Idempotent re-delivery: the same delete again finds no live codes
+    // to mask and writes NO new tombstone delta.
+    val markers = Option(new java.io.File(s"$idx/commits").list())
+      .fold(0)(_.length)
+    Similarity.annIndexDelete(spark, idx, doomed)
+    assert(Option(new java.io.File(s"$idx/commits").list())
+      .fold(0)(_.length) == markers,
+      "re-delivered delete must be a no-op, not a tombstone trail")
+    // Compaction PHYSICALLY drops tombstoned codes: the staged
+    // generation's raw parquet (read without any masking) holds no
+    // doomed id, in either family.
+    Similarity.annIndexCompact(spark, idx)
+    for (table <- Seq("codes", "rcodes")) {
+      val gen1 = spark.read.parquet(s"$idx/$table-g1")
+        .select(col("vec_id")).as[Long].collect().toSet
+      assert(gen1.nonEmpty && gen1.intersect(doomedIds).isEmpty,
+        s"compaction left tombstoned codes in the staged $table generation")
+    }
+    // Last-writer-wins: re-upserting the deleted ids appends fresh
+    // codes (the known-ids anti-join sees tombstoned ids as absent)
+    // and the stored union equals the full-corpus frozen encode again.
+    Similarity.annIndexUpsert(spark, idx, raw.filter(col("vec_id") % 5 === 3))
+    val resurrected = Similarity.readCodes(spark, idx)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val onePassAll = Similarity.encodeWith(spark, idx, raw)
+      .select(col("vec_id"), col("m").cast("int"), col("code"), col("cell"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(resurrected == onePassAll,
+      "re-upsert after delete did not resurrect the ids with fresh codes")
+  }
+
+  test("index identity: regenerating the embeddings table in place retrains instead of serving stale codes") {
+    // The persisted-index identity mixes a fingerprint of the
+    // embeddings data files (count + bytes + max mtime) into the
+    // directory key, so a dataset REWRITTEN AT THE SAME PATH gets a
+    // fresh index. Stale identity here would serve ADC shortlists from
+    // codes of vectors that no longer exist.
+    val ds = java.nio.file.Files.createTempDirectory("graft_fp_ds_")
+      .toString
+    val raw = Tables.embeddings(spark, sfDir)
+    val mid = raw.count() / 2
+    // Contiguous id halves, not a parity slice: the stride-based
+    // quantizer inits pick `vec_id % stride == off` seeds, and a
+    // corpus of only-even ids can miss an odd offset entirely
+    // (degenerate empty codebooks — a fixture pathology, not the
+    // property under test).
+    raw.filter(col("vec_id") < mid)
+      .write.mode("overwrite").parquet(s"$ds/embeddings.parquet")
+    val first = Similarity.annIvfPqServed(spark, ds)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(first.nonEmpty && first.forall(_ < mid))
+    // Regenerate IN PLACE with the disjoint half. If the identity were
+    // path-only, ensureIndex would keep serving the first-half index
+    // and the served set would be empty (stored codes never join the
+    // new corpus) or stale.
+    raw.filter(col("vec_id") >= mid)
+      .write.mode("overwrite").parquet(s"$ds/embeddings.parquet")
+    val second = Similarity.annIvfPqServed(spark, ds)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(second.nonEmpty && second.forall(_ >= mid),
+      "in-place dataset regeneration served stale ANN answers")
+    graft.streaming.StreamingOps.deleteRecursively(
+      java.nio.file.Paths.get(ds))
   }
 
   test("semantic_dedup: keep/drop decisions match a brute-force replay") {
