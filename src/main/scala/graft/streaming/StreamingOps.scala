@@ -323,7 +323,16 @@ object StreamingOps extends QueryModule {
     * sink FileStreamSpec exercises — these queries' job is to
     * wall-clock the live engine on a driver-safe aggregate. */
   private def runLiveComplete(spark: SparkSession, src: String,
-      namePrefix: String)(build: DataFrame => DataFrame): DataFrame = {
+      namePrefix: String)(build: DataFrame => DataFrame): DataFrame =
+    runLive(spark, src, namePrefix, "complete")(build)
+
+  /** [[runLiveComplete]]'s body with the output mode as a parameter:
+    * append-mode gates ride the same scaffold — there the memory sink
+    * accumulates only what the watermark has SEALED and emitted, which
+    * is the eviction semantics under test. */
+  private def runLive(spark: SparkSession, src: String,
+      namePrefix: String, mode: String)(
+      build: DataFrame => DataFrame): DataFrame = {
     val name = s"${namePrefix}_${liveRuns.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_")
     val ss = spark.newSession()
@@ -335,7 +344,7 @@ object StreamingOps extends QueryModule {
             ss.readStream.schema(ss.read.parquet(src).schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
           .writeStream.format("memory").queryName(name)
-          .outputMode("complete")
+          .outputMode(mode)
           .option("checkpointLocation", ckpt.toString)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -374,6 +383,86 @@ object StreamingOps extends QueryModule {
     runLiveComplete(spark, stagedEventsDir(spark, dir),
       "stream_sessions_live")(userSessions(_, watermarked = false))
       .orderBy(col("user_id"), col("session_start"))
+
+  // --- stream_sessions_append: watermark-evicted sessions, live ----------
+
+  /** Micro-batches for the append-mode session gate: enough that
+    * eviction happens incrementally across the run (the watermark
+    * advances batch over batch and seals sessions as it passes them),
+    * not just at the terminal no-data batch. */
+  val SESSION_BATCHES = 6
+
+  private val sessStaged = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Events staged as [[SESSION_BATCHES]] ts-range slices with strictly
+    * increasing fixed mtimes ([[stageSlicedFiles]]) — oldest-first
+    * listing then delivers batches in event-time order, so no row is
+    * ever late behind the watermark (slice k+1's minimum ts exceeds
+    * slice k's maximum, and the watermark lags the max by
+    * [[WATERMARK]]): every divergence from the batch replay is
+    * EVICTION semantics, not late-drop noise. */
+  private[graft] def stagedSessionsDir(spark: SparkSession,
+      dir: String): String =
+    sessStaged.getOrElseUpdate((spark, dir), {
+      val dest = java.nio.file.Files.createTempDirectory("graft_sess_paced_")
+      val raw = Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"))
+      val bounds = raw.agg(
+        min(unix_timestamp(col("ts"))).as("lo"),
+        max(unix_timestamp(col("ts"))).as("hi"))
+      val sliced = raw.crossJoin(broadcast(bounds))
+        .withColumn("slice", least(lit(SESSION_BATCHES - 1),
+          floor((unix_timestamp(col("ts")) - col("lo"))
+            .cast("double") * SESSION_BATCHES / (col("hi") - col("lo") + 1))
+          .cast("int")))
+        .select(col("user_id"), col("ts"), col("slice"))
+        .localCheckpoint()
+      stageSlicedFiles(dest, (0 until SESSION_BATCHES).map(k =>
+        sliced.filter(col("slice") === k).drop("slice")))
+      dest.toString
+    })
+
+  /** Gate query: [[userSessions]] in APPEND mode under the watermark —
+    * the production eviction path ([[streamSessionsLive]] deliberately
+    * runs complete-mode unwatermarked; this is its watermarked twin).
+    * Each micro-batch the watermark advances to max(ts seen) −
+    * [[WATERMARK]] and the session operator EVICTS every state row
+    * whose `session_end` the watermark has passed, emitting it to the
+    * sink exactly once — closed sessions leave the state store per
+    * batch instead of accumulating forever, which is what lets session
+    * state survive an unbounded stream. The final no-data batch seals
+    * everything up to global max(ts) − delay; sessions still open
+    * behind the terminal watermark are never emitted, and the oracle
+    * replays exactly that: the gaps-and-islands sessionization
+    * restricted to `session_end <= max(ts) − delay`. Ts-range staging
+    * makes the emitted SET deterministic (no late drops — see
+    * [[stagedSessionsDir]]); cross-batch session MERGING is still
+    * exercised because sessions straddle slice boundaries while the
+    * 2-hour watermark lag keeps their fragments unsealed until merged. */
+  def streamSessionsAppend(spark: SparkSession, dir: String): DataFrame =
+    runLive(spark, stagedSessionsDir(spark, dir),
+      "stream_sessions_append", "append")(userSessions(_))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** [[userSessionsSql]] restricted to sessions the terminal watermark
+    * has sealed — the append-mode emission contract. */
+  val streamSessionsAppendSql =
+    s"""WITH o AS (SELECT user_id, ts,
+       |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+       |m AS (SELECT user_id, ts,
+       |  CASE WHEN prev IS NULL OR ts - prev > INTERVAL '$SESSION_GAP'
+       |       THEN 1 ELSE 0 END AS new_sess FROM o),
+       |s AS (SELECT user_id, ts, sum(new_sess) OVER (
+       |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+       |  FROM m),
+       |ses AS (SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL '$SESSION_GAP' AS session_end,
+       |  count(*) AS n_events FROM s GROUP BY user_id, sess),
+       |wm AS (SELECT max(ts) - INTERVAL '$WATERMARK' AS w FROM events)
+       |SELECT user_id, session_start, session_end, n_events
+       |FROM ses CROSS JOIN wm WHERE session_end <= w
+       |ORDER BY user_id, session_start""".stripMargin
 
   // --- stream_trending_live: the stateful alert path, live ---------------
 
@@ -608,6 +697,9 @@ object StreamingOps extends QueryModule {
       "per-user session windows, 30-min inactivity gap"),
     QueryDef("stream_sessions_live", streamSessionsLive, Some(userSessionsSql),
       "session windows run by the live engine (cross-batch session merge)"),
+    QueryDef("stream_sessions_append", streamSessionsAppend,
+      Some(streamSessionsAppendSql),
+      "watermarked append-mode sessions: closed sessions evicted per batch"),
     QueryDef("event_count_hourly", eventCountHourly, Some(eventCountHourlySql),
       "tumbling 60-min event counts (batch replay of the streaming query)"),
     QueryDef("stream_hourly_live", streamHourlyLive, Some(eventCountHourlySql),

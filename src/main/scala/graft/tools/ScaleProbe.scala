@@ -95,6 +95,28 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
+    // Events at the same growth ratio for the streaming-family probes:
+    // fixture shape (1.5k users / 100k events at sf0.1, 30 days), so
+    // sessions-per-user and events-per-session stay scale-invariant
+    // and the append-mode session probe measures volume growth, not a
+    // distribution shift. Only the columns the session path touches
+    // are populated meaningfully; the rest mirror the fixture schema.
+    locally {
+      val baseEvents = spark.read.parquet(s"$baseDir/events.parquet").count()
+      val nEv = (baseEvents.toDouble * n / baseDocs).round
+      val nUsers = math.max(1L, (1500.0 * n / baseDocs * 10 / 10).round)
+      val rnd = new scala.util.Random(44L)
+      val t0ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val spanMs = 30L * 24 * 3600 * 1000
+      (0L until nEv).map { id =>
+        (id, new java.sql.Timestamp(t0ms + (rnd.nextDouble() * spanMs).toLong),
+          rnd.nextLong(nUsers), s"type${rnd.nextInt(8)}", rnd.nextDouble(),
+          "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+
     val queries = Seq("near_dedup", "dedup_components", "curation_pipeline",
       "decontaminate_fuzzy", "ann_ivfpq_topk",
       // round-10 additions: the bloom prefilter (map-side gram drop
@@ -117,7 +139,14 @@ object ScaleProbe {
       // (upsert + LSM compaction: both scale with the encoded DELTA
       // and the fold's one read-union-write pass, never with delta
       // COUNT).
-      "weighted_sample", "ann_index_compact")
+      "weighted_sample", "ann_index_compact",
+      // round-12 additions: the tombstone delete (cost = the live-ids
+      // scan + a tombstone write, scaling with the CODES table scanned
+      // and the doomed-id set, never with corpus text) and the
+      // watermarked append-mode session path (state is open sessions
+      // only — eviction per batch is the claim, so cost tracks event
+      // volume, not session-history accumulation).
+      "ann_index_delete", "stream_sessions_append")
     def timeAll(sfDir: String): Map[String, (Double, Long)] =
       queries.map { q =>
         graft.Caches.clearAll()

@@ -272,6 +272,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("append-mode sessions: watermark evicts closed sessions mid-stream, open ones never emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = StreamingOps.userSessions(input.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("sess_evict_test")
+      .outputMode("append").start()
+    try {
+      def emitted(): Seq[(Long, Timestamp, Long)] =
+        spark.table("sess_evict_test")
+          .select("user_id", "session_start", "n_events")
+          .as[(Long, Timestamp, Long)].collect().toSeq
+          .sortBy(r => (r._1, r._2.getTime))
+      // One session (00:00–00:40 with the 30-min gap), not yet sealed.
+      input.addData((ts("2024-01-01 00:00:00"), 1L),
+        (ts("2024-01-01 00:10:00"), 1L))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, "session emitted before the watermark passed it")
+      // Watermark advances to 03:00 (2-hour delay) — PAST the first
+      // session's end: it must be evicted and emitted NOW, mid-stream,
+      // not at end-of-stream.
+      input.addData((ts("2024-01-01 05:00:00"), 1L))
+      q.processAllAvailable()
+      assert(emitted() == Seq((1L, ts("2024-01-01 00:00:00"), 2L)),
+        "closed session not evicted when the watermark passed it")
+      // The 05:00 session grows by a cross-batch merge (05:10 is within
+      // the 30-min gap) while it sits in state...
+      input.addData((ts("2024-01-01 05:10:00"), 1L))
+      q.processAllAvailable()
+      // ...and seals once the watermark passes 05:40. The 10:00 event's
+      // own session stays open behind the terminal watermark (08:00)
+      // and must never be emitted.
+      input.addData((ts("2024-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      assert(emitted() == Seq(
+        (1L, ts("2024-01-01 00:00:00"), 2L),
+        (1L, ts("2024-01-01 05:00:00"), 2L)),
+        "merged session mis-sealed, or an open session leaked out")
+    } finally q.stop()
+  }
+
   test("watermark evicts state in append mode (late row dropped)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
