@@ -65,7 +65,20 @@ class ReplSpec extends SparkSpecBase {
     // help path.
     val comps = SparkEntry.queries("dedup_components")(spark, sfDir)
       .as[(Long, Long)].collect().toSeq
-    val dup = comps.head._1
+    // Probe a doc from a VERIFIED pair whose partner is its cluster
+    // canonical: admitBatch keeps only admitted (canonical) members'
+    // band keys in state, so an arbitrary cluster member's only direct
+    // partners could all be dropped non-canonicals (transitive
+    // cluster) and the collision assertion would fail spuriously
+    // (fixture-shape-dependent). A canonical partner's keys are
+    // guaranteed in state.
+    val compOf = comps.toMap
+    val pairs = SparkEntry.queries("near_dedup")(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSeq
+    val dup = pairs.collectFirst {
+      case (a, b) if compOf.get(a).contains(b) => a
+      case (a, b) if compOf.get(b).contains(a) => b
+    }.getOrElse(fail("fixture has no pair touching its cluster canonical"))
     val dupRow = Repl.dispatch(spark, sfDir, s"admit $dup").get
       .as[(Long, Long, Boolean)].collect().toSeq
     assert(dupRow.size == 1 && dupRow.head._1 == dup)

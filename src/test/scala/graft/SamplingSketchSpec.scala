@@ -101,7 +101,15 @@ class SamplingSketchSpec extends SparkSpecBase {
 
   test("HLL error contract and union algebra in the estimating regime") {
     val n = 100000L
+    // Pinned multi-partition: the merged ≡ direct EXACT equality below
+    // holds because BOTH legs go through partial-aggregation sketch
+    // unions (the union drops Datasketches' HIP estimator, leaving the
+    // estimate register-determined). A single-partition direct leg
+    // (AQE coalesce, a future plan change) would keep its HIP estimate
+    // and break exact equality with nothing actually wrong — so force
+    // the shuffle shape the assertion's algebra depends on.
     val ids = spark.range(n).select((col("id") * 2654435761L).as("u"))
+      .repartition(8, col("u"))
     val direct = ids.agg(hll_sketch_estimate(
       hll_sketch_agg(col("u"), lit(operators.Pipeline.HLL_LGK))).as("est"))
       .as[Long].head()
