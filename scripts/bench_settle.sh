@@ -25,8 +25,13 @@ for i in $(seq 1 "$MAX_RUNS"); do
   # aborting the whole protocol under set -e/pipefail: previously
   # collected runs — possibly already settled — must still be
   # recorded; an empty line just skips this iteration.
+  # The bench prints TWO JSON lines since round 12 — the full line and
+  # a tail-sized compact line (marked by "queries_full") for the
+  # driver's 2KB stdout snapshot. The FULL artifact must record the
+  # full line, so the compact one is filtered out here.
   line=$(SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
-    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' | tail -1 \
+    sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' \
+    | grep -v '"queries_full"' | tail -1 \
     || true)
   if [ -z "$line" ]; then
     echo "bench run $i produced no JSON line — skipping it" >&2

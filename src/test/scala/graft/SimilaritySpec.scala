@@ -446,7 +446,21 @@ class SimilaritySpec extends SparkSpecBase {
     val doomed = raw.filter(col("vec_id") % 5 === 3).select(col("vec_id"))
     val doomedIds = doomed.as[Long].collect().toSet
     assert(doomedIds.exists(_ % 4 == 3) && doomedIds.exists(_ % 4 != 3))
+    // Plan posture: with no tombstones pending, the read path is scans
+    // + union only — the masking join must not tax an index nobody
+    // deleted from.
+    val cleanPlan = Similarity.readCodes(spark, idx)
+      .queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("Join"),
+      s"tombstone-free read path grew a join:\n$cleanPlan")
     Similarity.annIndexDelete(spark, idx, doomed)
+    // With tombstones pending, the mask is ONE broadcast equi-join of
+    // the aggregated (small) tombstone side — never a shuffle of the
+    // codes table.
+    val maskedPlan = Similarity.readCodes(spark, idx)
+      .queryExecution.executedPlan.toString
+    assert(maskedPlan.contains("BroadcastHashJoin"),
+      s"tombstone mask is not a broadcast join:\n$maskedPlan")
     // Serve-after-delete ≡ rebuild-without-the-rows: the stored read of
     // BOTH code families equals the one-pass frozen encode of the
     // surviving corpus.
