@@ -1318,6 +1318,14 @@ object Similarity extends QueryModule {
       if (!fresh.isEmpty) {
         val k = committedDeltas(indexBase).maxOption.getOrElse(0L) + 1
         val delta = s"$indexBase/deltas/$k"
+        // Clear the WHOLE reused directory, not just the tables this op
+        // writes: a crashed DELETE leaves uncommitted `tombstones`
+        // debris at this id, and mode("overwrite") on `codes` alone
+        // would leave it in place — the marker landed below commits the
+        // whole delta directory, debris included, and stale tombstones
+        // would then mask live codes (the cross-op-type twin of the
+        // partial-codes corruption the marker protocol exists for).
+        clearDelta(delta)
         encodeWith(spark, indexBase, fresh).repartition(col("cell"))
           .write.partitionBy("cell").mode("overwrite").parquet(s"$delta/codes")
         // Both code families stay in lockstep: one marker covers both,
@@ -1335,6 +1343,16 @@ object Similarity extends QueryModule {
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
       }
     }
+
+  /** Remove an UNCOMMITTED delta directory before its id is reused —
+    * the debris from a crashed attempt of ANY op type. Both writers
+    * call this before staging their payload, so a marker can never
+    * commit another op's leftovers alongside its own tables. */
+  private def clearDelta(delta: String): Unit = {
+    val p = java.nio.file.Paths.get(delta)
+    if (java.nio.file.Files.exists(p))
+      graft.streaming.StreamingOps.deleteRecursively(p)
+  }
 
   /** Delete vectors from the index WITHOUT rewriting any code file —
     * the third LSM maintenance op. Deletes land as a TOMBSTONE delta
@@ -1362,6 +1380,10 @@ object Similarity extends QueryModule {
         .join(live, Seq("vec_id"), "left_semi").localCheckpoint()
       if (!doomed.isEmpty) {
         val k = committedDeltas(indexBase).maxOption.getOrElse(0L) + 1
+        // Same cross-op-type debris rule as the upsert: a crashed
+        // UPSERT's partial codes at this id must not ride this marker
+        // into visibility.
+        clearDelta(s"$indexBase/deltas/$k")
         // One file: a tombstone batch is ids only — megabytes at a
         // scale where the codes they mask are terabytes.
         doomed.coalesce(1).write.mode("overwrite")

@@ -265,54 +265,92 @@ class SimilaritySpec extends SparkSpecBase {
       "live append/compact/append loop diverged from the one-shot upsert")
   }
 
-  test("delta-commit fuzz: random batch splits with injected debris equal the one-pass encode") {
-    // Seeded randomized drive of the maintenance protocol: the delta
-    // arrives as 1–4 random disjoint chunks, and before a random
-    // subset of them a poisoned PARTIAL delta directory (no marker) is
-    // planted at the id the next upsert will claim. Whatever the
-    // split and wherever the debris, the final stored index — BOTH
-    // code families — must equal the one-pass frozen encode of the
-    // union.
+  test("delta-commit fuzz: random upsert/delete/compact interleavings with cross-type debris equal the one-pass encode of the live set") {
+    // Seeded randomized drive of the FULL maintenance protocol: the
+    // delta arrives as 1–4 random disjoint chunks, tombstone deletes
+    // of random live subsets interleave with the appends, compactions
+    // fold at random points, and before a random subset of ops a
+    // poisoned UNCOMMITTED delta directory (no marker) is planted at
+    // the id the next op will claim — sometimes partial CODES debris
+    // (a crashed upsert), sometimes bogus TOMBSTONES naming every id
+    // (a crashed delete; if a later op's marker wrongly committed it,
+    // the whole index would read empty). Whatever the interleaving,
+    // the final stored index — BOTH code families — must equal the
+    // one-pass frozen encode of exactly the LIVE set.
     val rnd = new scala.util.Random(4242)
     val raw = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     val base = raw.filter(col("vec_id") % 4 =!= 3)
     val deltaIds = raw.filter(col("vec_id") % 4 === 3)
       .select(col("vec_id")).as[Long].collect()
+    val allIds = raw.select(col("vec_id")).as[Long].collect().toSeq
     val idx = java.nio.file.Files.createTempDirectory("graft_fuzz_idx_")
       .toString
     Similarity.buildIndexAt(spark, base, idx) // with residuals
+    val alive = scala.collection.mutable.Set.empty[Long]
+    alive ++= base.select(col("vec_id")).as[Long].collect()
     val shuffled = rnd.shuffle(deltaIds.toVector)
     val nChunks = 1 + rnd.nextInt(4)
     val chunks = shuffled.grouped(
       math.max(1, (shuffled.size + nChunks - 1) / nChunks)).toSeq
     var nextId = 1L
-    chunks.foreach { chunk =>
-      if (rnd.nextBoolean()) {
-        // Crash debris at the id the upsert will claim next.
-        Seq((chunk.head, 0, 0L)).toDF("vec_id", "m", "code")
+    def plantDebris(someId: Long): Unit = rnd.nextInt(3) match {
+      case 0 => // crashed-upsert partial codes at the id claimed next
+        Seq((someId, 0, 0L)).toDF("vec_id", "m", "code")
           .withColumn("cell", lit(0L))
           .write.mode("overwrite")
           .partitionBy("cell").parquet(s"$idx/deltas/$nextId/codes")
-      }
+      case 1 => // crashed-delete tombstones naming EVERY id
+        allIds.toDF("vec_id").write.mode("overwrite")
+          .parquet(s"$idx/deltas/$nextId/tombstones")
+      case _ => ()
+    }
+    chunks.foreach { chunk =>
+      plantDebris(chunk.head)
       Similarity.annIndexUpsert(spark, idx,
         raw.filter(col("vec_id").isInCollection(chunk)))
+      alive ++= chunk
       nextId += 1
-      // Random LSM compactions interleave with the append stream: the
-      // generation fold must be invisible to everything that follows
-      // (later upserts anti-join against the compacted base, ids keep
-      // climbing past the folded markers).
+      if (rnd.nextBoolean()) {
+        // Tombstone-delete a random live subset (base and delta ids
+        // alike — the mask must reach every root).
+        val victims = alive.toSeq.sorted.filter(_ => rnd.nextDouble() < 0.15)
+        if (victims.nonEmpty) {
+          plantDebris(victims.head)
+          Similarity.annIndexDelete(spark, idx,
+            victims.toDF("vec_id"))
+          alive --= victims
+          nextId += 1
+        }
+      }
+      // Random LSM compactions interleave with the append/delete
+      // stream: the generation fold must be invisible to everything
+      // that follows (later upserts anti-join against the compacted
+      // base, deletes keep masking, ids keep climbing past the folded
+      // markers).
       if (rnd.nextBoolean()) Similarity.annIndexCompact(spark, idx)
     }
+    // The random walk may never take the delete branch — force one
+    // final tombstone batch so every fuzz run exercises the mask.
+    if (alive.size == allIds.size) {
+      val victims = alive.toSeq.sorted.filter(_ % 7 == 1)
+      plantDebris(victims.head)
+      Similarity.annIndexDelete(spark, idx, victims.toDF("vec_id"))
+      alive --= victims
+    }
+    val survivors = raw.filter(col("vec_id").isInCollection(alive.toSeq))
+    assert(alive.size < allIds.size, "fuzz deleted nothing — seed drifted")
     for (table <- Seq("codes", "rcodes")) {
       val stored = Similarity.readCodes(spark, idx, table)
         .as[(Long, Int, Long, Long)].collect()
-      val onePass = (if (table == "codes") Similarity.encodeWith(spark, idx, raw)
-        else Similarity.encodeResidWith(spark, idx, raw))
+      val onePass = (if (table == "codes")
+          Similarity.encodeWith(spark, idx, survivors)
+        else Similarity.encodeResidWith(spark, idx, survivors))
         .select(col("vec_id"), col("m").cast("int"), col("code"), col("cell"))
         .as[(Long, Int, Long, Long)].collect().toSet
       assert(stored.length == onePass.size && stored.toSet == onePass,
-        s"$table diverged after ${chunks.size} chunked upserts with debris")
+        s"$table diverged after ${chunks.size} chunks with interleaved " +
+          "deletes, compactions, and cross-type debris")
     }
   }
 
@@ -453,6 +491,17 @@ class SimilaritySpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!cleanPlan.contains("Join"),
       s"tombstone-free read path grew a join:\n$cleanPlan")
+    // Cross-op-type debris: the delete claims delta id 2 — plant BOTH a
+    // crashed upsert's partial codes AND a crashed delete's bogus
+    // tombstones (naming every id) there. The delete must clear the
+    // whole reused directory before staging, or its marker would
+    // commit the debris alongside the real tombstones (bogus codes
+    // double-counting ADC sums, bogus tombstones masking the entire
+    // index). The survivor assertions below prove the clearing.
+    Seq((0L, 0, 0L)).toDF("vec_id", "m", "code").withColumn("cell", lit(0L))
+      .write.partitionBy("cell").parquet(s"$idx/deltas/2/codes")
+    raw.select(col("vec_id"))
+      .write.parquet(s"$idx/deltas/2/tombstones")
     Similarity.annIndexDelete(spark, idx, doomed)
     // With tombstones pending, the mask is ONE broadcast equi-join of
     // the aggregated (small) tombstone side — never a shuffle of the
