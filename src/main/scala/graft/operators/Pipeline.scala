@@ -1262,7 +1262,82 @@ object Pipeline extends QueryModule {
        |FROM c, b WHERE cum <= b.budget ORDER BY doc_id""".stripMargin
   }
 
+  // --- pii_scrub: detect + redact contact PII ----------------------------
+  /** PII redaction — the training-pipeline stage every released web
+    * corpus runs (email/phone/IP detection and replacement with typed
+    * placeholder tokens) expressed as pure column work: three
+    * `regexp_count`s for the per-category tallies and a chained
+    * `regexp_replace` for the rewrite, all inside whole-stage codegen,
+    * no UDF. The fixture corpus is PII-free word salad, so the
+    * operator PLANTS deterministic contact strings first (an email on
+    * `doc_id % 7`, a phone on `% 11`, an IP on `% 13` — derived from
+    * doc_id, identically replayable in SQL): the gate then checks real
+    * non-zero detection counts and the full rewritten text via its
+    * fingerprint, not a wall of structural zeros.
+    *
+    * Patterns are deliberately RE2-compatible (character classes,
+    * bounded repetition, no backreferences/lookaround) so Spark's Java
+    * regex and DuckDB's RE2 agree byte-for-byte — the same portability
+    * contract the tokenizer keeps. Scale shape: one scan, one
+    * projection, no shuffle until the gate's ORDER BY; at 100 TB this
+    * is the map-only pass it should be. */
+  val PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PII_PHONE = "\\d{3}-\\d{3}-\\d{4}"
+  val PII_IP = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        format_string(" contact user%d@example.com now", col("doc_id")))
+        .otherwise(""),
+      when(col("doc_id") % 11 === 0,
+        format_string(" call 415-555-%04d today", col("doc_id") % 10000))
+        .otherwise(""),
+      when(col("doc_id") % 13 === 0,
+        format_string(" from 10.0.%d.%d", col("doc_id") % 256,
+          col("doc_id") % 100))
+        .otherwise(""))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(planted,
+      lit(PII_EMAIL), lit("<EMAIL>")),
+      lit(PII_PHONE), lit("<PHONE>")),
+      lit(PII_IP), lit("<IP>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(planted, lit(PII_EMAIL)).as("n_emails"),
+        regexp_count(planted, lit(PII_PHONE)).as("n_phones"),
+        regexp_count(planted, lit(PII_IP)).as("n_ips"),
+        TextFns.hash56(scrubbed).as("text_h56"),
+        length(scrubbed).cast("long").as("text_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql =
+    s"""WITH d AS (SELECT doc_id, text
+       |    || CASE WHEN doc_id % 7 = 0
+       |         THEN printf(' contact user%d@example.com now', doc_id) ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0
+       |         THEN printf(' call 415-555-%04d today', doc_id % 10000) ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0
+       |         THEN printf(' from 10.0.%d.%d', doc_id % 256, doc_id % 100) ELSE '' END
+       |    AS text FROM documents),
+       |s AS (SELECT doc_id,
+       |  len(regexp_extract_all(text, '$PII_EMAIL')) AS n_emails,
+       |  len(regexp_extract_all(text, '$PII_PHONE')) AS n_phones,
+       |  len(regexp_extract_all(text, '$PII_IP')) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$PII_EMAIL', '<EMAIL>', 'g'),
+       |    '$PII_PHONE', '<PHONE>', 'g'),
+       |    '$PII_IP', '<IP>', 'g') AS scrubbed
+       |  FROM d)
+       |SELECT doc_id, CAST(n_emails AS INT) AS n_emails,
+       |  CAST(n_phones AS INT) AS n_phones, CAST(n_ips AS INT) AS n_ips,
+       |  ${TextFns.hash56Sql("scrubbed")} AS text_h56,
+       |  CAST(length(scrubbed) AS BIGINT) AS text_len
+       |FROM s ORDER BY doc_id""".stripMargin
+
   override def entries: Seq[QueryDef] = Seq(
+    QueryDef("pii_scrub", piiScrub, Some(piiScrubSql),
+      "PII detection + redaction: emails/phones/IPs counted and replaced"),
     QueryDef("curation_pipeline", curationPipeline, Some(curationPipelineSql),
       "end-to-end corpus selection: quality+repetition -> dedups -> cap -> budget"),
     QueryDef("stratified_sample", stratifiedSample, Some(stratifiedSampleSql),

@@ -273,6 +273,38 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("pii_scrub: counts match the planting schedule and nothing survives the rewrite") {
+    val out = SparkEntry.queries("pii_scrub")(spark, sfDir)
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"))
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(out.nonEmpty)
+    // The fixture corpus is PII-free word salad, so detection counts
+    // are exactly the deterministic planting schedule — a non-planted
+    // doc detecting anything (or a planted one detecting extra) means
+    // a pattern matched raw fixture text and the oracle's exactness
+    // claim is void.
+    out.foreach { case (id, e, p, ip) =>
+      assert(e == (if (id % 7 == 0) 1 else 0), s"doc $id emails $e")
+      assert(p == (if (id % 11 == 0) 1 else 0), s"doc $id phones $p")
+      assert(ip == (if (id % 13 == 0) 1 else 0), s"doc $id ips $ip")
+    }
+    assert(out.exists(_._2 > 0) && out.exists(_._3 > 0) && out.exists(_._4 > 0))
+    // Redaction completeness on a raw-text replay: scrubbing the worst
+    // doc (all three planted: id % 1001 == 0 → doc 0) leaves no match
+    // for any pattern, and placeholders land where PII was.
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 0L).select(col("text")).as[String].head()
+    val planted = s"$text contact user0@example.com now call 415-555-0000 today from 10.0.0.0"
+    val scrubbed = planted
+      .replaceAll(Pipeline.PII_EMAIL, "<EMAIL>")
+      .replaceAll(Pipeline.PII_PHONE, "<PHONE>")
+      .replaceAll(Pipeline.PII_IP, "<IP>")
+    for (pat <- Seq(Pipeline.PII_EMAIL, Pipeline.PII_PHONE, Pipeline.PII_IP))
+      assert(!pat.r.findFirstIn(scrubbed).isDefined,
+        s"pattern $pat survived the rewrite: $scrubbed")
+    assert(scrubbed.endsWith("contact <EMAIL> now call <PHONE> today from <IP>"))
+  }
+
   test("stratified_sample budget halves the smallest source") {
     val out = SparkEntry.queries("stratified_sample")(spark, sfDir)
       .groupBy("source").agg(count(lit(1)).as("n"))
