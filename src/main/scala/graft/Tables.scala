@@ -81,4 +81,32 @@ object Tables {
     s.read.schema(src.schema).option("sep", "|")
       .option("timestampFormat", tsFmt).csv(dir)
   }
+
+  private val jsonlStaged = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
+
+  /** JSONL-MODE table access — the crawl-dump interchange format every
+    * training-data pipeline ingests (one JSON object per line),
+    * expressed as the same LOADER property as [[textTable]]: stage the
+    * parquet table once per (session, dataset, table) as JSONL and
+    * read it back through the json source UNDER THE PARQUET SCHEMA —
+    * no schema-inference pre-scan, which at 100 TB would read the
+    * whole corpus twice (the schema is the catalog's job; inference is
+    * for exploration). Unlike `.tbl`, JSONL carries nested/array
+    * columns natively, so it covers the documents/embeddings tables
+    * the csv mode cannot. Input staging, not memoized compute —
+    * deliberately NOT registered with [[Caches]]. `docs_jsonl` gates
+    * the round-trip end-to-end against the parquet-read oracle. */
+  def jsonlTable(s: SparkSession, d: String, name: String): DataFrame = {
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val src = load(s, d, name)
+    val dir = jsonlStaged.getOrElseUpdate((s, d, name), {
+      val dest = java.nio.file.Files
+        .createTempDirectory(s"graft_jsonl_${name}_").toString
+      src.write.mode("overwrite")
+        .option("timestampFormat", tsFmt).json(dest)
+      dest
+    })
+    s.read.schema(src.schema).option("timestampFormat", tsFmt).json(dir)
+  }
 }

@@ -1262,6 +1262,47 @@ object Pipeline extends QueryModule {
        |FROM c, b WHERE cum <= b.budget ORDER BY doc_id""".stripMargin
   }
 
+  // --- docs_jsonl: JSONL ingestion round-trip -----------------------------
+  /** Per-language corpus summary computed over the JSONL-MODE loader
+    * ([[Tables.jsonlTable]]) — the gate that certifies the crawl-dump
+    * interchange path end-to-end: its oracle reads the PARQUET
+    * documents directly, so any value the JSONL round-trip corrupted
+    * (string escaping, unicode, array columns, long precision) breaks
+    * the content checksum. The checksum folds every document's full
+    * text through the 56-bit fingerprint (mod a small prime so the
+    * per-language sum stays in long range on both engines). */
+  def docsJsonl(spark: SparkSession, dir: String): DataFrame =
+    Tables.jsonlTable(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(TextFns.hash56(col("text")) % 1000003L).as("text_checksum"))
+      .orderBy(col("lang"))
+
+  val docsJsonlSql =
+    s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       |  sum(${TextFns.hash56Sql("text")} % 1000003) AS text_checksum
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** The ARRAY-column leg of the JSONL round-trip: float vectors
+    * survive the textual interchange bit-for-bit (Spark writes the
+    * shortest float repr that parses back to the same value), checked
+    * by a per-label checksum of the element-sums — the left-fold both
+    * engines share across the whole similarity family. */
+  def embeddingsJsonl(spark: SparkSession, dir: String): DataFrame =
+    Tables.jsonlTable(spark, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(aggregate(transform(col("embedding"), _.cast("double")),
+          lit(0.0), (a, x) => a + x) * 1e6).cast("long")).as("vec_checksum"))
+      .orderBy(col("label"))
+
+  val embeddingsJsonlSql =
+    """SELECT label, count(*) AS n_vecs,
+      |  sum(CAST(round(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE))) * 1000000) AS BIGINT)) AS vec_checksum
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
   // --- pii_scrub: detect + redact contact PII ----------------------------
   /** PII redaction — the training-pipeline stage every released web
     * corpus runs (email/phone/IP detection and replacement with typed
@@ -1336,6 +1377,10 @@ object Pipeline extends QueryModule {
        |FROM s ORDER BY doc_id""".stripMargin
 
   override def entries: Seq[QueryDef] = Seq(
+    QueryDef("docs_jsonl", docsJsonl, Some(docsJsonlSql),
+      "JSONL ingestion round-trip: per-lang summary over the jsonl loader"),
+    QueryDef("embeddings_jsonl", embeddingsJsonl, Some(embeddingsJsonlSql),
+      "JSONL array-column round-trip: float vectors survive interchange"),
     QueryDef("pii_scrub", piiScrub, Some(piiScrubSql),
       "PII detection + redaction: emails/phones/IPs counted and replaced"),
     QueryDef("curation_pipeline", curationPipeline, Some(curationPipelineSql),
