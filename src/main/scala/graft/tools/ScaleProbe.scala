@@ -146,7 +146,12 @@ object ScaleProbe {
       // watermarked append-mode session path (state is open sessions
       // only — eviction per batch is the claim, so cost tracks event
       // volume, not session-history accumulation).
-      "ann_index_delete", "stream_sessions_append")
+      "ann_index_delete", "stream_sessions_append",
+      // round-12 continuation: contact-PII scrubbing is a pure
+      // per-row regex scan (three counts + a chained redaction) — the
+      // claim is embarrassingly-parallel scan shape, factor ≈ growth
+      // with zero shuffle.
+      "pii_scrub")
     def timeAll(sfDir: String): Map[String, (Double, Long)] =
       queries.map { q =>
         graft.Caches.clearAll()
