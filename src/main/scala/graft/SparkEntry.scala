@@ -14,6 +14,7 @@ object SparkEntry {
     operators.Relational,
     operators.ScaleOps,
     operators.TextCore,
+    operators.Tokenizer,
     operators.Pipeline,
     operators.Dedup,
     operators.Similarity,

@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tokenizer training: byte-pair-encoding merge induction (Sennrich et
+  * al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units") run distributed — the canonical tokenizer-training job of a
+  * training-data pipeline, and the natural iterative extension of the
+  * reference's bigram-counting machinery
+  * (`ComputeBigramRelativeFrequencyPairs.scala:52-87`): each round IS a
+  * bigram count, followed by a greedy global argmax and a corpus
+  * rewrite.
+  *
+  * The symbol alphabet here is the word alphabet (symbols start as
+  * bespin tokens; a merge joins two adjacent symbols with `_`) — the
+  * same greedy algorithm as char-level BPE on a different initial
+  * alphabet, chosen because the fixture's oracle-shared tokenizer is
+  * word-level. A char-level deployment runs the IDENTICAL loop over
+  * the distinct-word+count table instead of the corpus (Sennrich's
+  * word-count compression — vocab-sized state, corpus touched once).
+  *
+  * Merge semantics (pinned by TokenizerSpec against a sequential
+  * replay): each round counts ALL adjacent symbol pairs (overlapping
+  * occurrences included), picks the globally most frequent pair with a
+  * deterministic `(cnt DESC, lhs, rhs)` tie-break, and rewrites every
+  * document by merging matches greedily left-to-right (a match
+  * immediately following a consumed match is skipped — the `aaa` →
+  * `[aa, a]` rule).
+  *
+  * 100 TB posture: each round is one corpus pass — an adjacent-pair
+  * explode into a map-side-combinable `groupBy(a,b).count` (shuffle
+  * cardinality = pair vocabulary, not corpus) plus a `LIMIT 1` argmax;
+  * the single winning pair is the only thing the driver ever holds
+  * (the PageRank dangling-mass fold pattern, `PageRank.scala:138-143` —
+  * the merge decision is inherently global and sequential, that IS the
+  * BPE algorithm). The rewrite is a pure per-row map; state stays
+  * `(doc_id, symbols)` with no growth, `localCheckpoint` per round
+  * truncates lineage exactly as the PageRank loop does.
+  */
+object Tokenizer extends QueryModule {
+
+  /** Number of merge rounds the gate queries learn. */
+  val BPE_MERGES = 6
+
+  /** Joiner for merged symbols — bespin tokens are [a-z0-9]+ so `_`
+    * can never occur in an unmerged symbol, which is what makes the
+    * TokenizerSpec round-trip invariant (`replace('_',' ')` recovers
+    * the original token stream) hold. */
+  val JOIN = "_"
+
+  /** Match positions (1-indexed) of pair (a,b) in a symbol array —
+    * all adjacent occurrences, overlapping included (the counting
+    * side of the a==b case: `[b,b,b]` matches at 1 AND 2). */
+  private def matchesExpr(ts: Column, a: String, b: String): Column =
+    when(size(ts) > 1,
+      filter(sequence(lit(1), size(ts) - 1),
+        i => element_at(ts, i) === lit(a) && element_at(ts, i + 1) === lit(b)))
+      .otherwise(array().cast("array<int>"))
+
+  /** Greedy left-to-right selection over the (ascending) match
+    * positions: a match starting where the previously SELECTED match
+    * ended is consumed by it and skipped. A left fold via
+    * `functions.aggregate` — codegen'd, no UDF. */
+  private def selectedExpr(ts: Column, a: String, b: String): Column =
+    aggregate(
+      matchesExpr(ts, a, b),
+      struct(array().cast("array<int>").as("sel"), lit(-2).as("last")),
+      (st, i) => struct(
+        when(i === st.getField("last") + 1, st.getField("sel"))
+          .otherwise(array_append(st.getField("sel"), i)).as("sel"),
+        when(i === st.getField("last") + 1, st.getField("last"))
+          .otherwise(i).as("last")),
+      st => st.getField("sel"))
+
+  /** Rewrite one symbol array under the selected match positions:
+    * position q becomes the merged symbol if selected, is dropped if
+    * it is the tail of a selected match, and passes through otherwise. */
+  private def rewriteExpr(ts: Column, sel: Column, merged: String): Column =
+    when(size(ts) === 0, ts).otherwise(
+      transform(
+        filter(sequence(lit(1), size(ts)), q => !array_contains(sel, q - 1)),
+        q => when(array_contains(sel, q), lit(merged))
+          .otherwise(element_at(ts, q))))
+
+  /** The training loop: [[BPE_MERGES]] rounds of count → argmax →
+    * rewrite. Returns the learned merge table and the final rewritten
+    * corpus state. Stops early if the corpus runs out of adjacent
+    * pairs (the oracle's empty-`LIMIT 1` leg contributes no row then,
+    * so both sides shrink together). */
+  private def train(spark: SparkSession, dir: String, needState: Boolean)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    trainOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      BPE_MERGES, needState)
+
+  /** [[train]] over an arbitrary `(doc_id, text)` frame — the fuzz
+    * spec drives generated corpora through it against a sequential
+    * replay (the spanDedupOf pattern). With `needState = false` the
+    * LAST round's corpus rewrite is skipped (merge-table-only callers
+    * never read it — one full pass saved). */
+  private[graft] def trainOn(docs: DataFrame, rounds: Int,
+      needState: Boolean = true)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var state = docs
+      .select(col("doc_id"), TextFns.tokenize(col("text")).as("ts"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = state
+        .select(explode(TextFns.bigrams(col("ts"))).as("bg"))
+        .select(col("bg.w1").as("a"), col("bg.w2").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, c))
+        if (needState || r < rounds) {
+          state = state
+            .select(col("doc_id"), col("ts"),
+              selectedExpr(col("ts"), a, b).as("sel"))
+            .select(col("doc_id"),
+              rewriteExpr(col("ts"), col("sel"), a + JOIN + b).as("ts"))
+            .localCheckpoint(true)
+        }
+      }
+      r += 1
+    }
+    (merges.result(), state)
+  }
+
+  // --- bpe_train: the learned merge table ---------------------------------
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (ms, _) = train(spark, dir, needState = false)
+    import spark.implicits._
+    ms.toDF("merge_rank", "lhs", "rhs", "cnt")
+      .select(col("merge_rank").cast("long").as("merge_rank"),
+        col("lhs"), col("rhs"),
+        concat_ws(JOIN, col("lhs"), col("rhs")).as("merged"),
+        col("cnt"))
+      .orderBy(col("merge_rank"))
+  }
+
+  // --- bpe_encode: the corpus rewritten under the learned merges ----------
+  /** Per-document encoded form after [[BPE_MERGES]] rounds, shipped
+    * comparator-proof (symbol count + fingerprint + length of the
+    * space-joined symbol string — the span_dedup gate-projection rule). */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, st) = train(spark, dir, needState = true)
+    val txt = concat_ws(" ", coalesce(col("ts"), array()))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(coalesce(col("ts"), array())).cast("long").as("n_syms"),
+        TextFns.hash56(txt).as("text_h56"),
+        length(txt).cast("long").as("text_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- DuckDB oracles: the loop unrolled, every CTE materialized ----------
+
+  /** One unrolled round over state CTE `$prev` (columns doc_id, ts):
+    * pair index → count → argmax (b$r) → match positions (m$r) →
+    * greedy selection as islands-of-consecutive-positions alternation
+    * (g$r/x$r — equivalent to the left-to-right fold: within a run of
+    * consecutive matches greedy keeps every other one) → rewrite
+    * (p$r/r$r) → next state s$r. Constructs are all from the
+    * driver-proven family: correlated `unnest(range(...))` + `ts[i]`
+    * (the bigram oracles), 1-row comma/CROSS join (heavy_hitters'
+    * stride idiom), `string_agg(... ORDER BY ...)` (inverted_index),
+    * gaps-and-islands windows (user_sessions). */
+  private def iterSql(prev: String, r: Int): String =
+    s"""i$r AS MATERIALIZED (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+       |  FROM $prev WHERE len(ts) > 1),
+       |pr$r AS MATERIALIZED (SELECT ts[i] AS a, ts[i+1] AS b FROM i$r),
+       |c$r AS MATERIALIZED (SELECT a, b, count(*) AS cnt FROM pr$r GROUP BY a, b),
+       |b$r AS MATERIALIZED (SELECT a, b, a || '$JOIN' || b AS m, cnt FROM c$r
+       |  ORDER BY cnt DESC, a, b LIMIT 1),
+       |m$r AS MATERIALIZED (SELECT doc_id, i FROM i$r, b$r
+       |  WHERE ts[i] = b$r.a AND ts[i+1] = b$r.b),
+       |g$r AS MATERIALIZED (SELECT doc_id, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM m$r),
+       |x$r AS MATERIALIZED (SELECT doc_id, i FROM (
+       |    SELECT doc_id, i, min(i) OVER (PARTITION BY doc_id, grp) AS i0
+       |    FROM g$r) WHERE (i - i0) % 2 = 0),
+       |p$r AS MATERIALIZED (SELECT doc_id, ts,
+       |    unnest(range(1, len(ts) + 1)) AS q FROM $prev),
+       |r$r AS MATERIALIZED (SELECT p$r.doc_id, q,
+       |    CASE WHEN k.i IS NOT NULL THEN b$r.m ELSE ts[q] END AS sym
+       |  FROM p$r LEFT JOIN b$r ON TRUE
+       |  LEFT JOIN x$r k ON k.doc_id = p$r.doc_id AND k.i = q
+       |  LEFT JOIN x$r e ON e.doc_id = p$r.doc_id AND e.i = q - 1
+       |  WHERE e.i IS NULL),
+       |s$r AS MATERIALIZED (SELECT doc_id, txt,
+       |    string_split_regex(txt, ' ') AS ts FROM (
+       |    SELECT doc_id, string_agg(sym, ' ' ORDER BY q) AS txt
+       |    FROM r$r GROUP BY doc_id))""".stripMargin
+
+  private def chainSql: String = {
+    val t = s"WITH t AS MATERIALIZED (SELECT doc_id, " +
+      s"${TextFns.tokenizeSql("text")} AS ts FROM documents)"
+    val s0 = "s0 AS MATERIALIZED (SELECT doc_id, ts FROM t)"
+    val iters = (1 to BPE_MERGES).map(r => iterSql(s"s${r - 1}", r))
+    (Seq(t, s0) ++ iters).mkString(",\n")
+  }
+
+  val bpeTrainSql: String = {
+    val legs = (1 to BPE_MERGES).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+         |  m AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$r""".stripMargin
+    }
+    s"""$chainSql
+       |SELECT * FROM (${legs.mkString("\nUNION ALL\n")})
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  val bpeEncodeSql: String = {
+    val last = s"s$BPE_MERGES"
+    s"""$chainSql
+       |SELECT t.doc_id,
+       |  CAST(coalesce(len($last.ts), 0) AS BIGINT) AS n_syms,
+       |  ${TextFns.hash56Sql(s"coalesce($last.txt, '')")} AS text_h56,
+       |  CAST(length(coalesce($last.txt, '')) AS BIGINT) AS text_len
+       |FROM t LEFT JOIN $last USING (doc_id) ORDER BY t.doc_id""".stripMargin
+  }
+
+  override def entries: Seq[QueryDef] = Seq(
+    QueryDef("bpe_train", bpeTrain, Some(bpeTrainSql),
+      "BPE merge induction: greedy pair-merge rounds over the corpus"),
+    QueryDef("bpe_encode", bpeEncode, Some(bpeEncodeSql),
+      "the corpus rewritten under the learned BPE merge table"))
+}

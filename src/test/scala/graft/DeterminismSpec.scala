@@ -40,7 +40,9 @@ class DeterminismSpec extends SparkSpecBase {
     "bm25_rank", // tf join order + window ties on rounded scores
     "weighted_sample", // typed-Aggregator heap merge order + key ties
     "cardinality_sketch", // HLL register serialization + shard union order
-    "ann_index_compact") // delta fold + generation swap must round-trip
+    "ann_index_compact", // delta fold + generation swap must round-trip
+    "bpe_train", // iterative argmax driver fold: count ties must break stably
+    "bpe_encode") // greedy rewrite trajectory must replay identically
 
   risky.foreach { name =>
     test(s"$name is run-to-run deterministic") {

@@ -1,0 +1,132 @@
+package graft
+
+import graft.functions.TextFns
+import graft.operators.Tokenizer
+
+/** Pins [[graft.operators.Tokenizer]]'s distributed BPE loop to a
+  * plain sequential replay of Sennrich-style merge training: same
+  * pair counts (overlapping occurrences included), same deterministic
+  * argmax tie-break, same greedy left-to-right rewrite — including the
+  * a==b run case the set-based rewrite handles via island alternation. */
+class TokenizerSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // --- sequential reference implementation --------------------------------
+
+  private def replayMerge(syms: Vector[String], a: String, b: String)
+      : Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + Tokenizer.JOIN + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def replayTrain(docs: Seq[Vector[String]], rounds: Int)
+      : (Seq[(Int, String, String, Long)], Seq[Vector[String]]) = {
+    var st = docs
+    val ms = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      st.foreach(d => d.indices.dropRight(1).foreach { i =>
+        val k = (d(i), d(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + 1
+      })
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        ms += ((r, a, b, c))
+        st = st.map(replayMerge(_, a, b))
+      }
+      r += 1
+    }
+    (ms.result(), st)
+  }
+
+  private def runBoth(texts: Seq[String], rounds: Int) = {
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (merges, state) = Tokenizer.trainOn(df, rounds)
+    val got = state.orderBy("doc_id")
+      .collect().map(r => r.getSeq[String](1).toVector).toSeq
+    val (expM, expSt) =
+      replayTrain(texts.map(t => TextFns.tokenizeLocal(t).toVector), rounds)
+    (merges, got, expM, expSt)
+  }
+
+  test("distributed loop matches the sequential replay on a crafted corpus") {
+    val texts = Seq(
+      "the big cat sat on the big mat",
+      "the big cat ate the big cat food",
+      "big cat big cat big cat",
+      "b b b b b",            // a==b run: greedy must take 1,3 not 1,2,3
+      "solo",                 // single token: no pairs, must survive
+      "",                     // empty doc: must survive as an empty state
+      "the big the big the")
+    val (merges, got, expM, expSt) = runBoth(texts, 6)
+    assert(merges === expM)
+    assert(got === expSt)
+  }
+
+  test("a==b runs merge alternately (greedy left-to-right)") {
+    val (merges, got, _, _) = runBoth(Seq("b b b b b"), 1)
+    assert(merges.head._2 === "b" && merges.head._3 === "b")
+    assert(got.head === Vector("b_b", "b_b", "b"))
+  }
+
+  test("fuzz: random corpora agree with the replay round for round") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    (1 to 8).foreach { trial =>
+      val texts = Seq.fill(12)(
+        Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val (merges, got, expM, expSt) = runBoth(texts, 4)
+      assert(merges === expM, s"merge table diverged on trial $trial")
+      assert(got === expSt, s"final state diverged on trial $trial")
+    }
+  }
+
+  test("round-trip: undoing the joins recovers the original token stream") {
+    val texts = Seq(
+      "the big cat sat on the big mat",
+      "b b b b the the the",
+      "one two one two one two")
+    val (_, got, _, _) = runBoth(texts, 5)
+    got.zip(texts).foreach { case (syms, t) =>
+      assert(syms.mkString(" ").replace(Tokenizer.JOIN, " ").trim ===
+        TextFns.tokenizeLocal(t).mkString(" "))
+    }
+  }
+
+  test("fixture: full merge table, ranks dense, max pair count non-increasing") {
+    val df = Tokenizer.bpeTrain(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length === Tokenizer.BPE_MERGES)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to Tokenizer.BPE_MERGES))
+    val cnts = rows.map(_.getLong(4)).toSeq
+    assert(cnts === cnts.sorted.reverse,
+      "merging can only shrink or preserve the best pair count")
+    rows.foreach(r => assert(r.getString(3) ===
+      r.getString(1) + Tokenizer.JOIN + r.getString(2)))
+  }
+
+  test("fixture: encode keeps every document and shrinks symbol counts") {
+    val enc = Tokenizer.bpeEncode(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(enc.length.toLong === docs)
+    val before = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.size(
+        TextFns.tokenize(org.apache.spark.sql.functions.col("text"))))
+      .as[Int].collect().map(_.toLong).sum
+    val after = enc.map(_.getLong(1)).sum
+    assert(after <= before)
+    assert(after > 0)
+  }
+}
