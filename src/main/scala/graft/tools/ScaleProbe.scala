@@ -150,8 +150,11 @@ object ScaleProbe {
       // round-12 continuation: contact-PII scrubbing is a pure
       // per-row regex scan (three counts + a chained redaction) — the
       // claim is embarrassingly-parallel scan shape, factor ≈ growth
-      // with zero shuffle.
-      "pii_scrub")
+      // with zero shuffle; BPE training is 6 corpus passes whose
+      // shuffle is pair-vocabulary-sized — the claim is factor ≈
+      // growth (the passes scale, the argmax and rewrite don't add
+      // super-linear terms).
+      "pii_scrub", "bpe_train")
     def timeAll(sfDir: String): Map[String, (Double, Long)] =
       queries.map { q =>
         graft.Caches.clearAll()
