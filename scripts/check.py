@@ -135,6 +135,40 @@ def main():
         f"DuckDB string_agg ORDER BY drifted: expected 'a b c', got "
         f"{probe!r}; the span_dedup oracle's span/text reassembly is no "
         f"longer deterministic")
+    # The bpe_train/bpe_encode oracle guards its per-round rewrite with
+    # `LEFT JOIN best ON TRUE` so an empty argmax (no pairs anywhere)
+    # preserves the corpus instead of annihilating it: 1-row right side
+    # must attach to every left row, 0-row right side must keep left
+    # rows with NULLs.
+    probe = con.sql(
+        "SELECT l.x, r.m FROM (VALUES (1), (2)) l(x) "
+        "LEFT JOIN (SELECT 'ab' AS m) r ON TRUE ORDER BY l.x").fetchall()
+    assert probe == [(1, "ab"), (2, "ab")], (
+        f"DuckDB LEFT JOIN ON TRUE (1-row) drifted: expected the scalar "
+        f"attached to every row, got {probe}; the BPE oracle's rewrite "
+        f"stride join is broken")
+    probe = con.sql(
+        "SELECT l.x, r.m FROM (VALUES (1), (2)) l(x) "
+        "LEFT JOIN (SELECT 'ab' AS m WHERE 1 = 0) r ON TRUE "
+        "ORDER BY l.x").fetchall()
+    assert probe == [(1, None), (2, None)], (
+        f"DuckDB LEFT JOIN ON TRUE (0-row) drifted: expected left rows "
+        f"kept with NULLs, got {probe}; the BPE oracle's empty-argmax "
+        f"guard no longer preserves the corpus")
+    # The BPE greedy rewrite selects every other match inside islands
+    # of CONSECUTIVE match positions (the a==b run case): positions
+    # [1,2,3,7] must select [1,3,7].
+    probe = con.sql(
+        "SELECT i FROM ("
+        "  SELECT i, min(i) OVER (PARTITION BY grp) AS i0 FROM ("
+        "    SELECT i, i - row_number() OVER (ORDER BY i) AS grp "
+        "    FROM (VALUES (1), (2), (3), (7)) t(i))) "
+        "WHERE (i - i0) % 2 = 0 ORDER BY i").fetchall()
+    assert [r[0] for r in probe] == [1, 3, 7], (
+        f"DuckDB island-alternation selection drifted: expected [1, 3, 7] "
+        f"from match positions [1, 2, 3, 7], got {probe}; the BPE "
+        f"oracle's greedy left-to-right rewrite no longer matches Spark's "
+        f"fold")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
