@@ -51,39 +51,35 @@ object Tokenizer extends QueryModule {
     * the original token stream) hold. */
   val JOIN = "_"
 
-  /** Match positions (1-indexed) of pair (a,b) in a symbol array —
-    * all adjacent occurrences, overlapping included (the counting
-    * side of the a==b case: `[b,b,b]` matches at 1 AND 2). */
-  private def matchesExpr(ts: Column, a: String, b: String): Column =
-    when(size(ts) > 1,
-      filter(sequence(lit(1), size(ts) - 1),
-        i => element_at(ts, i) === lit(a) && element_at(ts, i + 1) === lit(b)))
-      .otherwise(array().cast("array<int>"))
-
-  /** Greedy left-to-right selection over the (ascending) match
-    * positions: a match starting where the previously SELECTED match
-    * ended is consumed by it and skipped. A left fold via
-    * `functions.aggregate` — codegen'd, no UDF. */
-  private def selectedExpr(ts: Column, a: String, b: String): Column =
-    aggregate(
-      matchesExpr(ts, a, b),
-      struct(array().cast("array<int>").as("sel"), lit(-2).as("last")),
-      (st, i) => struct(
-        when(i === st.getField("last") + 1, st.getField("sel"))
-          .otherwise(array_append(st.getField("sel"), i)).as("sel"),
-        when(i === st.getField("last") + 1, st.getField("last"))
-          .otherwise(i).as("last")),
-      st => st.getField("sel"))
-
-  /** Rewrite one symbol array under the selected match positions:
-    * position q becomes the merged symbol if selected, is dropped if
-    * it is the tail of a selected match, and passes through otherwise. */
-  private def rewriteExpr(ts: Column, sel: Column, merged: String): Column =
-    when(size(ts) === 0, ts).otherwise(
-      transform(
-        filter(sequence(lit(1), size(ts)), q => !array_contains(sel, q - 1)),
-        q => when(array_contains(sel, q), lit(merged))
-          .otherwise(element_at(ts, q))))
+  /** Greedy left-to-right rewrite of one symbol array under merge
+    * (a,b) → merged, as a SINGLE O(len) left fold over positions via
+    * `functions.aggregate` — codegen'd, no UDF: at each position,
+    * either it was consumed as the tail of the match emitted one step
+    * earlier (skip), or it starts a match (emit the merged symbol,
+    * mark the next position consumed — which is also what makes an
+    * a==b run merge alternately), or it passes through. A
+    * position-set formulation (match positions + `array_contains` per
+    * position) would be O(len·matches) — quadratic on a pathological
+    * document that is one token repeated, a real skew hazard at
+    * corpus scale. */
+  private def rewriteExpr(ts: Column, a: String, b: String): Column = {
+    val merged = a + JOIN + b
+    // sequence(1, 0) would DESCEND on an empty array — guard it out.
+    when(size(ts) === 0, ts).otherwise(aggregate(
+      sequence(lit(1), size(ts)),
+      struct(array().cast("array<string>").as("acc"), lit(false).as("skip")),
+      (st, q) => {
+        val starts = q < size(ts) &&
+          element_at(ts, q) === lit(a) && element_at(ts, q + 1) === lit(b)
+        struct(
+          when(st.getField("skip"), st.getField("acc"))
+            .when(starts, array_append(st.getField("acc"), lit(merged)))
+            .otherwise(array_append(st.getField("acc"), element_at(ts, q)))
+            .as("acc"),
+          (!st.getField("skip") && starts).as("skip"))
+      },
+      st => st.getField("acc")))
+  }
 
   /** The training loop: [[BPE_MERGES]] rounds of count → argmax →
     * rewrite. Returns the learned merge table and the final rewritten
@@ -125,10 +121,7 @@ object Tokenizer extends QueryModule {
         merges += ((r, a, b, c))
         if (needState || r < rounds) {
           state = state
-            .select(col("doc_id"), col("ts"),
-              selectedExpr(col("ts"), a, b).as("sel"))
-            .select(col("doc_id"),
-              rewriteExpr(col("ts"), col("sel"), a + JOIN + b).as("ts"))
+            .select(col("doc_id"), rewriteExpr(col("ts"), a, b).as("ts"))
             .localCheckpoint(true)
         }
       }
