@@ -69,8 +69,14 @@ object Tokenizer extends QueryModule {
       sequence(lit(1), size(ts)),
       struct(array().cast("array<string>").as("acc"), lit(false).as("skip")),
       (st, q) => {
-        val starts = q < size(ts) &&
-          element_at(ts, q) === lit(a) && element_at(ts, q + 1) === lit(b)
+        // The q+1 lookup is reached only under the q < size guard —
+        // via when(), whose matched-branch-only evaluation is a
+        // CONTRACT, unlike &&'s short-circuit (an out-of-range
+        // element_at throws under ANSI mode).
+        val starts = coalesce(
+          element_at(ts, q) === lit(a) &&
+            when(q < size(ts), element_at(ts, q + 1)) === lit(b),
+          lit(false))
         struct(
           when(st.getField("skip"), st.getField("acc"))
             .when(starts, array_append(st.getField("acc"), lit(merged)))

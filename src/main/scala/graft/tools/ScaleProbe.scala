@@ -155,12 +155,22 @@ object ScaleProbe {
       // growth (the passes scale, the argmax and rewrite don't add
       // super-linear terms).
       "pii_scrub", "bpe_train")
+    // Force EVERY output column, not just row counts: under a bare
+    // .count() Catalyst prunes unreferenced projections, so a
+    // map-only query (pii_scrub's regex scan) would be "measured" as
+    // the underlying file scan — flat at any scale and proving
+    // nothing. A checksum over the full row (count + xxhash64 of all
+    // columns in one aggregate pass) makes every probed number the
+    // cost of actually producing the query's output.
     def timeAll(sfDir: String): Map[String, (Double, Long)] =
       queries.map { q =>
         graft.Caches.clearAll()
         val t0 = System.nanoTime()
-        val rows = graft.SparkEntry.queries(q)(spark, sfDir).count()
-        q -> ((System.nanoTime() - t0) / 1e9, rows)
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
+        val r = df.agg(count(lit(1)), sum(xxhash64(struct(
+          df.columns.map(col).toIndexedSeq: _*)))).collect()(0)
+        q -> ((System.nanoTime() - t0) / 1e9, r.getLong(0))
       }.toMap
 
     // Warm the session with a full throwaway pass at EACH scale —
