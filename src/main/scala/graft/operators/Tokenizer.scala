@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * bespin tokens; a merge joins two adjacent symbols with `_`) — the
   * same greedy algorithm as char-level BPE on a different initial
   * alphabet, chosen because the fixture's oracle-shared tokenizer is
-  * word-level. A char-level deployment runs the IDENTICAL loop over
+  * word-level. The char-level deployment runs the IDENTICAL loop over
   * the distinct-word+count table instead of the corpus (Sennrich's
-  * word-count compression — vocab-sized state, corpus touched once).
+  * word-count compression — vocab-sized state, corpus touched once):
+  * [[trainCharsOn]], spec-pinned to its own weighted replay.
   *
   * Merge semantics (pinned by TokenizerSpec against a sequential
   * replay): each round counts ALL adjacent symbol pairs (overlapping
@@ -62,8 +63,9 @@ object Tokenizer extends QueryModule {
     * position) would be O(len·matches) — quadratic on a pathological
     * document that is one token repeated, a real skew hazard at
     * corpus scale. */
-  private def rewriteExpr(ts: Column, a: String, b: String): Column = {
-    val merged = a + JOIN + b
+  private def rewriteExpr(ts: Column, a: String, b: String,
+      joiner: String = JOIN): Column = {
+    val merged = a + joiner + b
     // sequence(1, 0) would DESCEND on an empty array — guard it out.
     when(size(ts) === 0, ts).otherwise(aggregate(
       sequence(lit(1), size(ts)),
@@ -134,6 +136,53 @@ object Tokenizer extends QueryModule {
       r += 1
     }
     (merges.result(), state)
+  }
+
+  /** Char-level BPE via Sennrich's word-count compression — the
+    * module scaladoc's scale claim made RUNNABLE rather than asserted:
+    * the corpus collapses once to the distinct-word table with counts
+    * (vocab-sized state from then on; the corpus is touched exactly
+    * once), symbols start as single characters, each round's pair
+    * count weights by word count, and merges concatenate directly
+    * (classic BPE — subword symbols are strings over the alphabet, no
+    * joiner needed; rows whose symbol vectors converge after a merge
+    * stay separate rows, which leaves every weighted pair total
+    * unchanged). Library form with a ScalaTest oracle — TokenizerSpec
+    * pins it to a weighted sequential replay; the gate queries stay
+    * word-level, where the fixture's oracle-shared tokenizer lives. */
+  private[graft] def trainCharsOn(docs: DataFrame, rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var vocab = docs
+      .select(explode(TextFns.tokenize(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .select(split(col("w"), "").as("ts"), col("wcnt"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = vocab
+        .select(explode(TextFns.bigrams(col("ts"))).as("bg"), col("wcnt"))
+        .groupBy(col("bg.w1").as("a"), col("bg.w2").as("b"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, c))
+        if (r < rounds) {
+          vocab = vocab
+            .select(rewriteExpr(col("ts"), a, b, joiner = "").as("ts"),
+              col("wcnt"))
+            .localCheckpoint(true)
+        }
+      }
+      r += 1
+    }
+    merges.result()
   }
 
   // --- bpe_train: the learned merge table ---------------------------------

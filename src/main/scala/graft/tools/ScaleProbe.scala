@@ -167,8 +167,10 @@ object ScaleProbe {
         graft.Caches.clearAll()
         val t0 = System.nanoTime()
         val df = graft.SparkEntry.queries(q)(spark, sfDir)
-        import org.apache.spark.sql.functions.{col, count, lit, struct, sum, xxhash64}
-        val r = df.agg(count(lit(1)), sum(xxhash64(struct(
+        import org.apache.spark.sql.functions.{bit_xor, col, count, lit, struct, xxhash64}
+        // bit_xor, not sum: a long sum of 64-bit hashes overflows
+        // under ANSI; xor is overflow-free and order-independent.
+        val r = df.agg(count(lit(1)), bit_xor(xxhash64(struct(
           df.columns.map(col).toIndexedSeq: _*)))).collect()(0)
         q -> ((System.nanoTime() - t0) / 1e9, r.getLong(0))
       }.toMap

@@ -105,6 +105,73 @@ class TokenizerSpec extends SparkSpecBase {
     }
   }
 
+  // --- char-level (word-count-compressed) variant --------------------------
+
+  private def replayMergeJ(syms: Vector[String], a: String, b: String,
+      joiner: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + joiner + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def replayTrainChars(texts: Seq[String], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] = texts
+      .flatMap(TextFns.tokenizeLocal)
+      .groupBy(identity).toSeq
+      .map { case (w, ws) => (w.toVector.map(_.toString), ws.size.toLong) }
+    val ms = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (d, w) =>
+        d.indices.dropRight(1).foreach { i =>
+          val k = (d(i), d(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + w
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        ms += ((r, a, b, c))
+        vocab = vocab.map { case (d, w) => (replayMergeJ(d, a, b, ""), w) }
+      }
+      r += 1
+    }
+    ms.result()
+  }
+
+  test("char-level weighted loop matches its sequential replay") {
+    val texts = Seq(
+      "the cat the mat the hat",   // 'th' then 'the' should dominate
+      "lllama llama lll",          // a==b char runs under weighting
+      "a be see the three",
+      "the the the")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    assert(Tokenizer.trainCharsOn(df, 6) === replayTrainChars(texts, 6))
+  }
+
+  test("char-level fuzz: weighted counts agree with the replay") {
+    val rnd = new scala.util.Random(11)
+    (1 to 6).foreach { trial =>
+      val words = Vector("aba", "bab", "abab", "bb", "a", "cab", "bac")
+      val texts = Seq.fill(10)(
+        Seq.fill(1 + rnd.nextInt(9))(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      assert(Tokenizer.trainCharsOn(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), 4) === replayTrainChars(texts, 4),
+        s"char-level merge table diverged on trial $trial")
+    }
+  }
+
   test("fixture: full merge table, ranks dense, max pair count non-increasing") {
     val df = Tokenizer.bpeTrain(spark, sfDir)
     val rows = df.collect()
