@@ -581,6 +581,161 @@ object Pipeline extends QueryModule {
        |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin
   }
 
+  // --- perplexity_buckets: CCNet-style head/middle/tail partition --------
+  /** CCNet (Wenzek et al. 2020) partitions a crawl corpus into
+    * head/middle/tail thirds by LM perplexity and trains mostly on the
+    * head; this is that partition over [[lmLogprob]]'s unigram score
+    * (higher mean log-prob = more typical = head). Shape at 100 TB:
+    * scoring is the lm_logprob plan; the two cutoffs ride ONE extra
+    * global aggregation of a mergeable quantile sketch
+    * (`percentile_approx` — fixed-size partial state, map-side
+    * combine) and come back as a 1-row broadcast, so bucketing is a
+    * map-only CASE over the scored stream. No global sort, no window —
+    * the rank-based alternative (`ntile`) would funnel every row
+    * through one partition. Gate parity: the cutoff is an ACTUAL key
+    * (discrete quantile of a micro-rounded long) — at fixture scale
+    * the GK sketch retains every sample and equals DuckDB's
+    * `quantile_disc` exactly (the [[PCTL_ACCURACY]] argument), so both
+    * engines compare identical longs against identical longs and the
+    * bucket labels cannot drift at the boundary. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityBucketsOf(Tables.documents(spark, dir))
+
+  /** Core on any (doc_id, text) frame — spec entry point. */
+  def perplexityBucketsOf(docs: DataFrame): DataFrame = {
+    val occurrences = docs
+      .select(col("doc_id"), explode(TextFns.tokenize(col("text"))).as("t"))
+      .localCheckpoint()
+    val counts = occurrences.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    // Scored stream is consumed twice (cutoff sketch + bucketing) —
+    // the usual two-consumer checkpoint boundary.
+    val scored = occurrences
+      .join(counts, "t")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(log(col("c").cast("double") / col("total"))), 6)
+        .as("avg_logprob"))
+      .withColumn("key", round(col("avg_logprob") * lit(1e6), 0).cast("long"))
+      .localCheckpoint()
+    val cuts = scored.agg(
+      expr(s"percentile_approx(key, 0.3333333333333333, $PCTL_ACCURACY)")
+        .as("c_tail"),
+      expr(s"percentile_approx(key, 0.6666666666666666, $PCTL_ACCURACY)")
+        .as("c_mid"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_logprob"),
+        when(col("key") <= col("c_tail"), lit("tail"))
+          .when(col("key") <= col("c_mid"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val perplexityBucketsSql = {
+    val ts = TextFns.tokenizeSql("text")
+    s"""WITH d AS (SELECT doc_id, $ts AS ts FROM documents),
+       |x AS (SELECT doc_id, unnest(ts) AS t FROM d),
+       |c AS (SELECT t, count(*) AS c FROM x GROUP BY t),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+       |s AS (SELECT x.doc_id,
+       |    round(avg(ln(CAST(c.c AS DOUBLE) / total)), 6) AS avg_logprob
+       |  FROM x JOIN c USING (t) CROSS JOIN tot GROUP BY x.doc_id),
+       |k AS (SELECT doc_id, avg_logprob,
+       |    CAST(round(avg_logprob * 1e6, 0) AS BIGINT) AS key FROM s),
+       |cut AS (SELECT quantile_disc(key, 0.3333333333333333) AS c_tail,
+       |               quantile_disc(key, 0.6666666666666666) AS c_mid FROM k)
+       |SELECT doc_id, avg_logprob,
+       |  CASE WHEN key <= c_tail THEN 'tail'
+       |       WHEN key <= c_mid THEN 'middle'
+       |       ELSE 'head' END AS bucket
+       |FROM k CROSS JOIN cut ORDER BY doc_id""".stripMargin
+  }
+
+  // --- dsir_select: importance resampling toward a target slice ----------
+  /** The held-out "benchmark" stand-in shared by DSIR and the
+    * decontamination family: the doc_id ≡ EVAL_RES (mod EVAL_MOD)
+    * corpus slice. Declared HERE, above every val that interpolates
+    * them into oracle SQL — a Scala object initializes vals in
+    * declaration order, and a forward reference silently reads 0
+    * (this bit dsir_select's oracle once: `doc_id % 0` filtered every
+    * row in DuckDB instead of erroring). */
+  val EVAL_MOD = 10
+  val EVAL_RES = 5
+
+  /** Number of documents DSIR keeps. */
+  val DSIR_K = 100
+
+  /** DSIR (Xie et al. 2023) selects pretraining data by importance
+    * weight under a target-vs-raw bag-of-words ratio: weight(doc) =
+    * Σ_tokens ln p̂_target(t) − ln p̂_raw(t), add-1 smoothed over the
+    * joint vocabulary, keeping the top-K raw documents. The target
+    * here is the [[EVAL_RES]] (mod [[EVAL_MOD]]) doc slice — the same
+    * stand-in benchmark decontamination probes, so the fixture
+    * guarantees genuinely distribution-shifted winners. Shape at
+    * 100 TB: both distributions come from ONE conditional hash
+    * aggregation over the exploded corpus (no second tokenize pass);
+    * totals + vocab size ride a 1-row broadcast; per-doc weights are a
+    * shuffle equi-join ON THE TOKEN (never assumes the vocab
+    * broadcasts) + one doc re-aggregation; top-K is
+    * TakeOrderedAndProject (K bounded, no global sort materializes).
+    * Gate parity: weights round to 6 decimals (reorder noise lives far
+    * below the grid — the lm_logprob argument) and ranking happens on
+    * the micro-rounded LONG with doc_id tie-break, so the rank-K
+    * boundary cannot flip (the weighted_sample recipe). */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelectOf(Tables.documents(spark, dir), DSIR_K)
+
+  /** Core on any (doc_id, text) frame — spec entry point. */
+  def dsirSelectOf(docs: DataFrame, k: Int): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), explode(TextFns.tokenize(col("text"))).as("t"))
+      .localCheckpoint()
+    val isTarget = col("doc_id") % lit(EVAL_MOD) === lit(EVAL_RES)
+    val counts = occ
+      .groupBy(col("t"))
+      .agg(sum(when(isTarget, lit(1L)).otherwise(lit(0L))).as("ct"),
+        sum(when(isTarget, lit(0L)).otherwise(lit(1L))).as("cr"))
+    val totals = counts.agg(
+      sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
+      count(lit(1)).as("v"))
+    occ.filter(!isTarget)
+      .join(counts, "t")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(
+        log((col("ct") + lit(1L)).cast("double") / (col("tt") + col("v"))) -
+          log((col("cr") + lit(1L)).cast("double") / (col("tr") + col("v")))),
+        6).as("log_weight"))
+      .withColumn("key", round(col("log_weight") * lit(1e6), 0).cast("long"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("log_weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirSelectSql = {
+    val ts = TextFns.tokenizeSql("text")
+    s"""WITH d AS (SELECT doc_id, $ts AS ts FROM documents),
+       |x AS (SELECT doc_id, unnest(ts) AS t FROM d),
+       |c AS (SELECT t,
+       |    sum(CASE WHEN doc_id % $EVAL_MOD = $EVAL_RES THEN 1 ELSE 0 END) AS ct,
+       |    sum(CASE WHEN doc_id % $EVAL_MOD = $EVAL_RES THEN 0 ELSE 1 END) AS cr
+       |  FROM x GROUP BY t),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+       |    CAST(sum(cr) AS BIGINT) AS tr, count(*) AS v FROM c),
+       |w AS (SELECT x.doc_id, round(sum(
+       |      ln(CAST(ct + 1 AS DOUBLE) / (tt + v)) -
+       |      ln(CAST(cr + 1 AS DOUBLE) / (tr + v))), 6) AS log_weight
+       |  FROM x JOIN c USING (t) CROSS JOIN tot
+       |  WHERE x.doc_id % $EVAL_MOD <> $EVAL_RES
+       |  GROUP BY x.doc_id),
+       |k AS (SELECT doc_id, log_weight,
+       |    CAST(round(log_weight * 1e6, 0) AS BIGINT) AS key FROM w),
+       |top AS (SELECT doc_id, log_weight FROM k
+       |  ORDER BY key DESC, doc_id LIMIT $DSIR_K)
+       |SELECT doc_id, log_weight FROM top ORDER BY doc_id""".stripMargin
+  }
+
   // --- decontaminate: n-gram overlap against a held-out eval slice -------
   /** Decontamination window: the published recipes flag training docs
     * sharing any ~8–13-token n-gram with an evaluation benchmark; 8
@@ -588,8 +743,6 @@ object Pipeline extends QueryModule {
     * slice of the corpus — a stand-in whose planted near-duplicates
     * guarantee the fixture genuinely exercises the hit path. */
   val DECON_NGRAM = 8
-  val EVAL_MOD = 10
-  val EVAL_RES = 5
 
   /** Benchmark decontamination — flag every training document sharing
     * at least one [[DECON_NGRAM]]-token n-gram with the eval slice.
@@ -1415,6 +1568,11 @@ object Pipeline extends QueryModule {
       "decontamination behind a Bloom prefilter: map-side gram drop"),
     QueryDef("lm_logprob", lmLogprob, Some(lmLogprobSql),
       "unigram-LM mean log-prob per doc (the perplexity-filter signal)"),
+    QueryDef("perplexity_buckets", perplexityBuckets,
+      Some(perplexityBucketsSql),
+      "CCNet head/middle/tail thirds by LM score via sketch cutoffs"),
+    QueryDef("dsir_select", dsirSelect, Some(dsirSelectSql),
+      "DSIR top-K importance selection toward the eval-slice target"),
     QueryDef("token_count", tokenCount, Some(tokenCountSql),
       "whitespace vs BPE-ish-regex token counts per doc"),
     QueryDef("lang_id", langId, Some(langIdSql),

@@ -154,7 +154,15 @@ object ScaleProbe {
       // shuffle is pair-vocabulary-sized — the claim is factor ≈
       // growth (the passes scale, the argmax and rewrite don't add
       // super-linear terms).
-      "pii_scrub", "bpe_train")
+      "pii_scrub", "bpe_train",
+      // round-12 continuation: the two selection ops. perplexity
+      // bucketing is the lm_logprob join + ONE extra mergeable-sketch
+      // aggregation and a broadcast CASE — the claim is factor ≈
+      // growth with no new shuffle beyond the scoring join; DSIR adds
+      // a conditional vocab aggregation and a token equi-join, and its
+      // top-K is TakeOrdered (K fixed) — the claim is the rank stage
+      // contributes O(1) as the corpus grows.
+      "perplexity_buckets", "dsir_select")
     // Force EVERY output column, not just row counts: under a bare
     // .count() Catalyst prunes unreferenced projections, so a
     // map-only query (pii_scrub's regex scan) would be "measured" as
