@@ -52,41 +52,32 @@ object Tokenizer extends QueryModule {
     * the original token stream) hold. */
   val JOIN = "_"
 
-  /** Greedy left-to-right rewrite of one symbol array under merge
-    * (a,b) → merged, as a SINGLE O(len) left fold over positions via
-    * `functions.aggregate` — codegen'd, no UDF: at each position,
-    * either it was consumed as the tail of the match emitted one step
-    * earlier (skip), or it starts a match (emit the merged symbol,
-    * mark the next position consumed — which is also what makes an
-    * a==b run merge alternately), or it passes through. A
-    * position-set formulation (match positions + `array_contains` per
-    * position) would be O(len·matches) — quadratic on a pathological
-    * document that is one token repeated, a real skew hazard at
-    * corpus scale. */
-  private def rewriteExpr(ts: Column, a: String, b: String,
-      joiner: String = JOIN): Column = {
-    val merged = a + joiner + b
-    // sequence(1, 0) would DESCEND on an empty array — guard it out.
-    when(size(ts) === 0, ts).otherwise(aggregate(
-      sequence(lit(1), size(ts)),
-      struct(array().cast("array<string>").as("acc"), lit(false).as("skip")),
-      (st, q) => {
-        // The q+1 lookup is reached only under the q < size guard —
-        // via when(), whose matched-branch-only evaluation is a
-        // CONTRACT, unlike &&'s short-circuit (an out-of-range
-        // element_at throws under ANSI mode).
-        val starts = coalesce(
-          element_at(ts, q) === lit(a) &&
-            when(q < size(ts), element_at(ts, q + 1)) === lit(b),
-          lit(false))
-        struct(
-          when(st.getField("skip"), st.getField("acc"))
-            .when(starts, array_append(st.getField("acc"), lit(merged)))
-            .otherwise(array_append(st.getField("acc"), element_at(ts, q)))
-            .as("acc"),
-          (!st.getField("skip") && starts).as("skip"))
-      },
-      st => st.getField("acc")))
+  /** Greedy left-to-right rewrite of one symbol sequence under merge
+    * (a,b) → merged: one imperative O(len) scan per row — take a
+    * match, consume both positions, resume AFTER the consumed tail
+    * (which is what makes an a==b run merge alternately). This is the
+    * deliberate per-row-imperative exception to the expressions-first
+    * rule, and the measured one: the recurrence is inherently
+    * sequential per row, Catalyst arrays cannot append in O(1) (an
+    * `aggregate` fold pays an array COPY per position — O(len²), and
+    * higher-order functions evaluate interpreted, not codegen'd,
+    * anyway — benched 2× the whole bpe gate cost), and a position-set
+    * formulation (match positions + `array_contains` per position) is
+    * O(len·matches) — quadratic on a one-token-repeated pathological
+    * doc, a skew hazard at corpus scale. The typed map is
+    * embarrassingly parallel (no shuffle), and each round's state is
+    * `localCheckpoint`-materialized regardless, so the encoder
+    * boundary replaces interpreted expression eval, not codegen. */
+  private def rewriteRow(ts: Seq[String], a: String, b: String,
+      merged: String): Seq[String] = {
+    val n = ts.length
+    val out = new scala.collection.mutable.ArrayBuffer[String](n)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && ts(i) == a && ts(i + 1) == b) { out += merged; i += 2 }
+      else { out += ts(i); i += 1 }
+    }
+    out.toSeq
   }
 
   /** The training loop: [[BPE_MERGES]] rounds of count → argmax →
@@ -128,8 +119,13 @@ object Tokenizer extends QueryModule {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, c))
         if (needState || r < rounds) {
+          val spark = state.sparkSession
+          import spark.implicits._
+          val merged = a + JOIN + b
           state = state
-            .select(col("doc_id"), rewriteExpr(col("ts"), a, b).as("ts"))
+            .select(col("doc_id"), col("ts")).as[(Long, Seq[String])]
+            .map { case (id, ts) => (id, rewriteRow(ts, a, b, merged)) }
+            .toDF("doc_id", "ts")
             .localCheckpoint(true)
         }
       }
@@ -174,9 +170,14 @@ object Tokenizer extends QueryModule {
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, c))
         if (r < rounds) {
+          val spark = vocab.sparkSession
+          import spark.implicits._
+          // Classic char-level BPE concatenates directly — no joiner.
+          val merged = a + b
           vocab = vocab
-            .select(rewriteExpr(col("ts"), a, b, joiner = "").as("ts"),
-              col("wcnt"))
+            .select(col("ts"), col("wcnt")).as[(Seq[String], Long)]
+            .map { case (ts, c) => (rewriteRow(ts, a, b, merged), c) }
+            .toDF("ts", "wcnt")
             .localCheckpoint(true)
         }
       }
