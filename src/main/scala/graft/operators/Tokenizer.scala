@@ -134,6 +134,37 @@ object Tokenizer extends QueryModule {
     (merges.result(), state)
   }
 
+  /** Apply an already-learned merge table to a `(doc_id, ts)` state in
+    * RANK ORDER, one greedy pass per merge — the serve side of the
+    * tokenizer lifecycle (train once, encode any new text forever).
+    * One pass per rank is COMPLETE, not an approximation: a rank-k
+    * pair's symbols contain only merges < k, and a later merge m > k
+    * only creates symbols containing merge m, so no new rank-k
+    * adjacency can ever form after pass k (merges concatenate, never
+    * delete, so nothing between two symbols can vanish either). The
+    * same argument is why this equals the classic per-word
+    * lowest-rank-first encoder — which is the production swap at real
+    * vocab scale (30k merges ≠ 30k corpus passes: broadcast the rank
+    * table and run the priority loop per word inside ONE typed map,
+    * same output by rank closure). TokenizerSpec pins apply-after-
+    * train ≡ the training loop's own interleaved state and the
+    * fixpoint (no learned pair survives application). */
+  private[graft] def applyMerges(state0: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    var state = state0.localCheckpoint(true)
+    for ((_, a, b, _) <- merges) {
+      val spark = state.sparkSession
+      import spark.implicits._
+      val merged = a + JOIN + b
+      state = state
+        .select(col("doc_id"), col("ts")).as[(Long, Seq[String])]
+        .map { case (id, ts) => (id, rewriteRow(ts, a, b, merged)) }
+        .toDF("doc_id", "ts")
+        .localCheckpoint(true)
+    }
+    state
+  }
+
   /** Char-level BPE via Sennrich's word-count compression — the
     * module scaladoc's scale claim made RUNNABLE rather than asserted:
     * the corpus collapses once to the distinct-word table with counts
@@ -216,16 +247,46 @@ object Tokenizer extends QueryModule {
 
   // --- DuckDB oracles: the loop unrolled, every CTE materialized ----------
 
-  /** One unrolled round over state CTE `$prev` (columns doc_id, ts):
-    * pair index → count → argmax (b$r) → match positions (m$r) →
+  /** The rewrite half of one unrolled round: position index CTE +
+    * winning-pair CTE `$b` (columns a, b, m) → match positions ($m) →
     * greedy selection as islands-of-consecutive-positions alternation
-    * (g$r/x$r — equivalent to the left-to-right fold: within a run of
+    * ($g/$x — equivalent to the left-to-right scan: within a run of
     * consecutive matches greedy keeps every other one) → rewrite
-    * (p$r/r$r) → next state s$r. Constructs are all from the
-    * driver-proven family: correlated `unnest(range(...))` + `ts[i]`
-    * (the bigram oracles), 1-row comma/CROSS join (heavy_hitters'
-    * stride idiom), `string_agg(... ORDER BY ...)` (inverted_index),
+    * ($p/$rr) → next state `$out`. Shared verbatim by the training
+    * chain (pair counted and argmaxed per round) and the apply chain
+    * (pair comes from the TRAINING chain's b-CTEs — bpe_apply).
+    * Constructs are all from the driver-proven family: correlated
+    * `unnest(range(...))` + `ts[i]` (the bigram oracles), 1-row
+    * comma/CROSS join (heavy_hitters' stride idiom),
+    * `string_agg(... ORDER BY ...)` (inverted_index),
     * gaps-and-islands windows (user_sessions). */
+  private def rewriteSqlPart(prev: String, idx: String, b: String,
+      m: String, g: String, x: String, p: String, rr: String,
+      out: String): String =
+    s"""$m AS MATERIALIZED (SELECT doc_id, i FROM $idx, $b
+       |  WHERE ts[i] = $b.a AND ts[i+1] = $b.b),
+       |$g AS MATERIALIZED (SELECT doc_id, i,
+       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM $m),
+       |$x AS MATERIALIZED (SELECT doc_id, i FROM (
+       |    SELECT doc_id, i, min(i) OVER (PARTITION BY doc_id, grp) AS i0
+       |    FROM $g) WHERE (i - i0) % 2 = 0),
+       |$p AS MATERIALIZED (SELECT doc_id, ts,
+       |    unnest(range(1, len(ts) + 1)) AS q FROM $prev),
+       |$rr AS MATERIALIZED (SELECT $p.doc_id, q,
+       |    CASE WHEN k.i IS NOT NULL THEN $b.m ELSE ts[q] END AS sym
+       |  FROM $p LEFT JOIN $b ON TRUE
+       |  LEFT JOIN $x k ON k.doc_id = $p.doc_id AND k.i = q
+       |  LEFT JOIN $x e ON e.doc_id = $p.doc_id AND e.i = q - 1
+       |  WHERE e.i IS NULL),
+       |$out AS MATERIALIZED (SELECT doc_id, txt,
+       |    string_split_regex(txt, ' ') AS ts FROM (
+       |    SELECT doc_id, string_agg(sym, ' ' ORDER BY q) AS txt
+       |    FROM $rr GROUP BY doc_id))""".stripMargin
+
+  /** One unrolled TRAINING round over state CTE `$prev` (columns
+    * doc_id, ts): pair index → count → argmax (b$r) → the shared
+    * rewrite half → next state s$r. */
   private def iterSql(prev: String, r: Int): String =
     s"""i$r AS MATERIALIZED (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
        |  FROM $prev WHERE len(ts) > 1),
@@ -233,26 +294,19 @@ object Tokenizer extends QueryModule {
        |c$r AS MATERIALIZED (SELECT a, b, count(*) AS cnt FROM pr$r GROUP BY a, b),
        |b$r AS MATERIALIZED (SELECT a, b, a || '$JOIN' || b AS m, cnt FROM c$r
        |  ORDER BY cnt DESC, a, b LIMIT 1),
-       |m$r AS MATERIALIZED (SELECT doc_id, i FROM i$r, b$r
-       |  WHERE ts[i] = b$r.a AND ts[i+1] = b$r.b),
-       |g$r AS MATERIALIZED (SELECT doc_id, i,
-       |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
-       |  FROM m$r),
-       |x$r AS MATERIALIZED (SELECT doc_id, i FROM (
-       |    SELECT doc_id, i, min(i) OVER (PARTITION BY doc_id, grp) AS i0
-       |    FROM g$r) WHERE (i - i0) % 2 = 0),
-       |p$r AS MATERIALIZED (SELECT doc_id, ts,
-       |    unnest(range(1, len(ts) + 1)) AS q FROM $prev),
-       |r$r AS MATERIALIZED (SELECT p$r.doc_id, q,
-       |    CASE WHEN k.i IS NOT NULL THEN b$r.m ELSE ts[q] END AS sym
-       |  FROM p$r LEFT JOIN b$r ON TRUE
-       |  LEFT JOIN x$r k ON k.doc_id = p$r.doc_id AND k.i = q
-       |  LEFT JOIN x$r e ON e.doc_id = p$r.doc_id AND e.i = q - 1
-       |  WHERE e.i IS NULL),
-       |s$r AS MATERIALIZED (SELECT doc_id, txt,
-       |    string_split_regex(txt, ' ') AS ts FROM (
-       |    SELECT doc_id, string_agg(sym, ' ' ORDER BY q) AS txt
-       |    FROM r$r GROUP BY doc_id))""".stripMargin
+       |""".stripMargin +
+      rewriteSqlPart(prev, s"i$r", s"b$r",
+        s"m$r", s"g$r", s"x$r", s"p$r", s"r$r", s"s$r")
+
+  /** One unrolled APPLY round: rewrite state CTE `$prev` under the
+    * training chain's already-derived winning pair `$b` — no count,
+    * no argmax (the serve side never re-learns). */
+  private def applyIterSql(prev: String, b: String, r: Int): String =
+    s"""ai$r AS MATERIALIZED (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+       |  FROM $prev WHERE len(ts) > 1),
+       |""".stripMargin +
+      rewriteSqlPart(prev, s"ai$r", b,
+        s"am$r", s"ag$r", s"ax$r", s"ap$r", s"ar$r", s"aa$r")
 
   private def chainSql: String = {
     val t = s"WITH t AS MATERIALIZED (SELECT doc_id, " +
@@ -282,9 +336,60 @@ object Tokenizer extends QueryModule {
        |FROM t LEFT JOIN $last USING (doc_id) ORDER BY t.doc_id""".stripMargin
   }
 
+  // --- bpe_apply: the serve side — learned merges over NEW text ----------
+  /** Train-once/apply-many, the tokenizer analogue of the ANN index's
+    * build/serve split: merges learned on the NON-eval corpus slice
+    * ([[graft.operators.Pipeline.EVAL_MOD]] family), then applied in
+    * rank order to the held-out eval documents the trainer never saw —
+    * exactly what production does when the tokenizer meets tomorrow's
+    * crawl. Output is the eval slice's encoded form, comparator-proof
+    * like [[bpeEncode]]. Shape at 100 TB: training cost is bpe_train's
+    * (on the training corpus); application is [[applyMerges]] —
+    * embarrassingly-parallel per-row passes, no shuffle at all. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val isEval =
+      col("doc_id") % lit(Pipeline.EVAL_MOD) === lit(Pipeline.EVAL_RES)
+    val (ms, _) = trainOn(docs.filter(!isEval), BPE_MERGES, needState = false)
+    val st = applyMerges(
+      docs.filter(isEval)
+        .select(col("doc_id"), TextFns.tokenize(col("text")).as("ts")), ms)
+    val txt = concat_ws(" ", coalesce(col("ts"), array()))
+    docs.filter(isEval).select(col("doc_id"))
+      .join(st, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(coalesce(col("ts"), array())).cast("long").as("n_syms"),
+        TextFns.hash56(txt).as("text_h56"),
+        length(txt).cast("long").as("text_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeApplySql: String = {
+    val t = s"WITH t AS MATERIALIZED (SELECT doc_id, " +
+      s"${TextFns.tokenizeSql("text")} AS ts FROM documents)"
+    val ev = s"doc_id % ${Pipeline.EVAL_MOD} = ${Pipeline.EVAL_RES}"
+    val s0 =
+      s"s0 AS MATERIALIZED (SELECT doc_id, ts FROM t WHERE NOT ($ev))"
+    val trainIters = (1 to BPE_MERGES).map(r => iterSql(s"s${r - 1}", r))
+    val a0 = s"aa0 AS MATERIALIZED (SELECT doc_id, ts FROM t WHERE $ev)"
+    val applyIters =
+      (1 to BPE_MERGES).map(r => applyIterSql(s"aa${r - 1}", s"b$r", r))
+    val last = s"aa$BPE_MERGES"
+    (Seq(t, s0) ++ trainIters ++ Seq(a0) ++ applyIters).mkString(",\n") +
+      s"""
+         |SELECT t.doc_id,
+         |  CAST(coalesce(len($last.ts), 0) AS BIGINT) AS n_syms,
+         |  ${TextFns.hash56Sql(s"coalesce($last.txt, '')")} AS text_h56,
+         |  CAST(length(coalesce($last.txt, '')) AS BIGINT) AS text_len
+         |FROM t LEFT JOIN $last USING (doc_id)
+         |WHERE $ev ORDER BY t.doc_id""".stripMargin
+  }
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("bpe_train", bpeTrain, Some(bpeTrainSql),
       "BPE merge induction: greedy pair-merge rounds over the corpus"),
     QueryDef("bpe_encode", bpeEncode, Some(bpeEncodeSql),
-      "the corpus rewritten under the learned BPE merge table"))
+      "the corpus rewritten under the learned BPE merge table"),
+    QueryDef("bpe_apply", bpeApply, Some(bpeApplySql),
+      "the serve side: non-eval-trained merges encode the eval slice"))
 }

@@ -162,7 +162,11 @@ object ScaleProbe {
       // a conditional vocab aggregation and a token equi-join, and its
       // top-K is TakeOrdered (K fixed) — the claim is the rank stage
       // contributes O(1) as the corpus grows.
-      "perplexity_buckets", "dsir_select")
+      "perplexity_buckets", "dsir_select",
+      // bpe_apply = bpe_train's cost on the 90% training slice plus
+      // map-only apply passes over the eval slice — the claim is its
+      // factor tracks bpe_train's (application adds no shuffle).
+      "bpe_apply")
     // Force EVERY output column, not just row counts: under a bare
     // .count() Catalyst prunes unreferenced projections, so a
     // map-only query (pii_scrub's regex scan) would be "measured" as

@@ -105,6 +105,51 @@ class TokenizerSpec extends SparkSpecBase {
     }
   }
 
+  // --- the apply (serve) side ----------------------------------------------
+
+  test("applyMerges: post-hoc apply of the learned table reproduces the " +
+    "training loop's own interleaved state") {
+    val texts = Seq(
+      "the big cat sat on the big mat",
+      "the big cat ate the big cat food",
+      "b b b b b", "solo", "",
+      "the big the big the")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (merges, trained) = Tokenizer.trainOn(df, 5)
+    val applied = Tokenizer.applyMerges(
+      df.select($"doc_id",
+        graft.functions.TextFns.tokenize($"text").as("ts")), merges)
+    val a = trained.orderBy("doc_id").collect()
+      .map(r => r.getSeq[String](1).toVector).toSeq
+    val b = applied.orderBy("doc_id").collect()
+      .map(r => r.getSeq[String](1).toVector).toSeq
+    assert(a === b)
+  }
+
+  test("applyMerges: fixpoint — no learned pair survives application") {
+    // Rank-closure completeness: after the rank-ordered passes, no
+    // adjacent symbol pair may equal any learned merge pair.
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c")
+    val texts = Seq.fill(10)(
+      Seq.fill(1 + rnd.nextInt(16))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (merges, _) = Tokenizer.trainOn(df, 4)
+    val applied = Tokenizer.applyMerges(
+      df.select($"doc_id",
+        graft.functions.TextFns.tokenize($"text").as("ts")), merges)
+    val pairs = merges.map(m => (m._2, m._3)).toSet
+    applied.collect().map(_.getSeq[String](1)).foreach { syms =>
+      syms.sliding(2).filter(_.size == 2).foreach { w =>
+        assert(!pairs.contains((w(0), w(1))),
+          s"learned pair ${w(0)},${w(1)} survived in $syms")
+      }
+    }
+  }
+
   // --- char-level (word-count-compressed) variant --------------------------
 
   private def replayMergeJ(syms: Vector[String], a: String, b: String,
