@@ -253,7 +253,86 @@ object ScaleOps extends QueryModule {
        | AND e.ts >= x.session_start AND e.ts < x.session_end
        |ORDER BY event_id""".stripMargin
 
+  // --- zorder_layout: multi-dimensional locality sharding ----------------
+  /** Shard count — top [[Z_SHARD_BITS]] bits of the 32-bit z-value. */
+  val Z_SHARD_BITS = 6
+  val Z_SHARDS = 1 << Z_SHARD_BITS
+
+  /** Bit-interleave two 16-bit values into a z-curve (Morton) value —
+    * dim bits occupy disjoint positions, so `+` is `|`. Generated from
+    * one loop in both engines' dialects (parity by construction). */
+  private def zInterleave(u: org.apache.spark.sql.Column,
+      t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(u, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftrightunsigned(t, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  private def zInterleaveSql(u: String, t: String): String =
+    (0 until 16).map(i =>
+      s"((($u >> $i) & 1) << ${2 * i + 1}) + ((($t >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
+
+  /** Z-order layout — the multi-dimensional clustering idiom (the
+    * OPTIMIZE ZORDER of lakehouse table formats): events keyed by BOTH
+    * user and time land in shards whose per-shard (user, time)
+    * bounding boxes are small on both dimensions at once, so min/max
+    * column statistics prune scans for predicates on EITHER key — a
+    * single-dimension sort gives perfect pruning on one key and none
+    * on the other. Each dimension normalizes to a 16-bit rank by
+    * integer math made SHIFT-INVARIANT on purpose — (x − min)·65535
+    * div (max − min) — so the engines only need per-row-consistent
+    * timestamps, not an agreed absolute epoch; the 32-bit interleave's
+    * top [[Z_SHARD_BITS]] bits are the shard. Shape at 100 TB: bounds
+    * are one 4-scalar aggregate riding a 1-row broadcast; z-value and
+    * shard are map-only codegen bit math; the per-shard stats are one
+    * hash aggregation. The production write path is
+    * `repartitionByRange(z)` + write with the same expression — the
+    * gate emits the per-shard bounding boxes (in normalized 16-bit
+    * units, shift-invariant) that ARE the min/max pruning statistics
+    * the layout exists to sharpen; ZorderSpec pins the locality claim
+    * (mean bbox area ≪ a time-only layout's) and bijection. */
+  def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"))
+    val bounds = e.agg(
+      min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+      min(col("tus")).as("t_lo"), max(col("tus")).as("t_hi"))
+    val u16 = expr("(user_id - u_lo) * 65535 div greatest(u_hi - u_lo, 1)")
+    val t16 = expr("(tus - t_lo) * 65535 div greatest(t_hi - t_lo, 1)")
+    e.crossJoin(broadcast(bounds))
+      .select(col("event_id"), u16.as("u16"), t16.as("t16"))
+      .withColumn("shard",
+        shiftrightunsigned(zInterleave(col("u16"), col("t16")),
+          32 - Z_SHARD_BITS).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("u16")).as("u16_min"), max(col("u16")).as("u16_max"),
+        min(col("t16")).as("t16_min"), max(col("t16")).as("t16_max"))
+      .orderBy(col("shard"))
+  }
+
+  val zorderLayoutSql: String = {
+    val z = zInterleaveSql("u16", "t16")
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+       |b AS (SELECT min(user_id) AS u_lo, max(user_id) AS u_hi,
+       |    min(tus) AS t_lo, max(tus) AS t_hi FROM e),
+       |n AS (SELECT event_id,
+       |    (user_id - u_lo) * 65535 // greatest(u_hi - u_lo, 1) AS u16,
+       |    (tus - t_lo) * 65535 // greatest(t_hi - t_lo, 1) AS t16
+       |  FROM e CROSS JOIN b),
+       |s AS (SELECT event_id, u16, t16,
+       |    ($z) >> ${32 - Z_SHARD_BITS} AS shard FROM n)
+       |SELECT shard, count(*) AS cnt,
+       |  min(u16) AS u16_min, max(u16) AS u16_max,
+       |  min(t16) AS t16_min, max(t16) AS t16_max
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   override def entries: Seq[QueryDef] = Seq(
+    QueryDef("zorder_layout", zorderLayout, Some(zorderLayoutSql),
+      "z-curve multi-dim locality sharding: per-shard pruning stats"),
     QueryDef("interval_join", intervalJoin, Some(intervalJoinSql),
       "point-in-interval join via time-bin bucketing (no range product)"),
     QueryDef("bucketed_join", bucketedJoin, Some(bucketedJoinSql),
