@@ -25,6 +25,21 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# SURVEY §8 portability rule, machine-enforced (round 13): every oracle
+# result column must land in a type the driver's comparator renders
+# identically to Spark's parquet output. DuckDB silently widens integer
+# sums to HUGEINT and decimal math to DECIMAL — both render differently
+# on the driver and false-green here if we only compare python values
+# (this normalization blind spot cost round 10 [span_dedup] AND round 12
+# [docs_jsonl/embeddings_jsonl]). Any oracle returning a type outside
+# this set must CAST it, even when the values would compare equal.
+# The set is EMPIRICAL, not aspirational: exactly the types returned by
+# oracles with a hash-green driver row in CORRECTNESS_r12 (BIGINT 116,
+# VARCHAR 57, DOUBLE 56, INTEGER 42, TIMESTAMP 13, BOOLEAN 11 queries).
+# Extending it requires a driver-green gate that returns the new type.
+PORTABLE_TYPES = {"BIGINT", "DOUBLE", "VARCHAR", "TIMESTAMP",
+                  "INTEGER", "BOOLEAN"}
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -182,11 +197,20 @@ def main():
             got_rows = con.sql(
                 f"SELECT {', '.join(got_cols)} FROM got ORDER BY ALL").fetchall()
             exp = con.sql(sql)
+            bad_types = [(c, str(t)) for c, t in zip(exp.columns, exp.types)
+                         if str(t) not in PORTABLE_TYPES]
             exp_cols = sorted(exp.columns)
             exp_rows = con.sql(
                 f"SELECT {', '.join(exp_cols)} FROM exp ORDER BY ALL").fetchall()
         except Exception as e:
             print(f"FAIL {name}: error: {e}")
+            n_fail += 1
+            continue
+        if bad_types:
+            print(f"FAIL {name}: non-portable oracle column type(s) "
+                  f"{bad_types} — the driver renders these differently "
+                  f"than Spark's parquet output; wrap in CAST "
+                  f"(SURVEY §8 portability rule)")
             n_fail += 1
             continue
         if got_cols != exp_cols:

@@ -1433,8 +1433,10 @@ object Pipeline extends QueryModule {
       .orderBy(col("lang"))
 
   val docsJsonlSql =
-    s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-       |  sum(${TextFns.hash56Sql("text")} % 1000003) AS text_checksum
+    s"""SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(${TextFns.hash56Sql("text")} % 1000003) AS BIGINT)
+       |    AS text_checksum
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** The ARRAY-column leg of the JSONL round-trip: float vectors
@@ -1452,8 +1454,9 @@ object Pipeline extends QueryModule {
 
   val embeddingsJsonlSql =
     """SELECT label, count(*) AS n_vecs,
-      |  sum(CAST(round(list_sum(list_transform(embedding,
-      |    x -> CAST(x AS DOUBLE))) * 1000000) AS BIGINT)) AS vec_checksum
+      |  CAST(sum(CAST(round(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE))) * 1000000) AS BIGINT)) AS BIGINT)
+      |    AS vec_checksum
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
   // --- pii_scrub: detect + redact contact PII ----------------------------
