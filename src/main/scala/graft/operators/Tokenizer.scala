@@ -142,11 +142,12 @@ object Tokenizer extends QueryModule {
     * only creates symbols containing merge m, so no new rank-k
     * adjacency can ever form after pass k (merges concatenate, never
     * delete, so nothing between two symbols can vanish either). The
-    * same argument is why this equals the classic per-word
-    * lowest-rank-first encoder — which is the production swap at real
-    * vocab scale (30k merges ≠ 30k corpus passes: broadcast the rank
-    * table and run the priority loop per word inside ONE typed map,
-    * same output by rank closure). TokenizerSpec pins apply-after-
+    * same argument is why this equals the classic
+    * lowest-rank-first encoder [[applyMergesFast]]/[[encodeRow]] —
+    * the production form at real vocab scale (30k merges ≠ 30k corpus
+    * passes), spec-pinned equal on fixture + seeded fuzz; this
+    * pass-per-rank form stays as the REFERENCE implementation the
+    * fast one is checked against. TokenizerSpec pins apply-after-
     * train ≡ the training loop's own interleaved state and the
     * fixpoint (no learned pair survives application). */
   private[graft] def applyMerges(state0: DataFrame,
@@ -163,6 +164,95 @@ object Tokenizer extends QueryModule {
         .localCheckpoint(true)
     }
     state
+  }
+
+  /** The PRODUCTION encoder: one typed map over the corpus, a
+    * per-row lowest-rank-first priority loop against the broadcast
+    * merge-rank table — the form a real 30k-merge vocabulary needs
+    * (30k merges ≠ 30k corpus passes; cost per row scales with row
+    * LENGTH, never with vocab size). Equal to [[applyMerges]] by rank
+    * closure (a rank-k pair's symbols contain only merges < k, and a
+    * merge at rank k only creates symbols whose pairs rank > k, so
+    * processing PQ entries in (rank, position) order IS the per-rank
+    * greedy left-to-right pass sequence) — and the equality is
+    * spec-PINNED, not argued: TokenizerSpec compares both encoders on
+    * the fixture corpus and on seeded fuzz with deep merge tables.
+    *
+    * Mechanics per row: symbols in a doubly-linked list over the
+    * original positions; a lazy-deletion min-heap of `(rank, leftPos)`
+    * candidates. Popped entries re-validate against the live list (the
+    * pair may have been consumed or rewritten); a merge enqueues only
+    * the two adjacencies it creates, and only at STRICTLY higher rank
+    * — mirroring the per-rank pass, where a pair formed by the current
+    * rank's own output is never re-examined within that pass.
+    * O(len log len) per row, embarrassingly parallel, no shuffle. */
+  private[graft] def encodeRow(ts: IndexedSeq[String],
+      rank: scala.collection.Map[(String, String), (Int, String)])
+      : Seq[String] = {
+    val n = ts.length
+    if (n < 2) return ts
+    val sym = scala.collection.mutable.ArrayBuffer.from(ts)
+    val next = Array.tabulate(n)(i => if (i + 1 < n) i + 1 else -1)
+    val prev = Array.tabulate(n)(i => i - 1)
+    val alive = Array.fill(n)(true)
+    val pq = new java.util.PriorityQueue[Array[Int]](
+      new java.util.Comparator[Array[Int]] {
+        def compare(x: Array[Int], y: Array[Int]): Int = {
+          val c = Integer.compare(x(0), y(0))
+          if (c != 0) c else Integer.compare(x(1), y(1))
+        }
+      })
+    def offer(p: Int, minRank: Int): Unit = {
+      val q = next(p)
+      if (q != -1) rank.get((sym(p), sym(q))) match {
+        case Some((r, _)) if r >= minRank => pq.add(Array(r, p))
+        case _ =>
+      }
+    }
+    var i = 0
+    while (i < n - 1) { offer(i, 1); i += 1 }
+    while (!pq.isEmpty) {
+      val e = pq.poll()
+      val (r, p) = (e(0), e(1))
+      if (alive(p)) {
+        val q = next(p)
+        if (q != -1) rank.get((sym(p), sym(q))) match {
+          case Some((r2, m)) if r2 == r =>
+            sym(p) = m
+            alive(q) = false
+            val nq = next(q)
+            next(p) = nq
+            if (nq != -1) prev(nq) = p
+            val pp = prev(p)
+            if (pp != -1) offer(pp, r + 1)
+            offer(p, r + 1)
+          case _ => // stale: pair consumed or rewritten since enqueue
+        }
+      }
+    }
+    val out = Seq.newBuilder[String]
+    var c = 0 // position 0 never dies: only the RIGHT half of a pair does
+    while (c != -1) { out += sym(c); c = next(c) }
+    out.result()
+  }
+
+  /** [[applyMerges]] in production form: broadcast the rank table,
+    * run [[encodeRow]]'s priority loop inside ONE typed map — one
+    * corpus pass total instead of one per merge. Output pinned equal
+    * to [[applyMerges]] by TokenizerSpec (fixture + seeded fuzz), so
+    * the two are interchangeable under every oracle; [[bpeApply]]
+    * serves through THIS one, which keeps the equivalence exercised
+    * by the driver gate every round. */
+  private[graft] def applyMergesFast(state0: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val spark = state0.sparkSession
+    import spark.implicits._
+    val rank: Map[(String, String), (Int, String)] =
+      merges.map { case (r, a, b, _) => ((a, b), (r, a + JOIN + b)) }.toMap
+    val bc = spark.sparkContext.broadcast(rank)
+    state0.select(col("doc_id"), col("ts")).as[(Long, Seq[String])]
+      .map { case (id, ts) => (id, encodeRow(ts.toIndexedSeq, bc.value)) }
+      .toDF("doc_id", "ts")
   }
 
   /** Char-level BPE via Sennrich's word-count compression — the
@@ -351,7 +441,7 @@ object Tokenizer extends QueryModule {
     val isEval =
       col("doc_id") % lit(Pipeline.EVAL_MOD) === lit(Pipeline.EVAL_RES)
     val (ms, _) = trainOn(docs.filter(!isEval), BPE_MERGES, needState = false)
-    val st = applyMerges(
+    val st = applyMergesFast(
       docs.filter(isEval)
         .select(col("doc_id"), TextFns.tokenize(col("text")).as("ts")), ms)
     val txt = concat_ws(" ", coalesce(col("ts"), array()))

@@ -150,6 +150,75 @@ class TokenizerSpec extends SparkSpecBase {
     }
   }
 
+  // --- the production (priority-loop) encoder ------------------------------
+
+  private def collectStates(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame) = {
+    def pull(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toVector)).toSeq
+    (pull(a), pull(b))
+  }
+
+  test("production encoder equals the per-rank passes on the fixture corpus") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val (ms, _) =
+      Tokenizer.trainOn(docs, Tokenizer.BPE_MERGES, needState = false)
+    val st = docs.select($"doc_id", TextFns.tokenize($"text").as("ts"))
+    val (slow, fast) = collectStates(
+      Tokenizer.applyMerges(st, ms), Tokenizer.applyMergesFast(st, ms))
+    assert(slow === fast)
+  }
+
+  test("production encoder fuzz: random corpora, deep merge tables, " +
+    "held-out application") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("a", "b", "c", "d")
+    (1 to 8).foreach { trial =>
+      val texts = Seq.fill(14)(
+        Seq.fill(1 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val train = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      // Apply to a DIFFERENT corpus than the trainer saw (the bpe_apply
+      // shape) so the fuzz also covers pairs absent from the held-out
+      // text and symbols the trainer never merged.
+      val held = Seq.fill(10)(
+        Seq.fill(1 + rnd.nextInt(18))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val (ms, _) = Tokenizer.trainOn(train, 8, needState = false)
+      val st = held.select($"doc_id", TextFns.tokenize($"text").as("ts"))
+      val (slow, fast) = collectStates(
+        Tokenizer.applyMerges(st, ms), Tokenizer.applyMergesFast(st, ms))
+      assert(slow === fast, s"encoders diverged on trial $trial")
+    }
+  }
+
+  test("production encoder: a==b runs and empty/single-token rows survive") {
+    val texts = Seq("b b b b b", "solo", "", "a b a b a b")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (ms, _) = Tokenizer.trainOn(df, 4, needState = false)
+    val st = df.select($"doc_id", TextFns.tokenize($"text").as("ts"))
+    val (slow, fast) = collectStates(
+      Tokenizer.applyMerges(st, ms), Tokenizer.applyMergesFast(st, ms))
+    assert(slow === fast)
+  }
+
+  test("encodeRow: priority order follows rank, not position") {
+    // (b,c) has rank 1, (a,b) rank 2: on [a,b,c] the rank-1 merge at
+    // position 2 must win over the earlier-position rank-2 pair, then
+    // (a, b_c) has no rank — result [a, b_c], NOT [a_b, c].
+    val rank = Map(("b", "c") -> (1, "b_c"), ("a", "b") -> (2, "a_b"))
+    assert(Tokenizer.encodeRow(IndexedSeq("a", "b", "c"), rank) ===
+      Seq("a", "b_c"))
+    // Chained: after rank-1 makes b_c, rank-2 (a, b_c) fires.
+    val rank2 = Map(("b", "c") -> (1, "b_c"), ("a", "b_c") -> (2, "a_b_c"))
+    assert(Tokenizer.encodeRow(IndexedSeq("a", "b", "c"), rank2) ===
+      Seq("a_b_c"))
+  }
+
   // --- char-level (word-count-compressed) variant --------------------------
 
   private def replayMergeJ(syms: Vector[String], a: String, b: String,
