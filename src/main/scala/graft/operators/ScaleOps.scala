@@ -261,7 +261,7 @@ object ScaleOps extends QueryModule {
   /** Bit-interleave two 16-bit values into a z-curve (Morton) value —
     * dim bits occupy disjoint positions, so `+` is `|`. Generated from
     * one loop in both engines' dialects (parity by construction). */
-  private def zInterleave(u: org.apache.spark.sql.Column,
+  private[graft] def zInterleave(u: org.apache.spark.sql.Column,
       t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until 16).map { i =>
       shiftleft(shiftrightunsigned(u, i).bitwiseAND(lit(1L)), 2 * i + 1) +
@@ -291,7 +291,9 @@ object ScaleOps extends QueryModule {
     * gate emits the per-shard bounding boxes (in normalized 16-bit
     * units, shift-invariant) that ARE the min/max pruning statistics
     * the layout exists to sharpen; ZorderSpec pins the locality claim
-    * (mean bbox area ≪ a time-only layout's) and bijection. */
+    * (worst-DIMENSION extent bounded — a time-only layout's shards
+    * span the full user range, so a user predicate prunes nothing)
+    * and the interleave bijection. */
   def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"),
