@@ -446,7 +446,12 @@ object StreamingOps extends QueryModule {
       .orderBy(col("user_id"), col("session_start"))
 
   /** [[userSessionsSql]] restricted to sessions the terminal watermark
-    * has sealed — the append-mode emission contract. */
+    * has sealed — the append-mode emission contract. The terminal
+    * watermark floors max(ts) to MILLISECOND precision first, because
+    * Spark derives event-time watermarks from the max event time
+    * truncated to ms — an un-truncated oracle would seal a session
+    * whose end falls in the sub-millisecond gap that the engine leaves
+    * open (latent fixture-dependent divergence, ADVICE r12). */
   val streamSessionsAppendSql =
     s"""WITH o AS (SELECT user_id, ts,
        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
@@ -459,7 +464,8 @@ object StreamingOps extends QueryModule {
        |ses AS (SELECT user_id, min(ts) AS session_start,
        |  max(ts) + INTERVAL '$SESSION_GAP' AS session_end,
        |  count(*) AS n_events FROM s GROUP BY user_id, sess),
-       |wm AS (SELECT max(ts) - INTERVAL '$WATERMARK' AS w FROM events)
+       |wm AS (SELECT date_trunc('milliseconds', max(ts))
+       |    - INTERVAL '$WATERMARK' AS w FROM events)
        |SELECT user_id, session_start, session_end, n_events
        |FROM ses CROSS JOIN wm WHERE session_end <= w
        |ORDER BY user_id, session_start""".stripMargin

@@ -102,17 +102,31 @@ object ScaleProbe {
     // distribution shift. Only the columns the session path touches
     // are populated meaningfully; the rest mirror the fixture schema.
     locally {
+      // spark.range + hash-derived columns, not a driver-side Seq: the
+      // event table scales linearly with the probe argument (~1M rows
+      // at the default) and a collected driver collection would become
+      // the probe's own memory ceiling (ADVICE r12). xxhash64 with
+      // per-column salts is the deterministic stand-in for the seeded
+      // Random; pmod keeps the sign. Distribution shape is preserved:
+      // ts uniform over 30 days, users uniform, 8 event types.
+      import org.apache.spark.sql.functions.{col, concat, lit, pmod,
+        timestamp_millis, xxhash64}
       val baseEvents = spark.read.parquet(s"$baseDir/events.parquet").count()
       val nEv = (baseEvents.toDouble * n / baseDocs).round
-      val nUsers = math.max(1L, (1500.0 * n / baseDocs * 10 / 10).round)
-      val rnd = new scala.util.Random(44L)
+      val nUsers = math.max(1L, (1500.0 * n / baseDocs).round)
       val t0ms = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
       val spanMs = 30L * 24 * 3600 * 1000
-      (0L until nEv).map { id =>
-        (id, new java.sql.Timestamp(t0ms + (rnd.nextDouble() * spanMs).toLong),
-          rnd.nextLong(nUsers), s"type${rnd.nextInt(8)}", rnd.nextDouble(),
-          "{}")
-      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      spark.range(nEv)
+        .select(col("id").as("event_id"),
+          timestamp_millis(
+            lit(t0ms) + pmod(xxhash64(col("id"), lit(1)), lit(spanMs)))
+            .as("ts"),
+          pmod(xxhash64(col("id"), lit(2)), lit(nUsers)).as("user_id"),
+          concat(lit("type"), pmod(xxhash64(col("id"), lit(3)), lit(8)))
+            .as("event_type"),
+          (pmod(xxhash64(col("id"), lit(4)), lit(1000000L)) / 1e6)
+            .as("value"),
+          lit("{}").as("props"))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
     }
