@@ -109,4 +109,65 @@ object Tables {
     })
     s.read.schema(src.schema).option("timestampFormat", tsFmt).json(dir)
   }
+
+  /** Planted-corruption JSONL staging for the malformed-ingestion gate
+    * ([[jsonlCorruptTable]]): every line whose `doc_id` hits the
+    * [[CORRUPT_MOD]]/[[CORRUPT_RES]] residue is TRUNCATED to its first
+    * [[CORRUPT_KEEP]] bytes — unclosed JSON, unconditionally malformed
+    * (fixture doc lines are all far longer than the keep prefix:
+    * JsonlMalformedSpec pins the margin), while the kept prefix still
+    * starts with the `doc_id` field (schema order puts it first), so
+    * quarantine triage can regexp the id back out of the raw record.
+    * Same planted-evidence pattern as pii_scrub: the fixture has no
+    * organic corruption, so the loader plants a deterministic,
+    * SQL-replayable fault set instead of gating a wall of zeros. */
+  val CORRUPT_MOD = 17L
+  val CORRUPT_RES = 3L
+  val CORRUPT_KEEP = 30
+
+  private val jsonlBadStaged = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
+
+  /** The corrupted staging dir (for spec-side premise checks on the
+    * actual staged bytes); stages it if needed. */
+  private[graft] def jsonlCorruptDir(s: SparkSession, d: String,
+      name: String): String = {
+    jsonlCorruptTable(s, d, name)
+    jsonlBadStaged((s, d, name))
+  }
+
+  /** PERMISSIVE read of the corrupted staging: schema pinned to the
+    * parquet schema plus `_corrupt_record` — malformed lines surface
+    * as all-null data columns with the raw line captured, clean lines
+    * parse normally. This is the posture real crawl-dump ingestion
+    * needs (count + quarantine, never abort the 100 TB job on one bad
+    * shard); `jsonl_malformed` gates it end-to-end. */
+  def jsonlCorruptTable(s: SparkSession, d: String, name: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val src = load(s, d, name)
+    // Ensure the clean staging exists, then rewrite it with the fault
+    // plan — a pure line-level map (text in, text out).
+    jsonlTable(s, d, name)
+    val clean = jsonlStaged((s, d, name))
+    val dir = jsonlBadStaged.getOrElseUpdate((s, d, name), {
+      val dest = java.nio.file.Files
+        .createTempDirectory(s"graft_jsonl_bad_${name}_").toString
+      val doomed = get_json_object(col("value"), "$.doc_id").cast("long")
+        .%(lit(CORRUPT_MOD)) === lit(CORRUPT_RES)
+      s.read.text(clean)
+        .select(when(doomed, substring(col("value"), 1, CORRUPT_KEEP))
+          .otherwise(col("value")).as("value"))
+        .write.mode("overwrite").text(dest)
+      dest
+    })
+    s.read
+      .schema(src.schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("timestampFormat", tsFmt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+  }
 }

@@ -1459,6 +1459,44 @@ object Pipeline extends QueryModule {
       |    AS vec_checksum
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  // --- jsonl_malformed: PERMISSIVE corrupt-record quarantine --------------
+  /** Malformed-line ingestion — the posture real crawl-dump loading
+    * needs beyond [[docsJsonl]]'s happy path: a 100 TB JSONL ingest
+    * must COUNT and QUARANTINE bad lines, never abort on one torn
+    * shard or silently drop rows. [[Tables.jsonlCorruptTable]] plants
+    * a deterministic fault set (doc_id-residue-selected lines
+    * truncated mid-object) and reads PERMISSIVE under the pinned
+    * schema + `_corrupt_record`; this gate emits the per-document
+    * triage table: parsed rows keep their content checksum, corrupt
+    * rows carry payload 0 and recover their doc_id by regexp from the
+    * raw record (the truncation keeps the leading `doc_id` field —
+    * quarantine triage, reconciliation-ready). The oracle replays the
+    * fault plan directly from the parquet table, so a dropped row, a
+    * mis-flagged row, or content corruption on the surviving rows all
+    * break the compare. Scale shape: line-level map + one text scan,
+    * no shuffle before the gate ORDER BY. */
+  def jsonlMalformed(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.jsonlCorruptTable(spark, dir, "documents")
+    val corrupt = col("_corrupt_record").isNotNull
+    raw.select(
+      coalesce(col("doc_id"),
+        regexp_extract(col("_corrupt_record"), "\"doc_id\":(\\d+)", 1)
+          .cast("long")).as("doc_id"),
+      when(corrupt, lit("corrupt")).otherwise(lit("ok")).as("status"),
+      when(corrupt, lit(0L))
+        .otherwise(TextFns.hash56(col("text")) % 1000003L).as("payload"))
+      .orderBy(col("doc_id"))
+  }
+
+  val jsonlMalformedSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN doc_id % ${Tables.CORRUPT_MOD} = ${Tables.CORRUPT_RES}
+       |       THEN 'corrupt' ELSE 'ok' END AS status,
+       |  CAST(CASE WHEN doc_id % ${Tables.CORRUPT_MOD} = ${Tables.CORRUPT_RES}
+       |       THEN 0 ELSE ${TextFns.hash56Sql("text")} % 1000003 END
+       |    AS BIGINT) AS payload
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // --- pii_scrub: detect + redact contact PII ----------------------------
   /** PII redaction — the training-pipeline stage every released web
     * corpus runs (email/phone/IP detection and replacement with typed
@@ -1533,6 +1571,8 @@ object Pipeline extends QueryModule {
        |FROM s ORDER BY doc_id""".stripMargin
 
   override def entries: Seq[QueryDef] = Seq(
+    QueryDef("jsonl_malformed", jsonlMalformed, Some(jsonlMalformedSql),
+      "PERMISSIVE JSONL ingest: planted-corruption quarantine triage"),
     QueryDef("docs_jsonl", docsJsonl, Some(docsJsonlSql),
       "JSONL ingestion round-trip: per-lang summary over the jsonl loader"),
     QueryDef("embeddings_jsonl", embeddingsJsonl, Some(embeddingsJsonlSql),
