@@ -51,5 +51,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[gfn.NgramPack].getName,
         gfn.NgramPack.FUNC_NAME),
       exprs => gfn.NgramPack(exprs.head,
-        operators.Dedup.NGRAM_N, operators.Dedup.GRAM_BITS)))
+        operators.Dedup.NGRAM_N, operators.Dedup.GRAM_BITS)),
+    (FunctionIdentifier(gfn.NfcNormalize.FUNC_NAME),
+      new ExpressionInfo(classOf[gfn.NfcNormalize].getName,
+        gfn.NfcNormalize.FUNC_NAME),
+      exprs => gfn.NfcNormalize(exprs.head)))
 }

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared normalization kernel, callable from interpreted eval AND
+  * from generated Java (scalac emits a static forwarder, so codegen
+  * references `graft.functions.NfcNormalizeUtil.nfc(...)` directly).
+  *
+  * Fast paths, in order: a pure-ASCII string is NFC by definition —
+  * detected with one byte scan over the UTF8String, no UTF-16
+  * decode, no allocation (the overwhelmingly common case in a web
+  * corpus, so the hot path stays allocation-free); an already-
+  * normalized non-ASCII string returns the INPUT UTF8String after the
+  * `isNormalized` check (one decode, no re-encode). Only genuinely
+  * denormalized text pays the full normalize + re-encode. */
+object NfcNormalizeUtil {
+  def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Native Catalyst expression for Unicode NFC normalization — the
+  * first cleanup step of every web-corpus text pipeline (crawl text
+  * arrives in mixed composed/decomposed forms; dedup fingerprints and
+  * tokenizers must see ONE canonical byte sequence or the same
+  * visible text hashes two ways). Spark ships no normalization
+  * function, so this is the preference-ladder rung (b) case: a
+  * UnaryExpression whose `doGenCode` stays inside whole-stage codegen
+  * (one static call, no UDF serialization boundary, null handling
+  * from `nullSafeCodeGen`). Oracle parity: DuckDB's `nfc_normalize`
+  * implements the same Unicode normalization form; `text_normalize`
+  * gates the agreement end-to-end on planted decomposed text.
+  */
+final case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize needs STRING, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalizeUtil.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcNormalizeUtil.nfc($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  val FUNC_NAME = "graft_nfc"
+
+  private val registered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Idempotently registers `graft_nfc(str)` in the session's
+    * FunctionRegistry. */
+  def register(spark: SparkSession): Unit =
+    registered.synchronized {
+      if (!registered.contains(spark)) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          FUNC_NAME, exprs => NfcNormalize(exprs.head), "built-in")
+        registered.add(spark)
+      }
+    }
+}

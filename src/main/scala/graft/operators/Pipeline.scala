@@ -1497,6 +1497,73 @@ object Pipeline extends QueryModule {
        |    AS BIGINT) AS payload
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- text_normalize: NFC + control strip + whitespace collapse ---------
+  /** Text normalization — the cleanup pass that runs BEFORE any
+    * fingerprint or tokenizer in a web-corpus pipeline: crawl text
+    * arrives with mixed Unicode composition (the same visible "café"
+    * as one codepoint or as e+combining-acute — which hashes two ways
+    * and defeats exact dedup), stray control bytes, and ragged
+    * whitespace. The chain: Unicode NFC via the native
+    * [[graft.functions.NfcNormalize]] codegen expression (Spark ships
+    * no normalization function — preference-ladder rung (b)), strip
+    * non-whitespace control chars, collapse whitespace runs to one
+    * space, trim. All codegen column work in one map-only scan.
+    *
+    * The fixture corpus is pure-ASCII word salad, so the operator
+    * PLANTS deterministic evidence first (the pii_scrub pattern): a
+    * decomposed-accent suffix on `doc_id % 5`, control bytes on
+    * `% 6`, ragged spaces on `% 4` — all replayable in SQL via
+    * `chr(...)`. The gate checks the normalized text's fingerprint
+    * and length plus a changed flag, so a normalization difference on
+    * ANY planted row (or an unexpected rewrite of a clean row) breaks
+    * the compare. Oracle parity: DuckDB `nfc_normalize` implements
+    * the same Unicode normal form; regexes are RE2-compatible with
+    * explicit classes (no \\s semantics drift) and the 'g' flag. */
+  private val CTL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  private val WS_CLASS = "[ \\t\\n\\r]+"
+
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(spark)
+    // The accent is planted in DECOMPOSED form (e + U+0301, as a
+    // unicode escape so no tool can silently re-compose the source)
+    // -- the case NFC exists to fix; the SQL replay plants chr(769).
+    // The control leg plants a BEL (stripped) and a TAB (whitespace
+    // -- collapsed, not stripped), matching chr(7)/chr(9) in SQL.
+    val planted = concat(col("text"),
+      when(col("doc_id") % 5 === 1, lit(" nfc cafe\u0301")).otherwise(""),
+      when(col("doc_id") % 6 === 2, lit(" ctl x\u0007y\tz")).otherwise(""),
+      when(col("doc_id") % 4 === 3, lit(" sp  a   b ")).otherwise(""))
+    val cleaned = trim(regexp_replace(regexp_replace(
+      call_function(graft.functions.NfcNormalize.FUNC_NAME, planted),
+      lit(CTL_CLASS), lit("")),
+      lit(WS_CLASS), lit(" ")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (cleaned =!= planted).as("changed"),
+        length(cleaned).cast("long").as("n_chars_norm"),
+        TextFns.hash56(cleaned).as("norm_h56"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNormalizeSql: String = {
+    val planted =
+      s"""text
+         | || CASE WHEN doc_id % 5 = 1 THEN ' nfc cafe' || chr(769) ELSE '' END
+         | || CASE WHEN doc_id % 6 = 2
+         |         THEN ' ctl x' || chr(7) || 'y' || chr(9) || 'z' ELSE '' END
+         | || CASE WHEN doc_id % 4 = 3 THEN ' sp  a   b ' ELSE '' END"""
+        .stripMargin.replace("\n", "")
+    val cleaned =
+      s"""trim(regexp_replace(regexp_replace(nfc_normalize(planted),
+         |  '$CTL_CLASS', '', 'g'), '$WS_CLASS', ' ', 'g'))""".stripMargin
+    s"""WITH p AS (SELECT doc_id, $planted AS planted FROM documents),
+       |c AS (SELECT doc_id, planted, $cleaned AS cleaned FROM p)
+       |SELECT doc_id, cleaned <> planted AS changed,
+       |  CAST(length(cleaned) AS BIGINT) AS n_chars_norm,
+       |  ${TextFns.hash56Sql("cleaned")} AS norm_h56
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   // --- pii_scrub: detect + redact contact PII ----------------------------
   /** PII redaction — the training-pipeline stage every released web
     * corpus runs (email/phone/IP detection and replacement with typed
@@ -1573,6 +1640,8 @@ object Pipeline extends QueryModule {
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("jsonl_malformed", jsonlMalformed, Some(jsonlMalformedSql),
       "PERMISSIVE JSONL ingest: planted-corruption quarantine triage"),
+    QueryDef("text_normalize", textNormalize, Some(textNormalizeSql),
+      "unicode NFC + control strip + whitespace collapse (native expr)"),
     QueryDef("docs_jsonl", docsJsonl, Some(docsJsonlSql),
       "JSONL ingestion round-trip: per-lang summary over the jsonl loader"),
     QueryDef("embeddings_jsonl", embeddingsJsonl, Some(embeddingsJsonlSql),

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.{NfcNormalize, NfcNormalizeUtil}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pins the native NFC expression on both eval paths against
+  * `java.text.Normalizer` directly, the allocation-free fast paths
+  * (ASCII, already-normalized), and the `text_normalize` gate's
+  * planted-evidence premises. */
+class NfcNormalizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // All non-ASCII content is written as unicode ESCAPES: raw source
+  // bytes would be at the mercy of editor/tool normalization -- the
+  // exact ambiguity this expression exists to remove.
+  private val DEC = "cafe\u0301"      // decomposed e + combining acute
+  private val COMP = "caf\u00e9"      // composed
+  private val cases: Seq[String] = Seq(
+    "",
+    "plain ascii stays",
+    DEC,
+    COMP,
+    "A\u030aring",                  // A + combining ring -> \u00c5
+    s"mixed $DEC and $COMP twice $DEC",
+    "\u0301leading combining mark", // combining mark with no base
+    "angstrom \u212b sign")          // U+212B -> U+00C5 under NFC
+
+  test("codegen path equals java.text.Normalizer on every case") {
+    NfcNormalize.register(spark)
+    val rows = cases.toDF("s")
+      .select(col("s"), call_function(NfcNormalize.FUNC_NAME, col("s")))
+      .as[(String, String)].collect()
+    rows.foreach { case (in, got) =>
+      val want = java.text.Normalizer.normalize(
+        in, java.text.Normalizer.Form.NFC)
+      assert(got === want, s"input codepoints ${in.map(_.toInt)}")
+    }
+  }
+
+  test("interpreted path and fast paths: ASCII and normalized inputs " +
+    "return the SAME UTF8String instance") {
+    val ascii = UTF8String.fromString("no accents here 123")
+    assert(NfcNormalizeUtil.nfc(ascii) eq ascii)
+    val composed = UTF8String.fromString(COMP)
+    assert(NfcNormalizeUtil.nfc(composed) eq composed)
+    val decomposed = UTF8String.fromString(DEC)
+    val out = NfcNormalizeUtil.nfc(decomposed)
+    assert(out.toString === COMP)
+    assert(!(out eq decomposed))
+    // Null propagates through the expression wrapper (nullSafeEval).
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    assert(NfcNormalize(Literal(null, StringType)).eval(null) == null)
+  }
+
+  test("text_normalize planted evidence: every rule fires and is " +
+    "idempotent") {
+    val out = operators.Pipeline.textNormalize(spark, sfDir)
+    val rows = out.collect()
+    val n = rows.length
+    assert(n > 0)
+    // Rows hit by any planting rule must report changed; untouched
+    // rows must not (fixture text is already clean ASCII).
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val hit = id % 5 == 1 || id % 6 == 2 || id % 4 == 3
+      assert(r.getBoolean(1) === hit, s"doc $id changed=${r.getBoolean(1)}")
+    }
+    assert(rows.count(_.getBoolean(1)) > 0, "no planted row fired")
+    // Idempotence: normalizing the oracle-side cleaned text again is a
+    // no-op -- NFC, control strip, and collapse are all fixpoints.
+    val probe = Seq(s"$COMP a b", "x y z").toDF("text")
+      .select(trim(regexp_replace(regexp_replace(
+        call_function(NfcNormalize.FUNC_NAME, col("text")),
+        lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"), lit("")),
+        lit("[ \\t\\n\\r]+"), lit(" "))).as("t2"), col("text"))
+      .as[(String, String)].collect()
+    probe.foreach { case (t2, t) => assert(t2 === t) }
+  }
+}
