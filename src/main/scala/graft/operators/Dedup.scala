@@ -531,6 +531,53 @@ object Dedup extends QueryModule {
       .filter(col("comp") < col("id"))
       .select(col("id").as("doc_id"))
 
+  // --- dedup_keep_best: quality-aware canonical selection -----------------
+  /** Cluster representatives chosen by QUALITY, not by id: production
+    * dedup keeps the BEST member of each near-duplicate cluster (the
+    * cleanest capture of a page crawled five times), while the min-id
+    * canonical the other gates use is an arbitrary-but-deterministic
+    * stand-in. Composes [[dedupComponents]]' clusters with
+    * [[graft.operators.Pipeline.docQuality]]'s score and picks the
+    * per-cluster argmax (quality DESC, doc_id tie-break) with one
+    * `row_number` window PARTITIONED BY cluster — never a global
+    * sort; cluster populations are bounded by the dedup radius, so
+    * the window state per key stays tiny at any corpus size. Output
+    * is the clustered docs with their verdicts (kept/dropped), the
+    * actionable artifact a curation run consumes as an anti-join. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val comps =
+      components(nearDedupPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+        .select(col("id").as("doc_id"), col("comp"))
+    val quality = graft.operators.Pipeline.docQuality(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    comps.join(quality, Seq("doc_id"))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("comp"), col("quality"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the closure's min-label clusters joined to the
+    * doc_quality replay (nested WITH — inner CTE names shadow the
+    * closure's), argmax per cluster via the same window. LAZY because
+    * it references Pipeline.docQualitySql while Pipeline's
+    * curationPipelineSql references THIS object's vals — eager init
+    * here would make the rendered SQL depend on which object loads
+    * first (the val-init-order class of bug). */
+  lazy val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $componentClosureCtes,
+       |cmp AS (SELECT doc_id, min(comp) AS comp FROM r GROUP BY doc_id),
+       |qual AS (SELECT doc_id, quality FROM
+       |  (${graft.operators.Pipeline.docQualitySql}) dq),
+       |rk AS (SELECT cmp.doc_id, cmp.comp, qual.quality,
+       |    row_number() OVER (PARTITION BY cmp.comp
+       |      ORDER BY qual.quality DESC, cmp.doc_id) AS rnk
+       |  FROM cmp JOIN qual USING (doc_id))
+       |SELECT doc_id, comp, quality, rnk = 1 AS kept
+       |FROM rk ORDER BY doc_id""".stripMargin
+
   // --- simhash: per-doc 56-bit signature ---------------------------------
 
   private val POWERS: Array[Long] = (0 until SIMHASH_BITS).map(1L << _).toArray
@@ -1147,5 +1194,7 @@ object Dedup extends QueryModule {
     QueryDef("ngram_jaccard", ngramJaccard, Some(ngramJaccardSql),
       "blocked char-4-gram Jaccard pairs within source"),
     QueryDef("dedup_components", dedupComponents, Some(dedupComponentsSql),
-      "connected components of the near-dup graph (dedup clusters)"))
+      "connected components of the near-dup graph (dedup clusters)"),
+    QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql),
+      "quality-aware canonical: keep each cluster's best member"))
 }

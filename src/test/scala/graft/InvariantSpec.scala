@@ -87,6 +87,24 @@ class InvariantSpec extends SparkSpecBase {
     }
   }
 
+  test("dedup_keep_best: one winner per cluster, and it has max quality") {
+    val rows = SparkEntry.queries("dedup_keep_best")(spark, sfDir)
+      .select(col("comp"), col("quality"), col("kept"))
+      .as[(Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (comp, members) =>
+      val winners = members.filter(_._3)
+      assert(winners.length == 1, s"cluster $comp winners=${winners.length}")
+      assert(winners.head._2 >= members.map(_._2).max,
+        s"cluster $comp kept a non-best member")
+      assert(members.length >= 2,
+        s"cluster $comp has a single member — not a duplicate cluster")
+    }
+    // Verdict sets must agree with the min-id clustering's membership.
+    val comps = SparkEntry.queries("dedup_components")(spark, sfDir).count()
+    assert(rows.length.toLong == comps)
+  }
+
   test("exact_dedup: every group has exactly one canonical doc") {
     val bad = operators.Pipeline.exactDedup(spark, sfDir)
       .groupBy("text_hash")
