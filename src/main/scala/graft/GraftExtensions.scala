@@ -55,5 +55,13 @@ object GraftExtensions {
     (FunctionIdentifier(gfn.NfcNormalize.FUNC_NAME),
       new ExpressionInfo(classOf[gfn.NfcNormalize].getName,
         gfn.NfcNormalize.FUNC_NAME),
-      exprs => gfn.NfcNormalize(exprs.head)))
+      exprs => gfn.NfcNormalize(exprs.head)),
+    (FunctionIdentifier(gfn.NfkcCasefold.FUNC_NAME),
+      new ExpressionInfo(classOf[gfn.NfkcCasefold].getName,
+        gfn.NfkcCasefold.FUNC_NAME),
+      exprs => gfn.NfkcCasefold(exprs.head)),
+    (FunctionIdentifier(gfn.UrlNormalize.FUNC_NAME),
+      new ExpressionInfo(classOf[gfn.UrlNormalize].getName,
+        gfn.UrlNormalize.FUNC_NAME),
+      exprs => gfn.UrlNormalize(exprs.head)))
 }

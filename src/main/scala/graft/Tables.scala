@@ -50,6 +50,37 @@ object Tables {
   private val textStaged = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), String]
 
+  /** Runs `stage` at most once per key: `TrieMap.getOrElseUpdate` is
+    * get-then-update (NOT atomic), so two concurrent first callers
+    * would each create and write a temp staging dir and one would
+    * leak. Coarse lock on the map — staging happens O(tables) times
+    * per JVM, contention is irrelevant. Every staged dir is also
+    * registered for recursive delete at JVM exit so test/Verify runs
+    * don't accumulate temp trees across invocations. */
+  private def stageOnce(
+      map: scala.collection.concurrent.TrieMap[(SparkSession, String, String), String],
+      key: (SparkSession, String, String))(stage: => String): String =
+    map.synchronized {
+      map.getOrElseUpdate(key, {
+        val dir = stage
+        cleanupAtExit(dir)
+        dir
+      })
+    }
+
+  private def cleanupAtExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path, Paths}
+      import java.util.Comparator
+      val root: Path = Paths.get(dir)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
+    }))
+
   /** TEXT-MODE table access — the reference's per-query `--text` flag
     * (every Q1–Q7 main accepts `--text` | `--parquet`,
     * `/root/reference/Spark/SparkSQL/Q1.scala:30-39`) expressed as a
@@ -71,13 +102,13 @@ object Tables {
   def textTable(s: SparkSession, d: String, name: String): DataFrame = {
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val src = load(s, d, name)
-    val dir = textStaged.getOrElseUpdate((s, d, name), {
+    val dir = stageOnce(textStaged, (s, d, name)) {
       val dest = java.nio.file.Files
         .createTempDirectory(s"graft_tbl_${name}_").toString
       src.write.mode("overwrite").option("sep", "|")
         .option("timestampFormat", tsFmt).csv(dest)
       dest
-    })
+    }
     s.read.schema(src.schema).option("sep", "|")
       .option("timestampFormat", tsFmt).csv(dir)
   }
@@ -100,20 +131,23 @@ object Tables {
   def jsonlTable(s: SparkSession, d: String, name: String): DataFrame = {
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val src = load(s, d, name)
-    val dir = jsonlStaged.getOrElseUpdate((s, d, name), {
+    val dir = stageOnce(jsonlStaged, (s, d, name)) {
       val dest = java.nio.file.Files
         .createTempDirectory(s"graft_jsonl_${name}_").toString
       src.write.mode("overwrite")
         .option("timestampFormat", tsFmt).json(dest)
       dest
-    })
+    }
     s.read.schema(src.schema).option("timestampFormat", tsFmt).json(dir)
   }
 
   /** Planted-corruption JSONL staging for the malformed-ingestion gate
     * ([[jsonlCorruptTable]]): every line whose `doc_id` hits the
     * [[CORRUPT_MOD]]/[[CORRUPT_RES]] residue is TRUNCATED to its first
-    * [[CORRUPT_KEEP]] bytes — unclosed JSON, unconditionally malformed
+    * [[CORRUPT_KEEP]] CHARACTERS (Spark's `substring` is
+    * character-based; the fixture lines are ASCII so characters ==
+    * bytes here, and no codepoint can be cut mid-sequence) — unclosed
+    * JSON, unconditionally malformed
     * (fixture doc lines are all far longer than the keep prefix:
     * JsonlMalformedSpec pins the margin), while the kept prefix still
     * starts with the `doc_id` field (schema order puts it first), so
@@ -151,7 +185,7 @@ object Tables {
     // plan — a pure line-level map (text in, text out).
     jsonlTable(s, d, name)
     val clean = jsonlStaged((s, d, name))
-    val dir = jsonlBadStaged.getOrElseUpdate((s, d, name), {
+    val dir = stageOnce(jsonlBadStaged, (s, d, name)) {
       val dest = java.nio.file.Files
         .createTempDirectory(s"graft_jsonl_bad_${name}_").toString
       val doomed = get_json_object(col("value"), "$.doc_id").cast("long")
@@ -161,7 +195,7 @@ object Tables {
           .otherwise(col("value")).as("value"))
         .write.mode("overwrite").text(dest)
       dest
-    })
+    }
     s.read
       .schema(src.schema.add("_corrupt_record",
         org.apache.spark.sql.types.StringType))

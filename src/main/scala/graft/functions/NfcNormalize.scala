@@ -66,6 +66,98 @@ final case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** NFKC + casefold kernel — the compatibility-normalization the dedup
+  * literature applies before fingerprinting (ligatures, fullwidth
+  * forms, superscripts collapse to their plain compatibles, then case
+  * differences vanish), sibling of [[NfcNormalizeUtil.nfc]].
+  *
+  * Casefold here is `String.toLowerCase(Locale.ROOT)` — the JDK's
+  * locale-independent lowercase, NOT full Unicode case folding (the
+  * JDK ships no public fold; the visible difference is edge cases
+  * like ß, which full folding maps to "ss" and lowercase keeps). The
+  * result is re-checked NFKC after the fold because lowercasing can
+  * denormalize (e.g. İ → i + combining dot above).
+  *
+  * Fast paths mirror [[NfcNormalizeUtil.nfc]]: pure-ASCII input takes
+  * one byte scan plus (only if any A–Z present) UTF8String's own
+  * ASCII lowercase — no UTF-16 decode; non-ASCII already-normalized
+  * lowercase input pays one decode, no re-encode. */
+object NfkcCasefoldUtil {
+  def nfkcCf(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    var hasUpper = false
+    while (i < n && s.getByte(i) >= 0) {
+      val b = s.getByte(i)
+      if (b >= 'A' && b <= 'Z') hasUpper = true
+      i += 1
+    }
+    if (i == n) return if (hasUpper) s.toLowerCase else s
+    val str = s.toString
+    val form = java.text.Normalizer.Form.NFKC
+    val nk =
+      if (java.text.Normalizer.isNormalized(str, form)) str
+      else java.text.Normalizer.normalize(str, form)
+    val cf = nk.toLowerCase(java.util.Locale.ROOT)
+    val out =
+      if (java.text.Normalizer.isNormalized(cf, form)) cf
+      else java.text.Normalizer.normalize(cf, form)
+    if (out == str) s else UTF8String.fromString(out)
+  }
+}
+
+/** Native Catalyst expression for NFKC + casefold — [[NfcNormalize]]'s
+  * compatibility sibling, the pre-fingerprint normalization near-dup
+  * pipelines want (NFC preserves visual distinctions like ﬁ vs fi and
+  * Ａ vs A that a dedup key must NOT preserve). Same codegen shape.
+  * DuckDB has no `nfkc_normalize`, so the `text_normalize_nfkc` gate
+  * plants evidence whose NFKC+fold image is constructible with
+  * `chr()` arithmetic and the oracle replays the EXPECTED output
+  * directly; NfcNormalizeSpec pins the kernel against
+  * `java.text.Normalizer` ground truth on generic shapes. */
+final case class NfkcCasefold(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfkc_casefold"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nfkc_casefold needs STRING, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NfkcCasefoldUtil.nfkcCf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfkcCasefoldUtil.nfkcCf($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfkcCasefold =
+    copy(child = newChild)
+}
+
+object NfkcCasefold {
+  val FUNC_NAME = "graft_nfkc_cf"
+
+  private val registered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Idempotently registers `graft_nfkc_cf(str)` in the session's
+    * FunctionRegistry. */
+  def register(spark: SparkSession): Unit =
+    registered.synchronized {
+      if (!registered.contains(spark)) {
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          FUNC_NAME, exprs => NfkcCasefold(exprs.head), "built-in")
+        registered.add(spark)
+      }
+    }
+}
+
 object NfcNormalize {
   val FUNC_NAME = "graft_nfc"
 

@@ -460,15 +460,49 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** Memoized corpus-wide near-dup cluster table, one entry per
+    * (session, dataset) — the ANN modelCache posture
+    * ([[graft.operators.Similarity]]): four operators consume the SAME
+    * deterministic clustering (the components gate, keep-best, the
+    * curation pipeline's exclusion anti-join, the REPL's cluster
+    * probe), and recomputing the pair join + iterated star rounds per
+    * consumer multiplies the single most expensive dedup computation
+    * by four for bit-identical output. Deliberately NOT registered
+    * with [[graft.Caches]]: clustering is deterministic, so a warm
+    * read is indistinguishable from a recompute — and
+    * [[dedupComponents]] (the gate that BENCHES clustering) never
+    * reads the memo, so its benched cost stays the honest cold
+    * number, exactly like `ann_index_build` vs the served queries.
+    * `localCheckpoint` detaches the O(duplicates) rows from the
+    * pair-join lineage. */
+  private val clustersMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def computeClusters(spark: SparkSession, dir: String): DataFrame =
+    components(nearDedupPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+      .localCheckpoint()
+
+  private[graft] def corpusClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersMemo.synchronized {
+      clustersMemo.getOrElseUpdate(
+        (spark, graft.Caches.pathKey(dir)), computeClusters(spark, dir))
+    }
+
   /** Gate query: components of the verified near-dup pair graph.
     * Docs with no near-dup are not emitted — at scale the component
     * table is joined back to the corpus as an exclusion/canonical map,
     * so keeping it to O(duplicates) rows instead of O(corpus) is the
-    * point. */
-  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
-    components(nearDedupPairs(spark, dir).select(col("doc_a"), col("doc_b")))
-      .select(col("id").as("doc_id"), col("comp"))
+    * point. ALWAYS computes fresh (the honest benched clustering
+    * cost), then refreshes [[clustersMemo]] for the read-through
+    * consumers. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val fresh = computeClusters(spark, dir)
+    clustersMemo.synchronized {
+      clustersMemo((spark, graft.Caches.pathKey(dir))) = fresh
+    }
+    fresh.select(col("id").as("doc_id"), col("comp"))
       .orderBy(col("doc_id"))
+  }
 
   /** One document's near-duplicate cluster — the ad-hoc serving entry
     * (the dedup analogue of [[graft.operators.Similarity.nearestTo]],
@@ -479,8 +513,7 @@ object Dedup extends QueryModule {
     * own duplicate class); an id absent from the corpus returns zero
     * rows. */
   def nearCluster(spark: SparkSession, dir: String, docId: Long): DataFrame = {
-    val comps =
-      components(nearDedupPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    val comps = corpusClusters(spark, dir)
     val mine = comps.filter(col("id") === docId).select(col("comp"))
     val members = comps.join(broadcast(mine), "comp")
       .select(col("id").as("doc_id"), col("comp"))
@@ -527,7 +560,7 @@ object Dedup extends QueryModule {
   /** Docs a near-dup-clustering dedup DROPS (non-canonical cluster
     * members) — the pipeline-composable form of [[dedupComponents]]. */
   def nearDupNonCanonical(spark: SparkSession, dir: String): DataFrame =
-    components(nearDedupPairs(spark, dir).select(col("doc_a"), col("doc_b")))
+    corpusClusters(spark, dir)
       .filter(col("comp") < col("id"))
       .select(col("id").as("doc_id"))
 
@@ -545,9 +578,8 @@ object Dedup extends QueryModule {
     * is the clustered docs with their verdicts (kept/dropped), the
     * actionable artifact a curation run consumes as an anti-join. */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val comps =
-      components(nearDedupPairs(spark, dir).select(col("doc_a"), col("doc_b")))
-        .select(col("id").as("doc_id"), col("comp"))
+    val comps = corpusClusters(spark, dir)
+      .select(col("id").as("doc_id"), col("comp"))
     val quality = graft.operators.Pipeline.docQuality(spark, dir)
       .select(col("doc_id"), col("quality"))
     val w = org.apache.spark.sql.expressions.Window

@@ -1219,24 +1219,55 @@ object Pipeline extends QueryModule {
     * it STARTS in, its offset there, and whether it spills across a
     * boundary. The global running offset is the [[packTokenBudget]]
     * distributed prefix sum with doc_id-range buckets
-    * (`floor(doc_id / SEQ_BUCKET)` is monotone in the concat order, so
-    * bucket offsets — one row per bucket on a tiny window — plus
-    * per-bucket running sums reproduce the single global window the
-    * DuckDB oracle runs, proving the decomposition exact a second
-    * time on a second ordering). No global sort anywhere. */
-  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(TextFns.tokenize(col("text"))).as("n_tokens"))
+    * (`floor(doc_id / SEQ_BUCKET)` is monotone in the concat order),
+    * RECURSED ONE LEVEL: the bucket-offsets table is itself
+    * corpus-proportional (n_docs/[[SEQ_BUCKET]] rows), so running it
+    * through one unpartitioned window would rebuild exactly the
+    * single-task bottleneck the buckets exist to avoid. Instead the
+    * buckets are re-bucketed into √-sized super-buckets — the only
+    * unpartitioned window runs over ~√n_buckets super-bucket rows,
+    * and every partitioned window holds ≤ √n_buckets rows of state,
+    * so no single task ever owns corpus-proportional data. The
+    * decomposition is exact (sums of longs re-associate freely); the
+    * DuckDB oracle runs the naive single global window, proving it
+    * every round. No global sort anywhere. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir)
+      .select(col("doc_id"), size(TextFns.tokenize(col("text"))).as("n_tokens")))
+
+  /** The packing core over any (doc_id, n_tokens) table — factored so
+    * CurationSpec can fuzz the two-level decomposition against the
+    * naive global window on seeded synthetic inputs. */
+  private[graft] def packSequences(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .withColumn("bkt", floor(col("doc_id") / SEQ_BUCKET))
       .localCheckpoint() // one tokenizer pass for the offsets + rows branches
-    val wOff = Window.orderBy(col("bkt"))
+    val bktSums = docs.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("tok"))
+      .localCheckpoint() // reused: super-agg + per-bucket offset join
+    // Bounded driver scalar (1 row, the PageRank-fold posture): size
+    // the super-bucket width to √n_buckets so both window tiers stay
+    // √-bounded per task.
+    val nBkt = bktSums.agg(coalesce(max(col("bkt")), lit(0L)))
+      .head().getLong(0) + 1L
+    val superW = math.max(1L, math.ceil(math.sqrt(nBkt.toDouble)).toLong)
+    val withSuper = bktSums.withColumn("sbkt", floor(col("bkt") / superW))
+    val wSuper = Window.orderBy(col("sbkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = docs.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("tok"))
-      .withColumn("offset", coalesce(sum(col("tok")).over(wOff), lit(0L)))
+    val superOff = withSuper.groupBy(col("sbkt")).agg(sum(col("tok")).as("stok"))
+      .withColumn("soffset", coalesce(sum(col("stok")).over(wSuper), lit(0L)))
+      .select(col("sbkt"), col("soffset"))
+    val wBktInSuper = Window.partitionBy(col("sbkt")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withSuper.join(broadcast(superOff), "sbkt")
+      .withColumn("offset",
+        col("soffset") + coalesce(sum(col("tok")).over(wBktInSuper), lit(0L)))
       .select(col("bkt"), col("offset"))
     val wIn = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.join(broadcast(offsets), "bkt")
+    // offsets is n_docs/SEQ_BUCKET rows — corpus-proportional, so NOT
+    // broadcast (that would put the whole table on every executor);
+    // the equi-join on bkt shuffles both sides co-partitioned.
+    docs.join(offsets, "bkt")
       .withColumn("start",
         (col("offset") + sum(col("n_tokens")).over(wIn) - col("n_tokens")).cast("long"))
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
@@ -1564,6 +1595,195 @@ object Pipeline extends QueryModule {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  // --- text_normalize_nfkc: NFKC + casefold (pre-fingerprint form) -------
+  /** Compatibility normalization + casefold — what the dedup
+    * literature actually applies before MinHash/SimHash fingerprints:
+    * NFC ([[textNormalize]]) canonicalizes composition but PRESERVES
+    * compatibility variants (ﬁ vs fi, fullwidth Ａ vs A, ² vs 2) and
+    * case — distinctions a near-dup key must NOT see. One map-only
+    * scan through the native [[graft.functions.NfkcCasefold]] codegen
+    * expression.
+    *
+    * Same planted-evidence posture as [[textNormalize]] (the fixture
+    * is pure-ASCII): a ligature on `doc_id % 5`, fullwidth letters on
+    * `% 6`, a superscript digit on `% 7`, a decomposed uppercase
+    * accent on `% 9`. DuckDB has no `nfkc_normalize`, so the oracle
+    * replays the EXPECTED image of each planted shape directly with
+    * `chr()` arithmetic (and `lower(text)` for the ASCII body) — a
+    * divergent rewrite of ANY planted row, or an unexpected rewrite
+    * of a clean row, breaks the hash compare. Generic (non-planted)
+    * shapes are pinned by NfcNormalizeSpec against
+    * `java.text.Normalizer` ground truth. */
+  def textNormalizeNfkc(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfkcCasefold.register(spark)
+    // Planted (unicode escapes so no tool can silently re-compose):
+    // U+FB01 fi-ligature; U+FF27/U+FF2F fullwidth G,O; U+00B2
+    // superscript two; E + U+0301 combining acute (decomposed, folds
+    // to é). Every suffix also carries an ASCII capital so the fold
+    // itself is exercised on clean rows' suffix-free text too.
+    val planted = concat(col("text"),
+      when(col("doc_id") % 5 === 1, lit(" Lig ﬁle")).otherwise(""),
+      when(col("doc_id") % 6 === 2, lit(" Full ＧＯ")).otherwise(""),
+      when(col("doc_id") % 7 === 3, lit(" Sup x²")).otherwise(""),
+      when(col("doc_id") % 9 === 5, lit(" Acc Éclair")).otherwise(""))
+    val cleaned =
+      call_function(graft.functions.NfkcCasefold.FUNC_NAME, planted)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (cleaned =!= planted).as("changed"),
+        length(cleaned).cast("long").as("n_chars_norm"),
+        TextFns.hash56(cleaned).as("norm_h56"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textNormalizeNfkcSql: String = {
+    val planted =
+      s"""text
+         | || CASE WHEN doc_id % 5 = 1 THEN ' Lig ' || chr(64257) || 'le' ELSE '' END
+         | || CASE WHEN doc_id % 6 = 2
+         |         THEN ' Full ' || chr(65319) || chr(65327) ELSE '' END
+         | || CASE WHEN doc_id % 7 = 3 THEN ' Sup x' || chr(178) ELSE '' END
+         | || CASE WHEN doc_id % 9 = 5
+         |         THEN ' Acc E' || chr(769) || 'clair' ELSE '' END"""
+        .stripMargin.replace("\n", "")
+    // The EXPECTED NFKC+casefold image, constructed directly: the
+    // ASCII body folds with lower(); ﬁ -> 'fi'; ＧＯ -> 'go';
+    // x² -> 'x2'; E+◌́ composes then folds to é = chr(233).
+    val expected =
+      s"""lower(text)
+         | || CASE WHEN doc_id % 5 = 1 THEN ' lig file' ELSE '' END
+         | || CASE WHEN doc_id % 6 = 2 THEN ' full go' ELSE '' END
+         | || CASE WHEN doc_id % 7 = 3 THEN ' sup x2' ELSE '' END
+         | || CASE WHEN doc_id % 9 = 5
+         |         THEN ' acc ' || chr(233) || 'clair' ELSE '' END"""
+        .stripMargin.replace("\n", "")
+    s"""WITH p AS (SELECT doc_id, $planted AS planted,
+       |             $expected AS cleaned FROM documents)
+       |SELECT doc_id, cleaned <> planted AS changed,
+       |  CAST(length(cleaned) AS BIGINT) AS n_chars_norm,
+       |  ${TextFns.hash56Sql("cleaned")} AS norm_h56
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // --- url_normalize / domain_filter: crawl URL curation -----------------
+  /** Deterministic messy-URL fixture shared by [[urlNormalize]] and
+    * [[domainFilter]]: the documents table carries source/doc_id but
+    * no URL column, so (the pii_scrub posture) a raw URL is DERIVED
+    * from doc_id arithmetic — every normalization-relevant shape
+    * planted on its own residue class: scheme/host case, default and
+    * non-default explicit ports, percent-escapes (an unreserved one
+    * to decode, a reserved one to hex-uppercase), trailing slash,
+    * fragment, query string. Both engines build the identical raw
+    * string; Spark then runs the REAL normalizer while the oracle
+    * constructs the expected canonical image from the same
+    * arithmetic — so any normalizer defect on any planted shape
+    * breaks the compare. */
+  private def urlRawCol: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+    lit("://"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("WWW."), col("source"), lit(".Example.COM")))
+      .otherwise(concat(lit("www."), col("source"), lit(".example.com"))),
+    when(col("doc_id") % 5 === 0,
+      when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
+      .when(col("doc_id") % 7 === 0, lit(":8080")).otherwise(lit("")),
+    lit("/Docs/"), (col("doc_id") % 97).cast("string"),
+    when(col("doc_id") % 9 === 4, lit("/x%2fy")).otherwise(lit("")),
+    when(col("doc_id") % 6 === 3, lit("/%7etilde")).otherwise(lit("")),
+    when(col("doc_id") % 4 === 1, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 8 === 5, lit("?b=2&a=1")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 2, lit("#sec")).otherwise(lit("")))
+
+  private val urlRawSql =
+    s"""CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://'
+       | || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' || source || '.Example.COM'
+       |         ELSE 'www.' || source || '.example.com' END
+       | || CASE WHEN doc_id % 5 = 0 THEN
+       |           CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+       |         WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+       | || '/Docs/' || CAST(doc_id % 97 AS VARCHAR)
+       | || CASE WHEN doc_id % 9 = 4 THEN '/x%2fy' ELSE '' END
+       | || CASE WHEN doc_id % 6 = 3 THEN '/%7etilde' ELSE '' END
+       | || CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END
+       | || CASE WHEN doc_id % 8 = 5 THEN '?b=2&a=1' ELSE '' END
+       | || CASE WHEN doc_id % 3 = 2 THEN '#sec' ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
+  /** The expected canonical image of [[urlRawSql]], constructed from
+    * the same residue arithmetic: scheme/host lowercase, default port
+    * gone (the :8080 leg survives only when the default-port leg
+    * didn't claim the slot), `%2f` hex-uppercased, `%7e` decoded to
+    * `~`, trailing slash and fragment gone, query kept verbatim. */
+  private val urlExpectedSql =
+    s"""CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END || '://'
+       | || 'www.' || source || '.example.com'
+       | || CASE WHEN doc_id % 5 <> 0 AND doc_id % 7 = 0 THEN ':8080' ELSE '' END
+       | || '/Docs/' || CAST(doc_id % 97 AS VARCHAR)
+       | || CASE WHEN doc_id % 9 = 4 THEN '/x%2Fy' ELSE '' END
+       | || CASE WHEN doc_id % 6 = 3 THEN '/~tilde' ELSE '' END
+       | || CASE WHEN doc_id % 8 = 5 THEN '?b=2&a=1' ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
+  /** URL canonicalization — the first gate of a crawl pipeline (see
+    * [[graft.functions.UrlNormalize]]): one map-only codegen scan, no
+    * shuffle until the gate's ORDER BY. */
+  def urlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.UrlNormalize.register(spark)
+    val raw = urlRawCol
+    val norm = call_function(graft.functions.UrlNormalize.FUNC_NAME, raw)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("url_norm"),
+        (norm =!= raw).as("changed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val urlNormalizeSql: String =
+    s"""WITH u AS (SELECT doc_id, $urlRawSql AS raw,
+       |             $urlExpectedSql AS url_norm FROM documents)
+       |SELECT doc_id, url_norm, url_norm <> raw AS changed
+       |FROM u ORDER BY doc_id""".stripMargin
+
+  /** Domains the corpus must not ingest from — the gate's stand-in
+    * for a production blocklist table (spam/SEO-farm/opt-out lists run
+    * to millions of rows; the dataflow below is a broadcast anti-join
+    * against a TABLE, not a hardcoded predicate, exactly so the real
+    * list drops in). */
+  val DOMAIN_BLOCKLIST: Seq[String] =
+    Seq("src3.example.com", "src7.example.com", "src12.example.com")
+
+  /** Domain blocklist filter — normalize the URL, extract the host,
+    * strip the `www.` label, anti-join the blocklist. The extraction
+    * regexes are RE2-portable and run in BOTH engines (unlike the
+    * normalizer itself, which the oracle replays via [[urlExpectedSql]]
+    * — so this gate composes the url_normalize contract with a
+    * second, independently-checked stage). Map-only scan + broadcast
+    * anti-join: the 100 TB shape. */
+  def domainFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.UrlNormalize.register(spark)
+    val norm = call_function(graft.functions.UrlNormalize.FUNC_NAME, urlRawCol)
+    val host = regexp_extract(norm, "^https?://([^/?:]+)", 1)
+    val domain = regexp_replace(host, "^www\\.", "")
+    val block = DOMAIN_BLOCKLIST.toDF("domain")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), domain.as("domain"))
+      .join(broadcast(block), Seq("domain"), "left_anti")
+      .select(col("doc_id"), col("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  val domainFilterSql: String = {
+    val blocked = DOMAIN_BLOCKLIST.map(d => s"('$d')").mkString(", ")
+    s"""WITH u AS (SELECT doc_id, $urlExpectedSql AS url_norm FROM documents),
+       |d AS (SELECT doc_id, regexp_replace(
+       |        regexp_extract(url_norm, '^https?://([^/?:]+)', 1),
+       |        '^www\\.', '') AS domain FROM u),
+       |b(domain) AS (VALUES $blocked)
+       |SELECT doc_id, domain FROM d
+       |WHERE domain NOT IN (SELECT domain FROM b)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --- pii_scrub: detect + redact contact PII ----------------------------
   /** PII redaction — the training-pipeline stage every released web
     * corpus runs (email/phone/IP detection and replacement with typed
@@ -1642,6 +1862,12 @@ object Pipeline extends QueryModule {
       "PERMISSIVE JSONL ingest: planted-corruption quarantine triage"),
     QueryDef("text_normalize", textNormalize, Some(textNormalizeSql),
       "unicode NFC + control strip + whitespace collapse (native expr)"),
+    QueryDef("text_normalize_nfkc", textNormalizeNfkc, Some(textNormalizeNfkcSql),
+      "unicode NFKC + casefold: the pre-fingerprint compat normalization"),
+    QueryDef("url_normalize", urlNormalize, Some(urlNormalizeSql),
+      "URL canonicalization: scheme/host case, ports, escapes, fragment"),
+    QueryDef("domain_filter", domainFilter, Some(domainFilterSql),
+      "domain blocklist anti-join over normalized crawl URLs"),
     QueryDef("docs_jsonl", docsJsonl, Some(docsJsonlSql),
       "JSONL ingestion round-trip: per-lang summary over the jsonl loader"),
     QueryDef("embeddings_jsonl", embeddingsJsonl, Some(embeddingsJsonlSql),

@@ -251,7 +251,12 @@ object Tokenizer extends QueryModule {
       merges.map { case (r, a, b, _) => ((a, b), (r, a + JOIN + b)) }.toMap
     val bc = spark.sparkContext.broadcast(rank)
     state0.select(col("doc_id"), col("ts")).as[(Long, Seq[String])]
-      .map { case (id, ts) => (id, encodeRow(ts.toIndexedSeq, bc.value)) }
+      // null token vector (null text doc) degrades to empty, matching
+      // bpeApply's downstream coalesce(ts, array()) posture — the
+      // alternative is an NPE that kills the whole job for one row.
+      .map { case (id, ts) =>
+        (id, encodeRow(Option(ts).getOrElse(Seq.empty).toIndexedSeq, bc.value))
+      }
       .toDF("doc_id", "ts")
   }
 

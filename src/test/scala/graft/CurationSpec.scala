@@ -159,6 +159,30 @@ class CurationSpec extends SparkSpecBase {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("packSequences: two-level prefix sum equals the naive global window (seeded fuzz)") {
+    // The gate pins the fixture against DuckDB's single global window;
+    // this fuzzes the √-super-bucket recursion on shapes the fixture
+    // can't produce — sparse ids (empty buckets), zero-token docs,
+    // bucket-boundary straddles — against a driver-side replay.
+    val rnd = new scala.util.Random(1413L)
+    for (_ <- 1 to 3) {
+      val span = 2000 + rnd.nextInt(6000)
+      val data = (0L until span.toLong)
+        .filter(_ => rnd.nextDouble() < 0.4)
+        .map(id => (id, rnd.nextInt(600).toLong))
+      val got = Pipeline.packSequences(data.toDF("doc_id", "n_tokens"))
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+      var cum = 0L
+      val want = data.map { case (id, nt) =>
+        val start = cum; cum += nt
+        val seqId = start / Pipeline.SEQ_LEN
+        val crosses = nt > 0 && (start + nt - 1) / Pipeline.SEQ_LEN != seqId
+        (id, nt, seqId, start % Pipeline.SEQ_LEN, crosses)
+      }
+      assert(got == want && got.nonEmpty)
+    }
+  }
+
   test("curation_pipeline output satisfies every stage's constraint") {
     val out = SparkEntry.queries("curation_pipeline")(spark, sfDir)
       .as[(Long, String, Long, Double, Long)].collect().toSeq

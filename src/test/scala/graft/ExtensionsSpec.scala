@@ -36,8 +36,34 @@ class ExtensionsSpec extends SparkSpecBase {
 
   test("the extension descriptions build evaluable expressions") {
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("graft_minhash", "graft_ngrampack", "graft_signlsh",
-        "graft_simhash"))
+      Seq("graft_minhash", "graft_nfc", "graft_nfkc_cf",
+        "graft_ngrampack", "graft_signlsh", "graft_simhash",
+        "graft_url_normalize"))
+  }
+
+  test("graft_nfkc_cf is injected: compat forms collapse and case folds") {
+    // fi ligature U+FB01 -> "fi"; fullwidth G U+FF27 -> "g" after the
+    // fold; the ASCII tail lowercases.
+    val out = fresh.sql("SELECT graft_nfkc_cf('ﬁle ＧO') AS s")
+      .as[String].collect().head
+    assert(out == "file go")
+  }
+
+  test("graft_url_normalize is injected with the full canonicalization") {
+    val out = fresh.sql(
+        "SELECT graft_url_normalize('HTTP://User@WWW.Ex.COM:80/A%7eb/?q=Z#f') AS s")
+      .as[String].collect().head
+    assert(out == "http://User@www.ex.com/A~b?q=Z")
+  }
+
+  test("graft_nfc is injected and composes decomposed accents") {
+    // 'e' + U+0301 combining acute must compose to U+00E9 under NFC.
+    // (Spark's SQL `chr` wraps at 256, unlike DuckDB's -- build the
+    // decomposed input with an explicit escape.)
+    val out = fresh.sql("SELECT graft_nfc('cafe\u0301') AS s")
+      .as[String].collect().head
+    assert(out == "caf\u00e9")
+    assert(out.length == 4)
   }
 
   test("graft_signlsh is injected with the engine plane matrix") {

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 /** Pins the premises the `jsonl_malformed` gate stands on:
   *
   *  1. MARGIN — every clean JSONL document line is comfortably longer
-  *     than the truncation prefix, so "truncate to CORRUPT_KEEP bytes"
-  *     is unconditionally malformed (a line shorter than the prefix
+  *     than the truncation prefix, so "truncate to CORRUPT_KEEP
+  *     characters" (== bytes on the ASCII fixture; Spark's substring
+  *     counts characters) is unconditionally malformed (a line
+  *     shorter than the prefix
   *     would survive truncation intact and silently turn a planted
   *     fault into a clean row).
   *  2. ID RECOVERY — the kept prefix always contains the full

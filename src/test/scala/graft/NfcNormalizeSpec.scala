@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{NfcNormalize, NfcNormalizeUtil}
+import graft.functions.{NfcNormalize, NfcNormalizeUtil, NfkcCasefold, NfkcCasefoldUtil}
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -77,5 +77,70 @@ class NfcNormalizeSpec extends SparkSpecBase {
         lit("[ \\t\\n\\r]+"), lit(" "))).as("t2"), col("text"))
       .as[(String, String)].collect()
     probe.foreach { case (t2, t) => assert(t2 === t) }
+  }
+
+  // --- NFKC + casefold sibling ------------------------------------------
+
+  private val nfkcCases: Seq[String] = Seq(
+    "",
+    "plain ascii stays",
+    "MiXeD Ascii CASE",
+    DEC, COMP,
+    "\ufb01le",                      // fi ligature -> "file"
+    "\uff27\uff2f fullwidth",       // fullwidth G,O -> "go fullwidth"
+    "x\u00b2 super",                 // superscript two -> "x2 super"
+    "E\u0301clair",                  // decomposed E+acute -> "\u00e9clair"
+    "stra\u00dfe")                   // sharp s survives the JDK fold
+
+  test("nfkc_cf codegen path equals NFKC+lower+NFKC ground truth") {
+    NfkcCasefold.register(spark)
+    val rows = nfkcCases.toDF("s")
+      .select(col("s"), call_function(NfkcCasefold.FUNC_NAME, col("s")))
+      .as[(String, String)].collect()
+    rows.foreach { case (in, got) =>
+      val form = java.text.Normalizer.Form.NFKC
+      val want = java.text.Normalizer.normalize(
+        java.text.Normalizer.normalize(in, form)
+          .toLowerCase(java.util.Locale.ROOT), form)
+      assert(got === want, s"input codepoints ${in.map(_.toInt)}")
+    }
+  }
+
+  test("nfkc_cf fast paths and fold semantics") {
+    // Lowercase ASCII: the SAME instance back, no allocation.
+    val ascii = UTF8String.fromString("already folded 123")
+    assert(NfkcCasefoldUtil.nfkcCf(ascii) eq ascii)
+    // Uppercase ASCII folds without a UTF-16 decode.
+    assert(NfkcCasefoldUtil.nfkcCf(
+      UTF8String.fromString("MiXeD 42")).toString === "mixed 42")
+    // Compat forms collapse and the result is casefolded + NFKC.
+    assert(NfkcCasefoldUtil.nfkcCf(
+      UTF8String.fromString("\ufb01LE \uff27\uff2f x\u00b2")).toString
+      === "file go x2")
+    // Decomposed accent: composes under NFKC then folds.
+    assert(NfkcCasefoldUtil.nfkcCf(
+      UTF8String.fromString("E\u0301clair")).toString === "\u00e9clair")
+    // Idempotence on every case.
+    nfkcCases.foreach { c =>
+      val once = NfkcCasefoldUtil.nfkcCf(UTF8String.fromString(c))
+      assert(NfkcCasefoldUtil.nfkcCf(once).toString === once.toString, c)
+    }
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    assert(NfkcCasefold(Literal(null, StringType)).eval(null) == null)
+  }
+
+  test("text_normalize_nfkc planted evidence: every rule fires") {
+    val rows = operators.Pipeline.textNormalizeNfkc(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var fired = 0
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val hit = id % 5 == 1 || id % 6 == 2 || id % 7 == 3 || id % 9 == 5
+      // A clean row may still legitimately change if its ASCII body
+      // carries capitals; a PLANTED row must always change.
+      if (hit) { assert(r.getBoolean(1), s"doc $id planted but unchanged"); fired += 1 }
+    }
+    assert(fired > 0, "no planted row fired")
   }
 }

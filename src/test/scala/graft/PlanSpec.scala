@@ -249,6 +249,23 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("sequence_pack: the only unpartitioned window runs over super-buckets") {
+    // The two-level prefix-sum pin: the bucket-offsets table is
+    // corpus-proportional (n_docs/SEQ_BUCKET rows), so no unpartitioned
+    // window may consume it — only the √-sized super-bucket aggregate
+    // may flow through a global-order window. Every windowspecdefinition
+    // that has no partition columns must therefore order on sbkt.
+    val p = plan(operators.Pipeline.sequencePack(spark, sfDir))
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected window specs:\n$p")
+    val unpartitioned = specs.filter(_.matches("^\\w+#\\d+L? (ASC|DESC).*"))
+    assert(unpartitioned.nonEmpty,
+      s"expected the super-bucket prefix window:\n$p")
+    unpartitioned.foreach(s => assert(s.startsWith("sbkt"),
+      s"unpartitioned window over a corpus-proportional input: $s\n$p"))
+  }
+
   test("curation_pipeline stage 4: cap is a bounded-PQ aggregate, no window sort") {
     val p = plan(operators.Pipeline.capStageBoundedTopK(
       Tables.documents(spark, sfDir)
