@@ -475,18 +475,15 @@ object Dedup extends QueryModule {
     * number, exactly like `ann_index_build` vs the served queries.
     * `localCheckpoint` detaches the O(duplicates) rows from the
     * pair-join lineage. */
-  private val clustersMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  private val clustersMemo = new graft.SessionMemo[String, DataFrame]
 
   private def computeClusters(spark: SparkSession, dir: String): DataFrame =
     components(nearDedupPairs(spark, dir).select(col("doc_a"), col("doc_b")))
       .localCheckpoint()
 
   private[graft] def corpusClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersMemo.synchronized {
-      clustersMemo.getOrElseUpdate(
-        (spark, graft.Caches.pathKey(dir)), computeClusters(spark, dir))
-    }
+    clustersMemo.getOrElseUpdate(spark, graft.Caches.pathKey(dir))(
+      computeClusters(spark, dir))
 
   /** Gate query: components of the verified near-dup pair graph.
     * Docs with no near-dup are not emitted — at scale the component
@@ -497,9 +494,7 @@ object Dedup extends QueryModule {
     * consumers. */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val fresh = computeClusters(spark, dir)
-    clustersMemo.synchronized {
-      clustersMemo((spark, graft.Caches.pathKey(dir))) = fresh
-    }
+    clustersMemo(spark, graft.Caches.pathKey(dir)) = fresh
     fresh.select(col("id").as("doc_id"), col("comp"))
       .orderBy(col("doc_id"))
   }
@@ -1085,6 +1080,112 @@ object Dedup extends QueryModule {
        |$perBatch
        |SELECT doc_id, doc_id % $PACED_BATCHES AS batch_id
        |FROM ($admitted) ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for `stream_keepbest_paced`: the keep-best admission
+    * ([[graft.streaming.StreamKeepBest]]) replay UNROLLED over the
+    * same staged batch boundaries as [[streamNearDedupPacedSql]].
+    * Per batch k: docs whose band keys collide with the accumulated
+    * cluster footprint (`st(k-1)`) challenge their (min) cluster —
+    * the best of {incumbent canonical (`cn(k-1)`)} ∪ {challengers} by
+    * (quality DESC, doc_id) takes the seat (`replace`/`drop`);
+    * non-colliding docs cluster intra-batch exactly like the
+    * first-touch replay but admit the best-QUALITY member (`new`),
+    * and only winners' band keys (tagged with their cluster) fold
+    * into the state. The final `kept` flag is the per-cluster global
+    * argmax — equal to the running argmax by the total-order
+    * invariant — and singleton clusters are dropped from the output
+    * (the batch keep-best gate's clustered-docs-only posture).
+    * LAZY for the same val-init-order reason as [[dedupKeepBestSql]]
+    * (references Pipeline.docQualitySql). */
+  lazy val streamKeepBestPacedSql: String = {
+    val nb = PACED_BATCHES
+    def cluster(k: Int, surv: String): String =
+      s"""$surv,
+         |be$k AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+         |  FROM bx a JOIN bx b ON a.i = b.i AND a.k = b.k AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM sv$k)
+         |    AND b.doc_id IN (SELECT doc_id FROM sv$k)),
+         |r$k AS (
+         |  SELECT s AS doc_id, s AS comp FROM be$k
+         |  UNION
+         |  SELECT be$k.d AS doc_id, r$k.comp AS comp
+         |  FROM r$k JOIN be$k ON be$k.s = r$k.doc_id
+         |  WHERE r$k.comp < be$k.d
+         |),
+         |cm$k AS MATERIALIZED (
+         |  SELECT doc_id, min(comp) AS comp FROM r$k GROUP BY doc_id),
+         |sc$k AS MATERIALIZED (
+         |  SELECT s.doc_id, coalesce(c.comp, s.doc_id) AS comp, q.quality,
+         |    row_number() OVER (PARTITION BY coalesce(c.comp, s.doc_id)
+         |      ORDER BY q.quality DESC, s.doc_id) AS rn
+         |  FROM sv$k s LEFT JOIN cm$k c ON s.doc_id = c.doc_id
+         |  JOIN dq q ON s.doc_id = q.doc_id)""".stripMargin
+    val perBatch = (0 until nb).map { k =>
+      if (k == 0)
+        s"""${cluster(0, s"sv0 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % $nb = 0)")},
+           |ev0 AS MATERIALIZED (
+           |  SELECT doc_id, comp, quality, CAST(0 AS BIGINT) AS batch_id,
+           |    CASE WHEN rn = 1 THEN 'new' ELSE 'drop' END AS action FROM sc0),
+           |cn0 AS MATERIALIZED (SELECT comp, doc_id, quality FROM sc0 WHERE rn = 1),
+           |st0 AS MATERIALIZED (
+           |  SELECT b.i, b.k, s.comp FROM bx b
+           |  JOIN sc0 s ON b.doc_id = s.doc_id WHERE s.rn = 1)""".stripMargin
+      else {
+        val p = k - 1
+        val surv =
+          s"""ht$k AS MATERIALIZED (
+             |  SELECT b.doc_id, min(st.comp) AS comp
+             |  FROM bx b JOIN st$p st ON b.i = st.i AND b.k = st.k
+             |  WHERE b.doc_id % $nb = $k GROUP BY b.doc_id),
+             |sv$k AS MATERIALIZED (
+             |  SELECT doc_id FROM documents WHERE doc_id % $nb = $k
+             |    AND doc_id NOT IN (SELECT doc_id FROM ht$k))""".stripMargin
+        s"""${cluster(k, surv)},
+           |ct$k AS MATERIALIZED (
+           |  SELECT h.comp, h.doc_id, q.quality, FALSE AS inc
+           |  FROM ht$k h JOIN dq q ON h.doc_id = q.doc_id
+           |  UNION ALL
+           |  SELECT comp, doc_id, quality, TRUE AS inc FROM cn$p),
+           |rk$k AS MATERIALIZED (
+           |  SELECT comp, doc_id, quality, inc, row_number() OVER (
+           |    PARTITION BY comp ORDER BY quality DESC, doc_id) AS rn
+           |  FROM ct$k),
+           |ev$k AS MATERIALIZED (
+           |  SELECT doc_id, comp, quality, CAST($k AS BIGINT) AS batch_id,
+           |    CASE WHEN rn = 1 THEN 'new' ELSE 'drop' END AS action FROM sc$k
+           |  UNION ALL
+           |  SELECT doc_id, comp, quality, CAST($k AS BIGINT) AS batch_id,
+           |    CASE WHEN rn = 1 THEN 'replace' ELSE 'drop' END AS action
+           |  FROM rk$k WHERE NOT inc),
+           |cn$k AS MATERIALIZED (
+           |  SELECT comp, doc_id, quality FROM rk$k WHERE rn = 1
+           |  UNION ALL
+           |  SELECT comp, doc_id, quality FROM sc$k WHERE rn = 1),
+           |st$k AS MATERIALIZED (
+           |  SELECT i, k, comp FROM st$p
+           |  UNION ALL
+           |  SELECT b.i, b.k, w.comp FROM bx b JOIN (
+           |    SELECT doc_id, comp FROM sc$k WHERE rn = 1
+           |    UNION ALL
+           |    SELECT doc_id, comp FROM rk$k WHERE NOT inc AND rn = 1) w
+           |  ON b.doc_id = w.doc_id)""".stripMargin
+      }
+    }.mkString(",\n")
+    val evAll = (0 until nb).map(k => s"SELECT * FROM ev$k").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $bandReplayCtes,
+       |dq AS MATERIALIZED (SELECT doc_id, quality FROM
+       |  (${graft.operators.Pipeline.docQualitySql}) x),
+       |$perBatch,
+       |ev AS MATERIALIZED ($evAll),
+       |big AS MATERIALIZED (
+       |  SELECT comp FROM ev GROUP BY comp HAVING count(*) >= 2)
+       |SELECT doc_id, comp, quality, batch_id, action,
+       |  row_number() OVER (PARTITION BY comp
+       |    ORDER BY quality DESC, doc_id) = 1 AS kept
+       |FROM ev WHERE comp IN (SELECT comp FROM big)
+       |ORDER BY doc_id""".stripMargin
   }
 
   // --- span_dedup: C4-style cross-document span removal ------------------

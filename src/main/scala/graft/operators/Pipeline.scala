@@ -122,6 +122,22 @@ object Pipeline extends QueryModule {
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
   // --- doc_quality: per-document quality score ---------------------------
+  /** The rounded quality score of a text column — THE one definition
+    * shared by the batch gate, `dedup_keep_best`'s argmax, and the
+    * streaming keep-best admission's per-batch scoring (a drifting
+    * copy would let the stream crown a different canonical than the
+    * batch replay the oracle runs). */
+  private[graft] def qualityCol(text: Column): Column = {
+    val tokens = TextFns.tokenize(text)
+    val nTok = size(tokens).cast("double")
+    val stopRatio = when(size(tokens) > 0,
+      size(array_intersect_keep(tokens)).cast("double") / nTok).otherwise(0.0)
+    val alnum = length(regexp_replace(lower(text), "[^a-z0-9]", ""))
+    val alnumRatio = when(length(text) > 0,
+      alnum.cast("double") / length(text)).otherwise(0.0)
+    round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stopRatio) * alnumRatio, 6)
+  }
+
   /** Length/stopword/alphanumeric-ratio quality heuristic; pure per-row
     * expressions (no shuffle), the shape of a corpus-filtering pass. */
   def docQuality(spark: SparkSession, dir: String): DataFrame = {
@@ -132,13 +148,12 @@ object Pipeline extends QueryModule {
     val alnum = length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
     val alnumRatio = when(length(col("text")) > 0,
       alnum.cast("double") / length(col("text"))).otherwise(0.0)
-    val quality = least(lit(1.0), nTok / 100.0) * (lit(1.0) - stopRatio) * alnumRatio
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(tokens).as("n_tokens"),
         round(stopRatio, 6).as("stopword_ratio"),
         round(alnumRatio, 6).as("alnum_ratio"),
-        round(quality, 6).as("quality"))
+        qualityCol(col("text")).as("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -1607,7 +1622,9 @@ object Pipeline extends QueryModule {
     * Same planted-evidence posture as [[textNormalize]] (the fixture
     * is pure-ASCII): a ligature on `doc_id % 5`, fullwidth letters on
     * `% 6`, a superscript digit on `% 7`, a decomposed uppercase
-    * accent on `% 9`. DuckDB has no `nfkc_normalize`, so the oracle
+    * accent on `% 9`, an ß/ẞ eszett on `% 11` (FULL-fold case: both
+    * must land as "ss"), a Greek all-caps word whose final Σ must
+    * come out σ (not the contextual ς) on `% 13`. DuckDB has no `nfkc_normalize`, so the oracle
     * replays the EXPECTED image of each planted shape directly with
     * `chr()` arithmetic (and `lower(text)` for the ASCII body) — a
     * divergent rewrite of ANY planted row, or an unexpected rewrite
@@ -1625,7 +1642,9 @@ object Pipeline extends QueryModule {
       when(col("doc_id") % 5 === 1, lit(" Lig ﬁle")).otherwise(""),
       when(col("doc_id") % 6 === 2, lit(" Full ＧＯ")).otherwise(""),
       when(col("doc_id") % 7 === 3, lit(" Sup x²")).otherwise(""),
-      when(col("doc_id") % 9 === 5, lit(" Acc Éclair")).otherwise(""))
+      when(col("doc_id") % 9 === 5, lit(" Acc Éclair")).otherwise(""),
+      when(col("doc_id") % 11 === 4, lit(" Eszett Straße ẞ")).otherwise(""),
+      when(col("doc_id") % 13 === 6, lit(" Sigma ΛΟΓΟΣ")).otherwise(""))
     val cleaned =
       call_function(graft.functions.NfkcCasefold.FUNC_NAME, planted)
     Tables.documents(spark, dir)
@@ -1644,18 +1663,29 @@ object Pipeline extends QueryModule {
          |         THEN ' Full ' || chr(65319) || chr(65327) ELSE '' END
          | || CASE WHEN doc_id % 7 = 3 THEN ' Sup x' || chr(178) ELSE '' END
          | || CASE WHEN doc_id % 9 = 5
-         |         THEN ' Acc E' || chr(769) || 'clair' ELSE '' END"""
+         |         THEN ' Acc E' || chr(769) || 'clair' ELSE '' END
+         | || CASE WHEN doc_id % 11 = 4
+         |         THEN ' Eszett Stra' || chr(223) || 'e ' || chr(7838) ELSE '' END
+         | || CASE WHEN doc_id % 13 = 6
+         |         THEN ' Sigma ' || chr(923) || chr(927) || chr(915) || chr(927) || chr(931) ELSE '' END"""
         .stripMargin.replace("\n", "")
     // The EXPECTED NFKC+casefold image, constructed directly: the
     // ASCII body folds with lower(); ﬁ -> 'fi'; ＧＯ -> 'go';
-    // x² -> 'x2'; E+◌́ composes then folds to é = chr(233).
+    // x² -> 'x2'; E+◌́ composes then folds to é = chr(233);
+    // Straße ẞ -> 'strasse ss' (full fold, both eszetts);
+    // ΛΟΓΟΣ -> λογοσ (final Σ folds to σ, overriding the contextual
+    // ς the JDK's lowercase emits).
     val expected =
       s"""lower(text)
          | || CASE WHEN doc_id % 5 = 1 THEN ' lig file' ELSE '' END
          | || CASE WHEN doc_id % 6 = 2 THEN ' full go' ELSE '' END
          | || CASE WHEN doc_id % 7 = 3 THEN ' sup x2' ELSE '' END
          | || CASE WHEN doc_id % 9 = 5
-         |         THEN ' acc ' || chr(233) || 'clair' ELSE '' END"""
+         |         THEN ' acc ' || chr(233) || 'clair' ELSE '' END
+         | || CASE WHEN doc_id % 11 = 4 THEN ' eszett strasse ss' ELSE '' END
+         | || CASE WHEN doc_id % 13 = 6
+         |         THEN ' sigma ' || chr(955) || chr(959) || chr(947)
+         |              || chr(959) || chr(963) ELSE '' END"""
         .stripMargin.replace("\n", "")
     s"""WITH p AS (SELECT doc_id, $planted AS planted,
        |             $expected AS cleaned FROM documents)
@@ -1688,8 +1718,16 @@ object Pipeline extends QueryModule {
       when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")))
       .when(col("doc_id") % 7 === 0, lit(":8080")).otherwise(lit("")),
     lit("/Docs/"), (col("doc_id") % 97).cast("string"),
+    // §6.2.2.3 shapes: a literal dot-segment run that must collapse
+    // to /sub, and a %2E-spelled `..` that must DECODE FIRST (%2E is
+    // unreserved) and then cancel its own /deep segment entirely.
+    when(col("doc_id") % 9 === 7, lit("/./x/../sub")).otherwise(lit("")),
+    when(col("doc_id") % 13 === 9, lit("/deep/%2E%2E")).otherwise(lit("")),
     when(col("doc_id") % 9 === 4, lit("/x%2fy")).otherwise(lit("")),
     when(col("doc_id") % 6 === 3, lit("/%7etilde")).otherwise(lit("")),
+    // Trailing-slash runs: '//' (alone or stacked with the '/' leg
+    // below into '///') must strip to a FIXED POINT.
+    when(col("doc_id") % 11 === 6, lit("//")).otherwise(lit("")),
     when(col("doc_id") % 4 === 1, lit("/")).otherwise(lit("")),
     when(col("doc_id") % 8 === 5, lit("?b=2&a=1")).otherwise(lit("")),
     when(col("doc_id") % 3 === 2, lit("#sec")).otherwise(lit("")))
@@ -1702,8 +1740,11 @@ object Pipeline extends QueryModule {
        |           CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
        |         WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
        | || '/Docs/' || CAST(doc_id % 97 AS VARCHAR)
+       | || CASE WHEN doc_id % 9 = 7 THEN '/./x/../sub' ELSE '' END
+       | || CASE WHEN doc_id % 13 = 9 THEN '/deep/%2E%2E' ELSE '' END
        | || CASE WHEN doc_id % 9 = 4 THEN '/x%2fy' ELSE '' END
        | || CASE WHEN doc_id % 6 = 3 THEN '/%7etilde' ELSE '' END
+       | || CASE WHEN doc_id % 11 = 6 THEN '//' ELSE '' END
        | || CASE WHEN doc_id % 4 = 1 THEN '/' ELSE '' END
        | || CASE WHEN doc_id % 8 = 5 THEN '?b=2&a=1' ELSE '' END
        | || CASE WHEN doc_id % 3 = 2 THEN '#sec' ELSE '' END"""
@@ -1713,12 +1754,15 @@ object Pipeline extends QueryModule {
     * the same residue arithmetic: scheme/host lowercase, default port
     * gone (the :8080 leg survives only when the default-port leg
     * didn't claim the slot), `%2f` hex-uppercased, `%7e` decoded to
-    * `~`, trailing slash and fragment gone, query kept verbatim. */
+    * `~`, dot-segments collapsed (`/./x/../sub` → `/sub`; the
+    * `%2E`-spelled `/deep/..` cancels itself to nothing), trailing
+    * slash runs, fragment gone, query kept verbatim. */
   private val urlExpectedSql =
     s"""CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END || '://'
        | || 'www.' || source || '.example.com'
        | || CASE WHEN doc_id % 5 <> 0 AND doc_id % 7 = 0 THEN ':8080' ELSE '' END
        | || '/Docs/' || CAST(doc_id % 97 AS VARCHAR)
+       | || CASE WHEN doc_id % 9 = 7 THEN '/sub' ELSE '' END
        | || CASE WHEN doc_id % 9 = 4 THEN '/x%2Fy' ELSE '' END
        | || CASE WHEN doc_id % 6 = 3 THEN '/~tilde' ELSE '' END
        | || CASE WHEN doc_id % 8 = 5 THEN '?b=2&a=1' ELSE '' END"""

@@ -1,0 +1,271 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quality-aware streaming admission — the streaming form of
+  * [[graft.operators.Dedup.dedupKeepBest]], closing the one
+  * batch/stream asymmetry the first-touch filter
+  * ([[StreamNearDedup]]) leaves open: there, a later (possibly
+  * cleaner) capture of an already-admitted page is simply dropped;
+  * here it CHALLENGES the cluster's current canonical and replaces it
+  * when it scores higher on [[graft.operators.Pipeline.docQuality]]'s
+  * quality heuristic — the "keep the best capture of a page crawled
+  * five times" behaviour a production ingest pipeline wants without
+  * re-clustering the corpus.
+  *
+  * Semantics (deterministic given the batch boundaries):
+  *
+  *   1. A doc whose LSH band keys collide with any existing cluster's
+  *      accumulated band-key footprint becomes a CHALLENGER of that
+  *      cluster (min cluster id if several collide). Per cluster and
+  *      batch, the best of {incumbent canonical} ∪ {challengers} by
+  *      (quality DESC, doc_id ASC) becomes the canonical — a winning
+  *      challenger's action is `replace`, a losing one's `drop`.
+  *   2. Docs colliding with no cluster form new clusters exactly like
+  *      the first-touch filter (connected components over the
+  *      intra-batch band-collision graph, cluster id = min member
+  *      doc_id) but the admitted representative is the best-QUALITY
+  *      member (action `new`), not the min-id one; its losing
+  *      siblings get `drop`.
+  *
+  * Because the challenge rule is a running argmax under a total order
+  * ((quality, doc_id) — ties impossible, ids are unique), the final
+  * canonical of every cluster equals the batch [[Dedup.dedupKeepBest]]
+  * argmax over the docs routed to it, whatever the batch boundaries —
+  * while the per-doc `action` log preserves exactly WHEN each
+  * replacement happened, which is what the paced oracle pins.
+  *
+  * State is two tables, both join-shaped (never collected, never
+  * broadcast): `bands(band_idx, band_key, comp)` — the accumulated
+  * band keys of every doc that ever held a canonical seat, tagged
+  * with its cluster — and the per-cluster canonical `(comp, doc_id,
+  * quality)`, consolidated in memory and derivable entirely from the
+  * persisted event log (the winner row of a cluster's LATEST
+  * committed batch). Persistence reuses [[StreamNearDedup]]'s
+  * marker-committed per-batch parquet protocol verbatim: deltas go to
+  * `bands/batch_id=K` and `events/batch_id=K` in overwrite mode, a
+  * `commits/K` marker lands last, uncommitted partials are invisible
+  * and clobbered on replay. At 100 TB the same swap applies — the
+  * parquet pair becomes a transactional store keyed by
+  * (band_idx, band_key) and by cluster id; the per-batch dataflow
+  * below is unchanged.
+  */
+object StreamKeepBest {
+
+  /** Empty band-key state: zero (band_idx, band_key, comp) rows. */
+  def emptyBands(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long, Long)].toDF("band_idx", "band_key", "comp")
+  }
+
+  /** Empty canonical state: zero (comp, doc_id, quality) rows. */
+  def emptyCanon(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double)].toDF("comp", "doc_id", "quality")
+  }
+
+  /** Empty event log in its PERSISTED shape (batch_id included — the
+    * partition-discovery column of the `events/batch_id=K` layout). */
+  private def emptyEvents(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double, String, Long)]
+      .toDF("doc_id", "comp", "quality", "action", "batch_id")
+  }
+
+  /** The one canonical-selection order, shared with the batch
+    * keep-best gate: best quality first, doc_id as the tie-break. */
+  private def byQuality = Window.partitionBy(col("comp"))
+    .orderBy(col("quality").desc, col("doc_id"))
+
+  /** One keep-best step over a (doc_id, text) micro-batch. Returns
+    * (events, bandDelta): `events` is one row per batch doc —
+    * (doc_id, comp, quality, action) with action ∈ new/replace/drop —
+    * and `bandDelta` the (band_idx, band_key, comp) rows of this
+    * batch's winners, to be unioned into the band state. The caller
+    * folds the winners into its canonical table (they are exactly
+    * `events` where action ≠ 'drop'). */
+  def keepBestBatch(spark: SparkSession, batch: DataFrame,
+      stateBands: DataFrame, canon: DataFrame): (DataFrame, DataFrame) = {
+    // Shingle→minhash→band once; every branch below re-reads it, and
+    // the branches are consumed by separate actions.
+    val keys = Dedup.bandKeys(spark, batch).localCheckpoint()
+    val scored = batch.select(col("doc_id"),
+        graft.operators.Pipeline.qualityCol(col("text")).as("quality"))
+      .localCheckpoint()
+    // Challenger routing: min colliding cluster per doc (deterministic
+    // when a doc's bands touch several clusters' footprints).
+    val docComp = keys.join(stateBands, Seq("band_idx", "band_key"))
+      .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+    val challengers = docComp.join(scored, Seq("doc_id"))
+    // Survivors: no collision with any existing cluster — the
+    // first-touch intra-batch clustering, unchanged.
+    val skeys = keys.join(docComp, Seq("doc_id"), "left_anti")
+    val survivors = scored.join(docComp, Seq("doc_id"), "left_anti")
+    val pairs = skeys.select(col("doc_id").as("a"), col("band_idx"), col("band_key"))
+      .join(skeys.select(col("doc_id").as("b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val comps = Dedup.components(pairs)
+      .select(col("id").as("doc_id"), col("comp"))
+    val survComp = survivors.join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("comp"), col("quality"))
+    // New clusters admit their best-quality member. Cluster populations
+    // are bounded by the dedup radius, so the per-key window state
+    // stays tiny at any corpus size (the dedup_keep_best argument).
+    val newEvents = survComp.withColumn("rn", row_number().over(byQuality))
+      .select(col("doc_id"), col("comp"), col("quality"),
+        when(col("rn") === 1, lit("new")).otherwise(lit("drop")).as("action"))
+    // Challenge resolution: rank incumbent + challengers per cluster.
+    // Every state cluster appears via its incumbent row, so clusters
+    // with no challengers this batch keep their canonical untouched.
+    val contenders = challengers
+      .select(col("comp"), col("doc_id"), col("quality"))
+      .withColumn("inc", lit(false))
+      .unionByName(canon.select(col("comp"), col("doc_id"), col("quality"))
+        .withColumn("inc", lit(true)))
+    val chalEvents = contenders.withColumn("rn", row_number().over(byQuality))
+      .filter(!col("inc"))
+      .select(col("doc_id"), col("comp"), col("quality"),
+        when(col("rn") === 1, lit("replace")).otherwise(lit("drop")).as("action"))
+    val events = newEvents.unionByName(chalEvents)
+    val winners = events.filter(col("action") =!= "drop")
+      .select(col("doc_id"), col("comp"))
+    val bandDelta = keys.join(winners, Seq("doc_id"))
+      .select(col("band_idx"), col("band_key"), col("comp"))
+    (events, bandDelta)
+  }
+
+  /** Canonical table from a persisted event log: per cluster, the
+    * winner row of the LATEST committed batch (one winner per cluster
+    * per batch, so the window is unambiguous). */
+  private def consolidate(events: DataFrame): DataFrame = {
+    val latest = Window.partitionBy(col("comp"))
+      .orderBy(col("batch_id").desc)
+    events.filter(col("action") =!= "drop")
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("doc_id"), col("quality"))
+  }
+
+  /** Keep-best admission state EXTERNALIZED to storage under
+    * [[StreamNearDedup]]'s marker-commit protocol (same `commits/`
+    * markers, same overwrite-per-batch idempotence, same
+    * committed-only visibility): band-key deltas to
+    * `bands/batch_id=K`, the per-doc event deltas to
+    * `events/batch_id=K`. A restarted query rebuilds BOTH in-memory
+    * mirrors from committed storage — the band footprint directly,
+    * the canonical table by [[consolidate]]-ing the event log — so
+    * canonical replacements survive a crash without a third table. */
+  final class PersistentKeepBest(spark: SparkSession, stateDir: String) {
+
+    def events: DataFrame = readEvents(spark, stateDir)
+
+    private var committedIds: Set[Long] = StreamNearDedup.readCommitted(stateDir)
+    @volatile private var bandsMem: DataFrame =
+      StreamNearDedup.readPartitioned(spark, s"$stateDir/bands", committedIds,
+          emptyBands(spark))
+        .select(col("band_idx"), col("band_key"), col("comp"))
+        .localCheckpoint()
+    @volatile private var canonMem: DataFrame =
+      consolidate(StreamNearDedup.readPartitioned(spark, s"$stateDir/events",
+        committedIds, emptyEvents(spark))).localCheckpoint()
+
+    /** The foreachBatch body (serial per query; lock defensive). */
+    def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (!committedIds(batchId)) {
+        val (events, bandDelta) = keepBestBatch(spark, batch, bandsMem, canonMem)
+        val ev = events.localCheckpoint()
+        val bd = bandDelta.localCheckpoint()
+        // coalesce(1): one batch's delta, sized like the first-touch
+        // accumulator's — a production job sizes this to batch volume.
+        bd.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/bands/batch_id=$batchId")
+        ev.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/events/batch_id=$batchId")
+        StreamNearDedup.commit(stateDir, batchId)
+        val winners = ev.filter(col("action") =!= "drop")
+          .select(col("comp"), col("doc_id"), col("quality"))
+        bandsMem = bandsMem.union(bd).localCheckpoint()
+        // Replacements overwrite their cluster's row; new clusters
+        // append. The anti-join keys on comp — one winner per cluster
+        // per batch keeps it exact.
+        canonMem = canonMem.join(winners.select(col("comp")), Seq("comp"), "left_anti")
+          .unionByName(winners).localCheckpoint()
+        committedIds += batchId
+      }
+    }
+  }
+
+  /** The committed (doc_id, comp, quality, action, batch_id) event
+    * rows under a state dir — committed-only, like
+    * [[StreamNearDedup.readAdmitted]]. */
+  private[graft] def readEvents(spark: SparkSession, stateDir: String): DataFrame =
+    StreamNearDedup.readPartitioned(spark, s"$stateDir/events",
+      StreamNearDedup.readCommitted(stateDir), emptyEvents(spark))
+
+  /** One live paced run against explicit checkpoint + state dirs —
+    * restartable exactly like [[StreamNearDedup.runLiveAgainst]]
+    * (the spec stops mid-sequence and proves canonical replacement
+    * survives the restart). Isolated `newSession`. */
+  private[graft] def runLiveAgainst(spark: SparkSession, path: String,
+      ckpt: String, stateDir: String): Unit = {
+    val schema = spark.read.parquet(path).schema
+    val ss = spark.newSession()
+    val acc = new PersistentKeepBest(ss, stateDir)
+    val q = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(path)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) => acc.onBatch(b, id))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+  }
+
+  /** Gate/bench query: keep-best admission under the live engine with
+    * REAL batch boundaries — the same [[Dedup.PACED_BATCHES]]-file
+    * staged source as `stream_neardedup_paced`, one file per
+    * micro-batch. Output is the full per-doc event log of the
+    * clustered docs (clusters with ≥2 routed docs — singleton
+    * clusters are the non-duplicated corpus bulk, exactly what the
+    * batch keep-best gate also omits) plus the final verdict:
+    * `kept` marks each cluster's end-of-stream canonical, which the
+    * running-argmax invariant makes equal to the batch
+    * `dedup_keep_best` argmax over the same members. The oracle
+    * ([[graft.operators.Dedup.streamKeepBestPacedSql]]) replays the
+    * batch boundaries in SQL, so a lumped or reordered trigger — or a
+    * replacement attributed to the wrong batch — shifts `action`
+    * or `batch_id` and reddens the gate. */
+  def streamKeepBestPaced(spark: SparkSession, dir: String): DataFrame = {
+    val path = StreamNearDedup.stagedPacedDocsDir(spark, dir)
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_keepbest_state_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_keepbest_ckpt_")
+    try {
+      runLiveAgainst(spark, path, ckpt.toString, stateDir.toString)
+      // Detach from the state dir before it is reclaimed (the
+      // StreamNearDedup.runLive posture).
+      val ev = readEvents(spark, stateDir.toString)
+        .select(col("doc_id"), col("comp"), col("quality"),
+          col("action"), col("batch_id"))
+        .localCheckpoint()
+      val clustered = ev.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select(col("comp"))
+      ev.withColumn("kept", row_number().over(byQuality) === 1)
+        .join(clustered, Seq("comp"))
+        .select(col("doc_id"), col("comp"), col("quality"),
+          col("batch_id"), col("action"), col("kept"))
+        .orderBy(col("doc_id"))
+    } finally {
+      StreamingOps.deleteRecursively(ckpt)
+      StreamingOps.deleteRecursively(stateDir)
+    }
+  }
+}

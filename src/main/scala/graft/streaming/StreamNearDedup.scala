@@ -170,7 +170,7 @@ object StreamNearDedup {
 
   /** Batch ids whose commit marker exists — the single source of truth
     * for what is visible. */
-  private def readCommitted(stateDir: String): Set[Long] = {
+  private[streaming] def readCommitted(stateDir: String): Set[Long] = {
     val dir = java.nio.file.Paths.get(stateDir, "commits")
     if (!java.nio.file.Files.exists(dir)) Set.empty
     else scala.util.Using.resource(java.nio.file.Files.list(dir)) { s =>
@@ -189,7 +189,7 @@ object StreamNearDedup {
     * in-memory bookkeeping updated, e.g. a localCheckpoint error) is
     * treated as already-committed rather than crashing the replay
     * permanently with FileAlreadyExistsException. */
-  private def commit(stateDir: String, batchId: Long): Unit = {
+  private[streaming] def commit(stateDir: String, batchId: Long): Unit = {
     val dir = java.nio.file.Paths.get(stateDir, "commits")
     java.nio.file.Files.createDirectories(dir)
     try java.nio.file.Files.createFile(dir.resolve(batchId.toString))
@@ -199,7 +199,7 @@ object StreamNearDedup {
   /** Read a per-batch partitioned state table restricted to COMMITTED
     * batches. The `batch_id=K` directory layout makes `batch_id` a
     * discovered partition column (int-inferred — recast to long). */
-  private def readPartitioned(spark: SparkSession, path: String,
+  private[streaming] def readPartitioned(spark: SparkSession, path: String,
       committed: Set[Long], empty: => DataFrame): DataFrame = {
     val root = java.nio.file.Paths.get(path)
     // Batches that wrote ZERO rows leave partition dirs with no data
@@ -317,11 +317,10 @@ object StreamNearDedup {
     * source's oldest-first listing yields batch k = file k under
     * `maxFilesPerTrigger = 1`. Deterministic staging is what lets the
     * paced oracle replay the batch boundaries in SQL. */
-  private val pacedStaged = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  private val pacedStaged = new graft.SessionMemo[String, String]
 
   private[graft] def stagedPacedDocsDir(spark: SparkSession, dir: String): String =
-    pacedStaged.getOrElseUpdate((spark, dir), {
+    pacedStaged.getOrElseUpdate(spark, dir) {
       val nb = Dedup.PACED_BATCHES
       val dest = java.nio.file.Files.createTempDirectory("graft_neardedup_paced_")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -337,7 +336,7 @@ object StreamNearDedup {
         s"paced staging produced $staged of $nb batch files — an empty " +
           "residue class would desynchronize the oracle's batch replay")
       dest.toString
-    })
+    }
 
   /** Gate/bench query: the admission filter under the live engine with
     * REAL batch boundaries — one staged file per micro-batch — so the

@@ -263,19 +263,18 @@ object StreamingOps extends QueryModule {
     * staging, not memoized compute, so it deliberately is NOT
     * registered with [[graft.Caches]]: the bench must time the
     * streaming run, not a parquet copy. */
-  private val staged = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), String]
+  private val staged = new graft.SessionMemo[(String, String), String]
 
   /** Stage `build`'s output once per (session, sfDir) under a fresh
     * temp dir and return the path — shared by every file-source live
     * query (events here, documents in [[StreamNearDedup]]). */
   private[streaming] def stageOnce(spark: SparkSession, dir: String,
       prefix: String)(build: => DataFrame): String =
-    staged.getOrElseUpdate((spark, dir, prefix), {
+    staged.getOrElseUpdate(spark, (dir, prefix)) {
       val dest = java.nio.file.Files.createTempDirectory(prefix).toString
       build.write.mode("overwrite").parquet(dest)
       dest
-    })
+    }
 
   private def stagedEventsDir(spark: SparkSession, dir: String): String =
     stageOnce(spark, dir, "graft_stream_src_") {
@@ -392,8 +391,7 @@ object StreamingOps extends QueryModule {
     * not just at the terminal no-data batch. */
   val SESSION_BATCHES = 6
 
-  private val sessStaged = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  private val sessStaged = new graft.SessionMemo[String, String]
 
   /** Events staged as [[SESSION_BATCHES]] ts-range slices with strictly
     * increasing fixed mtimes ([[stageSlicedFiles]]) — oldest-first
@@ -404,7 +402,7 @@ object StreamingOps extends QueryModule {
     * EVICTION semantics, not late-drop noise. */
   private[graft] def stagedSessionsDir(spark: SparkSession,
       dir: String): String =
-    sessStaged.getOrElseUpdate((spark, dir), {
+    sessStaged.getOrElseUpdate(spark, dir) {
       val dest = java.nio.file.Files.createTempDirectory("graft_sess_paced_")
       val raw = Tables.events(spark, dir)
         .select(col("user_id"), col("ts"))
@@ -421,7 +419,7 @@ object StreamingOps extends QueryModule {
       stageSlicedFiles(dest, (0 until SESSION_BATCHES).map(k =>
         sliced.filter(col("slice") === k).drop("slice")))
       dest.toString
-    })
+    }
 
   /** Gate query: [[userSessions]] in APPEND mode under the watermark —
     * the production eviction path ([[streamSessionsLive]] deliberately
@@ -478,8 +476,7 @@ object StreamingOps extends QueryModule {
     * keeping engine overhead out of the bench's way. */
   val TREND_BATCHES = 4
 
-  private val trendStaged = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  private val trendStaged = new graft.SessionMemo[String, String]
 
   /** RAW events staged as [[TREND_BATCHES]] single-file parquets
     * sliced by ts RANGE with strictly increasing fixed mtimes — so the
@@ -492,7 +489,7 @@ object StreamingOps extends QueryModule {
     * 1-row min/max aggregate cross-joined in — the stride idiom, no
     * driver collect in the slicing expression itself. */
   private[graft] def stagedTrendingDir(spark: SparkSession, dir: String): String =
-    trendStaged.getOrElseUpdate((spark, dir), {
+    trendStaged.getOrElseUpdate(spark, dir) {
       val dest = java.nio.file.Files.createTempDirectory("graft_trend_paced_")
       val raw = Tables.events(spark, dir)
         .select(col("event_id"), col("event_type"), col("ts"))
@@ -513,7 +510,7 @@ object StreamingOps extends QueryModule {
       stageSlicedFiles(dest, (0 until TREND_BATCHES).map(k =>
         sliced.filter(col("slice") === k).drop("slice")) :+ flush)
       dest.toString
-    })
+    }
 
   /** Write each slice as ONE parquet file under `dest` with strictly
     * increasing FIXED mtimes, so the file source's oldest-first listing
@@ -727,6 +724,9 @@ object StreamingOps extends QueryModule {
     QueryDef("stream_neardedup_paced", StreamNearDedup.streamNearDedupPaced,
       Some(graft.operators.Dedup.streamNearDedupPacedSql),
       "the same admission paced one file per micro-batch (cross-batch state live)"),
+    QueryDef("stream_keepbest_paced", StreamKeepBest.streamKeepBestPaced,
+      Some(graft.operators.Dedup.streamKeepBestPacedSql),
+      "keep-best admission live: later better captures replace cluster canonicals"),
     QueryDef("stream_ann_upsert_live", StreamAnnUpsert.streamAnnUpsertLive,
       Some(graft.operators.Similarity.annIndexUpsertSql),
       "ANN maintenance live: one marker-committed index delta per micro-batch"))

@@ -237,4 +237,86 @@ class StreamNearDedupSpec extends SparkSpecBase {
     val staged = files.map(f => spark.read.parquet(f.getPath).count()).sum
     assert(staged == Tables.documents(spark, sfDir).count())
   }
+
+  // --- keep-best admission (StreamKeepBest) -------------------------------
+  // Punctuation-only variants tokenize identically (the tokenizer
+  // strips [^a-z0-9\s]), so their shingle sets — and hence ALL 32 band
+  // keys — are equal by construction: collision is guaranteed, while
+  // quality still differs via the alphanumeric ratio (punctuation adds
+  // length without alnum chars). That isolates the keep-best rules from
+  // LSH recall in these fixtures.
+  private val kbBatches: Seq[Seq[(Long, String)]] = Seq(
+    Seq(doc(10, base + " zebra???"), doc(12, other)),
+    Seq(doc(20, base + " zebra"), doc(21, "fresh unrelated catalyst text")),
+    Seq(doc(30, base + " zebra!!!!!!!")))
+
+  private def runKeepBest(stateDir: java.nio.file.Path,
+      bs: Seq[(Seq[(Long, String)], Long)]): Map[Long, (Long, Double, String, Long)] = {
+    val acc = new graft.streaming.StreamKeepBest.PersistentKeepBest(
+      spark, stateDir.toString)
+    bs.foreach { case (b, id) => acc.onBatch(b.toDF("doc_id", "text"), id) }
+    acc.events.select("doc_id", "comp", "quality", "action", "batch_id")
+      .as[(Long, Long, Double, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
+  test("keep-best: a later better capture replaces the cluster canonical") {
+    val state = java.nio.file.Files.createTempDirectory("graft_kb_state_")
+    try {
+      val ev = runKeepBest(state, kbBatches.zipWithIndex.map {
+        case (b, i) => (b, i.toLong) })
+      // Batch 0 creates cluster 10 with the noisy capture; batch 1's
+      // cleaner capture (higher alnum ratio) deposes it; batch 2's
+      // noisier one loses the challenge.
+      assert(ev(10L) == ((10L, ev(10L)._2, "new", 0L)))
+      assert(ev(20L)._1 == 10L && ev(20L)._3 == "replace" && ev(20L)._4 == 1L)
+      assert(ev(30L)._1 == 10L && ev(30L)._3 == "drop" && ev(30L)._4 == 2L)
+      assert(ev(20L)._2 > ev(10L)._2 && ev(30L)._2 < ev(20L)._2)
+      // Unrelated docs form their own singleton clusters.
+      assert(ev(12L) == ((12L, ev(12L)._2, "new", 0L)))
+      assert(ev(21L)._3 == "new")
+    } finally graft.streaming.StreamingOps.deleteRecursively(state)
+  }
+
+  test("keep-best: canonical table survives a restart (consolidated from events)") {
+    // Feed batches 0 and 1 through one accumulator instance, then build
+    // a FRESH instance on the same state dir (the crash-restart path:
+    // the canonical mirror must be rebuilt from the committed event
+    // log, including the batch-1 replacement) and feed batch 2. The
+    // worse batch-2 capture must still lose to the RESTORED canonical
+    // (doc 20), not to the deposed original (doc 10).
+    val state = java.nio.file.Files.createTempDirectory("graft_kb_resume_")
+    try {
+      runKeepBest(state, kbBatches.take(2).zipWithIndex.map {
+        case (b, i) => (b, i.toLong) })
+      val ev = runKeepBest(state, Seq((kbBatches(2), 2L)))
+      assert(ev(30L) == ((10L, ev(30L)._2, "drop", 2L)))
+      // Redelivery idempotence: replaying a committed batch id through
+      // yet another fresh instance changes nothing.
+      val ev2 = runKeepBest(state, Seq((kbBatches(2), 2L)))
+      assert(ev2 == ev)
+    } finally graft.streaming.StreamingOps.deleteRecursively(state)
+  }
+
+  test("keep-best: running argmax equals the batch keep-best argmax") {
+    // The invariant the gate's `kept` flag rides on: whatever the
+    // batch boundaries, each cluster's final canonical is the global
+    // (quality DESC, doc_id) argmax over the docs routed to it. Run the
+    // same docs as ONE batch and as the three-batch sequence; the kept
+    // set must agree.
+    val s1 = java.nio.file.Files.createTempDirectory("graft_kb_one_")
+    val s3 = java.nio.file.Files.createTempDirectory("graft_kb_three_")
+    try {
+      def keptOf(m: Map[Long, (Long, Double, String, Long)]): Set[Long] = {
+        // final canonical per comp = argmax (quality desc, doc_id asc)
+        m.groupBy(_._2._1).values.map(g =>
+          g.toSeq.sortBy { case (id, (_, q, _, _)) => (-q, id) }.head._1).toSet
+      }
+      val one = runKeepBest(s1, Seq((kbBatches.flatten, 0L)))
+      val three = runKeepBest(s3, kbBatches.zipWithIndex.map {
+        case (b, i) => (b, i.toLong) })
+      assert(keptOf(one) == keptOf(three))
+      assert(keptOf(three).contains(20L) && !keptOf(three).contains(10L))
+    } finally Seq(s1, s3).foreach(graft.streaming.StreamingOps.deleteRecursively)
+  }
 }
