@@ -47,8 +47,7 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  private val textStaged = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), String]
+  private val textStaged = new SessionMemo[(String, String), String]
 
   /** Runs `stage` at most once per key: `TrieMap.getOrElseUpdate` is
     * get-then-update (NOT atomic), so two concurrent first callers
@@ -57,15 +56,12 @@ object Tables {
     * per JVM, contention is irrelevant. Every staged dir is also
     * registered for recursive delete at JVM exit so test/Verify runs
     * don't accumulate temp trees across invocations. */
-  private def stageOnce(
-      map: scala.collection.concurrent.TrieMap[(SparkSession, String, String), String],
-      key: (SparkSession, String, String))(stage: => String): String =
-    map.synchronized {
-      map.getOrElseUpdate(key, {
-        val dir = stage
-        cleanupAtExit(dir)
-        dir
-      })
+  private def stageOnce(map: SessionMemo[(String, String), String],
+      s: SparkSession, key: (String, String))(stage: => String): String =
+    map.getOrElseUpdate(s, key) {
+      val dir = stage
+      cleanupAtExit(dir)
+      dir
     }
 
   private def cleanupAtExit(dir: String): Unit =
@@ -102,7 +98,7 @@ object Tables {
   def textTable(s: SparkSession, d: String, name: String): DataFrame = {
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val src = load(s, d, name)
-    val dir = stageOnce(textStaged, (s, d, name)) {
+    val dir = stageOnce(textStaged, s, (d, name)) {
       val dest = java.nio.file.Files
         .createTempDirectory(s"graft_tbl_${name}_").toString
       src.write.mode("overwrite").option("sep", "|")
@@ -113,8 +109,7 @@ object Tables {
       .option("timestampFormat", tsFmt).csv(dir)
   }
 
-  private val jsonlStaged = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), String]
+  private val jsonlStaged = new SessionMemo[(String, String), String]
 
   /** JSONL-MODE table access — the crawl-dump interchange format every
     * training-data pipeline ingests (one JSON object per line),
@@ -131,7 +126,7 @@ object Tables {
   def jsonlTable(s: SparkSession, d: String, name: String): DataFrame = {
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val src = load(s, d, name)
-    val dir = stageOnce(jsonlStaged, (s, d, name)) {
+    val dir = stageOnce(jsonlStaged, s, (d, name)) {
       val dest = java.nio.file.Files
         .createTempDirectory(s"graft_jsonl_${name}_").toString
       src.write.mode("overwrite")
@@ -159,15 +154,14 @@ object Tables {
   val CORRUPT_RES = 3L
   val CORRUPT_KEEP = 30
 
-  private val jsonlBadStaged = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), String]
+  private val jsonlBadStaged = new SessionMemo[(String, String), String]
 
   /** The corrupted staging dir (for spec-side premise checks on the
     * actual staged bytes); stages it if needed. */
   private[graft] def jsonlCorruptDir(s: SparkSession, d: String,
       name: String): String = {
     jsonlCorruptTable(s, d, name)
-    jsonlBadStaged((s, d, name))
+    jsonlBadStaged(s, (d, name))
   }
 
   /** PERMISSIVE read of the corrupted staging: schema pinned to the
@@ -184,8 +178,8 @@ object Tables {
     // Ensure the clean staging exists, then rewrite it with the fault
     // plan — a pure line-level map (text in, text out).
     jsonlTable(s, d, name)
-    val clean = jsonlStaged((s, d, name))
-    val dir = stageOnce(jsonlBadStaged, (s, d, name)) {
+    val clean = jsonlStaged(s, (d, name))
+    val dir = stageOnce(jsonlBadStaged, s, (d, name)) {
       val dest = java.nio.file.Files
         .createTempDirectory(s"graft_jsonl_bad_${name}_").toString
       val doomed = get_json_object(col("value"), "$.doc_id").cast("long")

@@ -154,18 +154,17 @@ object Multimodal extends QueryModule {
     * `frame_sample`'s kind filter prunes at the parquet scan instead
     * of discarding records the synthesis had already PNG-encoded
     * (measured 3× on the trio when the codec landed in round 11). */
-  private val mediaStaged = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  private val mediaStaged = new graft.SessionMemo[String, String]
 
   private def mediaTable(spark: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[MediaRecord] = {
     import spark.implicits._
-    val p = mediaStaged.getOrElseUpdate((spark, dir), {
+    val p = mediaStaged.getOrElseUpdate(spark, dir) {
       val dest = java.nio.file.Files
         .createTempDirectory("graft_media_stage_").toString
       mediaDs(spark, dir).write.mode("overwrite").parquet(dest)
       dest
-    })
+    }
     spark.read.parquet(p).as[MediaRecord]
   }
 

@@ -92,13 +92,12 @@ object PageRank extends QueryModule {
     * files); the Spark-native analogue is reusing the checkpointed
     * rank DataFrame across the `pagerank` and `pagerank_topk` queries
     * instead of re-running the 10-iteration loop. */
-  private val ranksCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ranksCache = new graft.SessionMemo[String, DataFrame]
   graft.Caches.register(() => ranksCache.clear())
 
   /** Unrounded final ranks: (nodeid, r0..rS-1), computed once per dir. */
   def ranksDf(spark: SparkSession, dir: String): DataFrame =
-    ranksCache.getOrElseUpdate((spark, dir), computeRanks(spark, dir))
+    ranksCache.getOrElseUpdate(spark, dir)(computeRanks(spark, dir))
 
   private def computeRanks(spark: SparkSession, dir: String): DataFrame = {
     // Size-aware graph partitioning: at least ~16 nodes per partition

@@ -1045,8 +1045,8 @@ object Similarity extends QueryModule {
     * models. The key includes the dataset fingerprint via
     * [[Caches.pathKey]] of the [[indexDir]] identity, so in-place
     * dataset regeneration invalidates naturally. */
-  private val modelCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), (String, DataFrame)]
+  private val modelCache =
+    new graft.SessionMemo[(String, String), (String, DataFrame)]
 
   /** Per-identity construction locks: `TrieMap.getOrElseUpdate`
     * returns one winning VALUE under race but still evaluates the
@@ -1074,13 +1074,13 @@ object Similarity extends QueryModule {
   private def cachedModel(spark: SparkSession, dir: String, kind: String)(
       train: => DataFrame): DataFrame = {
     val id = indexDir(dir)
-    val key = (spark, graft.Caches.pathKey(dir), kind)
+    val key = (graft.Caches.pathKey(dir), kind)
     lockFor(s"$id#$kind").synchronized {
-      modelCache.get(key) match {
+      modelCache.get(spark, key) match {
         case Some((storedId, df)) if storedId == id => df
         case _ =>
           val df = train.localCheckpoint()
-          modelCache(key) = (id, df)
+          modelCache(spark, key) = (id, df)
           df
       }
     }

@@ -104,12 +104,11 @@ object SpamClassifier extends QueryModule {
     * Apply job reads the model Train materialized to HDFS
     * (`ApplySpamClassifier.scala:32-38`); here the single-task training
     * result is computed once and reused across queries. */
-  private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val modelCache = new graft.SessionMemo[String, DataFrame]
   graft.Caches.register(() => modelCache.clear())
 
   private def trainedModel(spark: SparkSession, dir: String): DataFrame =
-    modelCache.getOrElseUpdate((spark, dir),
+    modelCache.getOrElseUpdate(spark, dir)(
       trainOn(featurized(spark, dir), spark).localCheckpoint(true))
 
   /** `spam_train`: weights from one sequential pass in doc_id order. */
@@ -197,8 +196,7 @@ object SpamClassifier extends QueryModule {
   /** Number of deterministic training slices for the trained ensemble. */
   val ENSEMBLE_SLICES = 3
 
-  private val sliceModelCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sliceModelCache = new graft.SessionMemo[String, DataFrame]
   graft.Caches.register(() => sliceModelCache.clear())
 
   /** Three INDEPENDENTLY trained models — the reference's real ensemble
@@ -208,13 +206,13 @@ object SpamClassifier extends QueryModule {
     * its own sequential single-partition fold; the union is
     * (model_id, feature, weight). */
   private def sliceModels(spark: SparkSession, dir: String): DataFrame =
-    sliceModelCache.getOrElseUpdate((spark, dir), {
+    sliceModelCache.getOrElseUpdate(spark, dir) {
       (0 until ENSEMBLE_SLICES).map { m =>
         trainOn(featurized(spark, dir)
           .filter(col("doc_id") % ENSEMBLE_SLICES === m), spark)
           .withColumn("model_id", lit(m))
       }.reduce(_.unionAll(_)).localCheckpoint(true)
-    })
+    }
 
   /** `spam_ensemble_trained`: score every doc against each trained
     * member (one explode ⋈ broadcast(models) ⋈ pivot — the per-model

@@ -25,8 +25,7 @@ object StreamAnnUpsert {
     * commits) is the path under test. */
   val BATCHES = 3
 
-  private val staged = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), String]
+  private val staged = new graft.SessionMemo[String, String]
 
   /** The delta vectors (the same `vec_id % UPSERT_MOD` holdout the
     * batch gate appends) staged as [[BATCHES]] single-file parquets —
@@ -35,7 +34,7 @@ object StreamAnnUpsert {
     * [[StreamNearDedup]] staging contract). Input staging, not
     * memoized compute — not registered with [[graft.Caches]]. */
   private def stagedDeltaDir(spark: SparkSession, dir: String): String =
-    staged.getOrElseUpdate((spark, dir), {
+    staged.getOrElseUpdate(spark, dir) {
       val dest = java.nio.file.Files.createTempDirectory("graft_annups_src_")
       val m = Similarity.UPSERT_MOD
       val delta = Tables.embeddings(spark, dir)
@@ -47,7 +46,7 @@ object StreamAnnUpsert {
         s"delta staging produced $n of $BATCHES batch files — an empty " +
           "residue class would collapse a micro-batch")
       dest.toString
-    })
+    }
 
   /** Gate/bench query: copy the cached base-slice index (immutable
     * storage, [[Similarity.upsertSliceIndex]]), stream the delta
