@@ -18,9 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - percent-encoded UNRESERVED octets decoded (`%7E` → `~`; §6.2.2.2)
   *     and every surviving escape's hex uppercased (`%2f` → `%2F`;
   *     §6.2.2.1) in path and query
-  *   - empty path → `/` (§6.2.3); a non-root trailing slash is dropped
-  *     (crawl-frontier convention: directory and resource forms
-  *     collapse to one key)
+  *   - dot-segments removed (`/a/./b`, `/a/x/../b` → `/a/b`;
+  *     §6.2.2.3), after escape decoding so `%2E`-spelled dots count
+  *   - empty path → `/` (§6.2.3); ALL non-root trailing slashes are
+  *     dropped, to a fixed point (crawl-frontier convention: directory
+  *     and resource forms collapse to one key, and re-normalizing a
+  *     stored key is a no-op)
   *   - path/query CASE and query parameter ORDER are preserved — both
   *     are semantically significant, reordering is not a safe
   *     canonicalization
@@ -64,6 +67,36 @@ object UrlNormalizeUtil {
     out.toString
   }
 
+  /** RFC 3986 §6.2.2.3 / §5.2.4 remove_dot_segments, for absolute
+    * paths: `/a/./b` → `/a/b`, `/a/x/../b` → `/a/b`, a leading `..`
+    * that would climb above the root is dropped. Runs AFTER escape
+    * canonicalization so a `%2E`-spelled dot (unreserved, so decoded)
+    * participates — the RFC's own ordering. Empty segments (`//`) are
+    * preserved as segments (and popped by a following `..` exactly as
+    * the RFC's textual algorithm does); a trailing `.`/`..` leaves a
+    * trailing slash, which the caller's fixed-point strip then drops
+    * like any other. */
+  private def removeDotSegments(path: String): String = {
+    if (path.indexOf('.') < 0 || path.charAt(0) != '/') return path
+    val segs = path.substring(1).split("/", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[String](segs.length)
+    var trailingSlash = false
+    var i = 0
+    while (i < segs.length) {
+      val seg = segs(i)
+      if (seg == ".") trailingSlash = true
+      else if (seg == "..") {
+        if (out.nonEmpty) out.remove(out.length - 1)
+        trailingSlash = true
+      } else {
+        out += seg
+        trailingSlash = false
+      }
+      i += 1
+    }
+    "/" + out.mkString("/") + (if (trailingSlash && out.nonEmpty) "/" else "")
+  }
+
   def normalize(u: UTF8String): UTF8String = {
     val url = u.toString
     val si = url.indexOf("://")
@@ -96,8 +129,16 @@ object UrlNormalizeUtil {
     val query = if (tq >= 0) canonEscapes(tail.substring(tq)) else ""
     path = canonEscapes(path)
     if (path.isEmpty) path = "/"
-    else if (path.length > 1 && path.charAt(path.length - 1) == '/')
-      path = path.substring(0, path.length - 1)
+    else {
+      path = removeDotSegments(path)
+      // Strip trailing slashes to a FIXED POINT (not just one):
+      // '/a//' must collapse to '/a', or re-normalizing a stored
+      // canonical key would shift it ('/a//' → '/a/' → '/a') and
+      // idempotence — the property frontier keys rest on — breaks.
+      var end = path.length
+      while (end > 1 && path.charAt(end - 1) == '/') end -= 1
+      if (end < path.length) path = path.substring(0, end)
+    }
     UTF8String.fromString(
       scheme + "://" + userinfo + hostPort + path + query)
   }

@@ -29,6 +29,30 @@ class UrlNormalizeSpec extends SparkSpecBase {
     assert(norm("http://ex.com") == "http://ex.com/")
     assert(norm("http://ex.com/") == "http://ex.com/")
     assert(norm("http://ex.com/a/b/") == "http://ex.com/a/b")
+    // Trailing-slash RUNS strip to a fixed point (round-14 advice:
+    // '/a//' previously normalized to '/a/', breaking idempotence).
+    assert(norm("http://ex.com/a//") == "http://ex.com/a")
+    assert(norm("http://ex.com/a///?q=1") == "http://ex.com/a?q=1")
+    assert(norm("http://ex.com//") == "http://ex.com/")
+    // Mid-path empty segments are NOT collapsed (semantically
+    // significant per RFC 3986 — only trailing runs strip).
+    assert(norm("http://ex.com/a//b") == "http://ex.com/a//b")
+    // Dot-segments (§6.2.2.3): ./ and ../ collapse; '..' cannot climb
+    // above the root; dot-LIKE segments are untouched.
+    assert(norm("http://ex.com/a/./b") == "http://ex.com/a/b")
+    assert(norm("http://ex.com/a/x/../b") == "http://ex.com/a/b")
+    assert(norm("http://ex.com/../a") == "http://ex.com/a")
+    assert(norm("http://ex.com/a/..") == "http://ex.com/")
+    assert(norm("http://ex.com/a/../..") == "http://ex.com/")
+    assert(norm("http://ex.com/.") == "http://ex.com/")
+    assert(norm("http://ex.com/..foo/.hidden") == "http://ex.com/..foo/.hidden")
+    assert(norm("http://ex.com/a/./x/../b?../c") == "http://ex.com/a/b?../c")
+    // %2E is unreserved: it decodes FIRST, then the dot-segment pass
+    // sees the spelled-out '..' (escape-hiding cannot defeat it).
+    assert(norm("http://ex.com/deep/%2E%2E/b") == "http://ex.com/b")
+    assert(norm("http://ex.com/a/%2E/b") == "http://ex.com/a/b")
+    // A '..' popping an EMPTY segment (from '//') pops just that.
+    assert(norm("http://ex.com/a//../b") == "http://ex.com/a/b")
     // Unreserved escapes decode; reserved ones uppercase their hex.
     assert(norm("http://ex.com/%7euser/%41%2fB") == "http://ex.com/~user/A%2FB")
     assert(norm("http://ex.com/ok?x=%7e%2f") == "http://ex.com/ok?x=~%2F")
@@ -52,7 +76,9 @@ class UrlNormalizeSpec extends SparkSpecBase {
   test("idempotence: normalizing a normalized URL is a no-op") {
     val urls = Seq(
       "HTTP://WWW.Ex.COM:80/A%7eb/?q=Z#f", "https://ex.com:443/",
-      "http://ex.com/%41%2f?x=%7e", "http://U@EX.com:8080/a/b/")
+      "http://ex.com/%41%2f?x=%7e", "http://U@EX.com:8080/a/b/",
+      "http://ex.com/a//", "http://ex.com/a///b//",
+      "http://ex.com/a/./x/../b/%2E%2E/", "http://ex.com/../..")
     urls.foreach { u => assert(norm(norm(u)) == norm(u), u) }
   }
 
