@@ -72,11 +72,15 @@ final case class NfcNormalize(child: Expression) extends UnaryExpression {
   * differences vanish), sibling of [[NfcNormalizeUtil.nfc]].
   *
   * Casefold here is `String.toLowerCase(Locale.ROOT)` — the JDK's
-  * locale-independent lowercase, NOT full Unicode case folding (the
-  * JDK ships no public fold; the visible difference is edge cases
-  * like ß, which full folding maps to "ss" and lowercase keeps). The
-  * result is re-checked NFKC after the fold because lowercasing can
-  * denormalize (e.g. İ → i + combining dot above).
+  * locale-independent SIMPLE lowercase (the JDK ships no public full
+  * fold) — PLUS the two real-world cases where Unicode full case
+  * folding differs from it: ß → "ss" (so German near-dups differing
+  * only in ẞ/ss hash together; ẞ lowercases to ß and is covered) and
+  * final sigma ς → σ. The remaining simple-vs-full delta after NFKC
+  * is historic/liturgical material this fold does not claim
+  * (NfcNormalizeSpec pins the contract). The result is re-checked
+  * NFKC after the fold because lowercasing can denormalize (e.g.
+  * İ → i + combining dot above).
   *
   * Fast paths mirror [[NfcNormalizeUtil.nfc]]: pure-ASCII input takes
   * one byte scan plus (only if any A–Z present) UTF8String's own
@@ -98,7 +102,30 @@ object NfkcCasefoldUtil {
     val nk =
       if (java.text.Normalizer.isNormalized(str, form)) str
       else java.text.Normalizer.normalize(str, form)
-    val cf = nk.toLowerCase(java.util.Locale.ROOT)
+    val lc = nk.toLowerCase(java.util.Locale.ROOT)
+    // Locale-ROOT lowercase is SIMPLE case mapping; patch the two
+    // BMP cases where Unicode FULL case folding (the literature's
+    // pre-fingerprint fold) differs on real-world text: ß → "ss"
+    // (covers ẞ too — it lowercases to ß first) and final sigma
+    // ς → σ. The NFKC pass already handles the one-to-many
+    // compatibility cases (ligatures, ﬅ, …); everything else in the
+    // simple-vs-full delta is historic/liturgical scripts this fold
+    // does not claim. The replacement runs AFTER lowercase so it is
+    // idempotent ("ss"/σ are fixed points).
+    val cf =
+      if (lc.indexOf('ß') < 0 && lc.indexOf('ς') < 0) lc
+      else {
+        val sb = new java.lang.StringBuilder(lc.length + 8)
+        var j = 0
+        while (j < lc.length) {
+          val c = lc.charAt(j)
+          if (c == 'ß') sb.append("ss")
+          else if (c == 'ς') sb.append('σ')
+          else sb.append(c)
+          j += 1
+        }
+        sb.toString
+      }
     val out =
       if (java.text.Normalizer.isNormalized(cf, form)) cf
       else java.text.Normalizer.normalize(cf, form)

@@ -90,7 +90,10 @@ class NfcNormalizeSpec extends SparkSpecBase {
     "\uff27\uff2f fullwidth",       // fullwidth G,O -> "go fullwidth"
     "x\u00b2 super",                 // superscript two -> "x2 super"
     "E\u0301clair",                  // decomposed E+acute -> "\u00e9clair"
-    "stra\u00dfe")                   // sharp s survives the JDK fold
+    "stra\u00dfe",                   // sharp s FULL-folds -> "strasse"
+    "STRA\u1e9eE",                   // capital eszett -> \u00df -> "ss"
+    "\u039b\u039f\u0393\u039f\u03a3",  // final \u03a3 -> \u03c2 -> \u03c3
+    "\u03c2\u03c3 mixed sigmas")    // bare final sigma folds to \u03c3
 
   test("nfkc_cf codegen path equals NFKC+lower+NFKC ground truth") {
     NfkcCasefold.register(spark)
@@ -99,9 +102,13 @@ class NfcNormalizeSpec extends SparkSpecBase {
       .as[(String, String)].collect()
     rows.foreach { case (in, got) =>
       val form = java.text.Normalizer.Form.NFKC
+      // Ground truth = NFKC . full-fold . NFKC, where full-fold is the
+      // JDK simple lowercase plus the two documented full-fold deltas
+      // (\u00df -> "ss", \u03c2 -> \u03c3) the kernel patches in.
       val want = java.text.Normalizer.normalize(
         java.text.Normalizer.normalize(in, form)
-          .toLowerCase(java.util.Locale.ROOT), form)
+          .toLowerCase(java.util.Locale.ROOT)
+          .replace("\u00df", "ss").replace('\u03c2', '\u03c3'), form)
       assert(got === want, s"input codepoints ${in.map(_.toInt)}")
     }
   }
@@ -120,6 +127,17 @@ class NfcNormalizeSpec extends SparkSpecBase {
     // Decomposed accent: composes under NFKC then folds.
     assert(NfkcCasefoldUtil.nfkcCf(
       UTF8String.fromString("E\u0301clair")).toString === "\u00e9clair")
+    // FULL-fold deltas the simple lowercase misses: both eszetts land
+    // as "ss" (so Stra\u00dfe/STRASSE near-dups hash together), and a
+    // final sigma comes out \u03c3 — never the contextual \u03c2 the
+    // JDK lowercase emits — so mid-word and word-final spellings of
+    // the same stem agree.
+    assert(NfkcCasefoldUtil.nfkcCf(
+      UTF8String.fromString("Stra\u00dfe STRA\u1e9eE")).toString
+      === "strasse strasse")
+    assert(NfkcCasefoldUtil.nfkcCf(
+      UTF8String.fromString("\u039b\u039f\u0393\u039f\u03a3")).toString
+      === "\u03bb\u03bf\u03b3\u03bf\u03c3")
     // Idempotence on every case.
     nfkcCases.foreach { c =>
       val once = NfkcCasefoldUtil.nfkcCf(UTF8String.fromString(c))
