@@ -180,7 +180,19 @@ object ScaleProbe {
       // bpe_apply = bpe_train's cost on the 90% training slice plus
       // map-only apply passes over the eval slice — the claim is its
       // factor tracks bpe_train's (application adds no shuffle).
-      "bpe_apply")
+      "bpe_apply",
+      // round-15 additions. sequence_pack: the r14 two-level √-bucket
+      // prefix sum — the claim is the recursion really removed the
+      // corpus-proportional single-task window (factor ≈ growth, the
+      // super-bucket window stays O(√buckets) rows). dedup_keep_best:
+      // the clusters-memo warm path plus the quality join + bounded
+      // per-cluster window (factor tracks the join, clustering is
+      // memoized — its cold cost is dedup_components' own probe
+      // above). The three r14 map-only codegen scans (URL
+      // canonicalization, blocklist anti-join, NFKC+casefold): claim
+      // is embarrassingly-parallel scan shape, factor ≈ growth.
+      "sequence_pack", "dedup_keep_best",
+      "url_normalize", "domain_filter", "text_normalize_nfkc")
     // Force EVERY output column, not just row counts: under a bare
     // .count() Catalyst prunes unreferenced projections, so a
     // map-only query (pii_scrub's regex scan) would be "measured" as
