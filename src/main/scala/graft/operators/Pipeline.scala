@@ -968,7 +968,15 @@ object Pipeline extends QueryModule {
     val offsets = bucketOffsets(keyed, Seq("source"),
         max(col("target")).as("target"))
       .select(col("source"), col("bkt"), col("cnt"), col("offset"), col("target"))
-    val tagged = keyed.drop("target").join(broadcast(offsets), Seq("source", "bkt"))
+    selectByOffsets(keyed.drop("target"), offsets)
+  }
+
+  /** The keep/boundary split given precomputed per-(source, bucket)
+    * offsets carrying a `target` column — the back half of
+    * [[md5BucketedSelect]], shared with the fused gate path that
+    * derives `target` from the offsets themselves. */
+  private def selectByOffsets(keyed: DataFrame, offsets: DataFrame): DataFrame = {
+    val tagged = keyed.join(broadcast(offsets), Seq("source", "bkt"))
     val keepWhole = tagged.filter(col("offset") + col("cnt") <= col("target"))
     val wIn = Window.partitionBy(col("source"), col("bkt"))
       .orderBy(col("mk"), col("doc_id"))
@@ -982,12 +990,26 @@ object Pipeline extends QueryModule {
   }
 
   /** Gate query: budget = half the smallest source (data-derived, so
-    * the sample genuinely subsamples even on the balanced fixture). */
+    * the sample genuinely subsamples even on the balanced fixture).
+    *
+    * Fused form: source sizes are already the column sums of the
+    * per-(source, bucket) COUNT table the decomposition computes, so
+    * the budget aggregates the ≤256-rows-per-source offsets frame
+    * instead of re-scanning the corpus — both consumers share the
+    * partial-count exchange (one corpus scan for the counts,
+    * `ReusedExchange` in the plan), where the unfused
+    * `capPerSource(docs, budgetAggOverDocs)` pays a third full scan.
+    * At 100 TB that is the difference between 2 and 3 corpus passes. */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val budget = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val docs = Tables.documents(spark, dir).select(col("source"), col("doc_id"))
+    val keyed = md5Keyed(docs)
+    val offsets = bucketOffsets(keyed, Seq("source"))
+    val budget = offsets.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n"))
       .agg(greatest(lit(1L), floor(min(col("n")) / 2)).as("budget"))
-    capPerSource(docs, budget).orderBy(col("source"), col("doc_id"))
+    val targeted = offsets.crossJoin(broadcast(budget))
+      .withColumnRenamed("budget", "target")
+    selectByOffsets(keyed, targeted).orderBy(col("source"), col("doc_id"))
   }
 
   val stratifiedSampleSql =
