@@ -81,20 +81,24 @@ object StreamKeepBest {
     .orderBy(col("quality").desc, col("doc_id"))
 
   /** One keep-best step over a (doc_id, text) micro-batch. Returns
-    * (events, bandDelta): `events` is one row per batch doc —
+    * (events, keys): `events` is one row per batch doc —
     * (doc_id, comp, quality, action) with action ∈ new/replace/drop —
-    * and `bandDelta` the (band_idx, band_key, comp) rows of this
-    * batch's winners, to be unioned into the band state. The caller
-    * folds the winners into its canonical table (they are exactly
-    * `events` where action ≠ 'drop'). */
+    * and `keys` the batch's CHECKPOINTED (doc_id, band_idx, band_key)
+    * band rows, so the caller can derive the winners' band delta
+    * (keys ⋈ events-where-action≠drop) from the PERSISTED event rows
+    * without executing the events plan a second time. */
   def keepBestBatch(spark: SparkSession, batch: DataFrame,
       stateBands: DataFrame, canon: DataFrame): (DataFrame, DataFrame) = {
-    // Shingle→minhash→band once; every branch below re-reads it, and
-    // the branches are consumed by separate actions.
+    // Shingle→minhash→band once; the minhash pipeline is the expensive
+    // branch and feeds BOTH per-batch actions (the events write and the
+    // band-delta write) — materialize it once.
     val keys = Dedup.bandKeys(spark, batch).localCheckpoint()
+    // Deliberately NOT checkpointed: quality is one codegen map pass
+    // over the batch source, consumed by two branches of the single
+    // events action — a second in-job scan of one micro-batch file is
+    // cheaper than a dedicated materialization job per trigger.
     val scored = batch.select(col("doc_id"),
         graft.operators.Pipeline.qualityCol(col("text")).as("quality"))
-      .localCheckpoint()
     // Challenger routing: min colliding cluster per doc (deterministic
     // when a doc's bands touch several clusters' footprints).
     val docComp = keys.join(stateBands, Seq("band_idx", "band_key"))
@@ -132,12 +136,7 @@ object StreamKeepBest {
       .filter(!col("inc"))
       .select(col("doc_id"), col("comp"), col("quality"),
         when(col("rn") === 1, lit("replace")).otherwise(lit("drop")).as("action"))
-    val events = newEvents.unionByName(chalEvents)
-    val winners = events.filter(col("action") =!= "drop")
-      .select(col("doc_id"), col("comp"))
-    val bandDelta = keys.join(winners, Seq("doc_id"))
-      .select(col("band_idx"), col("band_key"), col("comp"))
-    (events, bandDelta)
+    (newEvents.unionByName(chalEvents), keys)
   }
 
   /** Canonical table from a persisted event log: per cluster, the
@@ -175,22 +174,36 @@ object StreamKeepBest {
       consolidate(StreamNearDedup.readPartitioned(spark, s"$stateDir/events",
         committedIds, emptyEvents(spark))).localCheckpoint()
 
-    /** The foreachBatch body (serial per query; lock defensive). */
+    /** The foreachBatch body (serial per query; lock defensive).
+      *
+      * Write-once/read-back per trigger: the events parquet write is
+      * the ONE execution of the batch plan; every later consumer (the
+      * band-delta write, the canonical fold) reads the written file
+      * back instead of a second checkpoint — two fewer jobs per
+      * trigger than the checkpoint-then-write order, at the price of
+      * re-scanning one batch-sized file. The marker still lands only
+      * after BOTH delta writes, so replay visibility is unchanged. */
     def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (!committedIds(batchId)) {
-        val (events, bandDelta) = keepBestBatch(spark, batch, bandsMem, canonMem)
-        val ev = events.localCheckpoint()
-        val bd = bandDelta.localCheckpoint()
+        val (events, keys) = keepBestBatch(spark, batch, bandsMem, canonMem)
         // coalesce(1): one batch's delta, sized like the first-touch
         // accumulator's — a production job sizes this to batch volume.
-        bd.coalesce(1).write.mode("overwrite")
-          .parquet(s"$stateDir/bands/batch_id=$batchId")
-        ev.coalesce(1).write.mode("overwrite")
+        events.coalesce(1).write.mode("overwrite")
           .parquet(s"$stateDir/events/batch_id=$batchId")
-        StreamNearDedup.commit(stateDir, batchId)
-        val winners = ev.filter(col("action") =!= "drop")
+        val winners = spark.read
+          .parquet(s"$stateDir/events/batch_id=$batchId")
+          .filter(col("action") =!= "drop")
           .select(col("comp"), col("doc_id"), col("quality"))
-        bandsMem = bandsMem.union(bd).localCheckpoint()
+        val bandDelta = keys
+          .join(winners.select(col("doc_id"), col("comp")), Seq("doc_id"))
+          .select(col("band_idx"), col("band_key"), col("comp"))
+        bandDelta.coalesce(1).write.mode("overwrite")
+          .parquet(s"$stateDir/bands/batch_id=$batchId")
+        StreamNearDedup.commit(stateDir, batchId)
+        bandsMem = bandsMem.union(
+            spark.read.parquet(s"$stateDir/bands/batch_id=$batchId")
+              .select(col("band_idx"), col("band_key"), col("comp")))
+          .localCheckpoint()
         // Replacements overwrite their cluster's row; new clusters
         // append. The anti-join keys on comp — one winner per cluster
         // per batch keeps it exact.

@@ -147,22 +147,29 @@ object StreamNearDedup {
         .select(col("band_idx"), col("band_key"))
         .localCheckpoint()
 
-    /** The foreachBatch body (serial per query; lock defensive). */
+    /** The foreachBatch body (serial per query; lock defensive).
+      * Write-once/read-back: the band-delta write is the one execution
+      * of its (already keys-checkpointed) plan; the state mirror folds
+      * the written file back in instead of a separate checkpoint of
+      * the same rows — one fewer job per trigger (the
+      * [[StreamKeepBest]] posture). */
     def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (!committedIds(batchId)) {
         val (kept, newKeys) = admitBatch(spark, batch, stateMem)
-        val keys = newKeys.localCheckpoint()
         // coalesce(1): a batch's state delta is small relative to the
         // corpus (it is one batch's keys/admissions), and writing it
         // as one file instead of one per shuffle partition keeps the
         // per-trigger commit cost flat — a production job sizes this
         // to its batch volume.
-        keys.coalesce(1).write.mode("overwrite")
+        newKeys.coalesce(1).write.mode("overwrite")
           .parquet(s"$stateDir/bands/batch_id=$batchId")
         kept.coalesce(1).write.mode("overwrite")
           .parquet(s"$stateDir/admitted/batch_id=$batchId")
         commit(stateDir, batchId)
-        stateMem = stateMem.union(keys).localCheckpoint()
+        stateMem = stateMem.union(
+            spark.read.parquet(s"$stateDir/bands/batch_id=$batchId")
+              .select(col("band_idx"), col("band_key")))
+          .localCheckpoint()
         committedIds += batchId
       }
     }
