@@ -40,38 +40,56 @@ object Caches {
   * long-lived multi-session process (notebook server, test suite);
   * round-14 verdict item.
   *
-  * Compute-once is guaranteed by synchronizing the whole memo around
-  * the thunk (a bare `TrieMap.getOrElseUpdate` evaluates the thunk in
-  * every racing thread). Coarse by design: memoized computes and
-  * stagings run O(queries) times per JVM, so lock contention is
-  * irrelevant next to the Spark jobs they guard. */
+  * Compute-once is guaranteed PER KEY, not per memo: the map stores
+  * lazily-initialized cells inserted with an atomic `putIfAbsent` (a
+  * bare `TrieMap.getOrElseUpdate` evaluates the thunk in every racing
+  * thread), and the winning cell's `lazy val` runs the thunk under
+  * that cell's own initialization lock. Concurrent first-touch of
+  * DIFFERENT keys — e.g. two tables staging to disk — therefore
+  * proceeds in parallel; only same-key racers block on each other
+  * (round-14 advice: the earlier memo-wide lock serialized unrelated
+  * stagings behind one slow one). A thunk that throws leaves its cell
+  * uninitialized, so the next caller retries — the same retry
+  * semantics the map-wide form had. The memo-wide lock survives only
+  * for the O(1) session→map lookup and `clear`. */
 final class SessionMemo[K, V] {
   import org.apache.spark.sql.SparkSession
 
-  private val bySession = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[K, V]]()
+  /** One per-key compute slot; `lazy val` gives the per-cell lock. */
+  private final class Cell(thunk: () => V) { lazy val value: V = thunk() }
 
-  private def mapFor(s: SparkSession): scala.collection.concurrent.TrieMap[K, V] = {
-    var m = bySession.get(s)
-    if (m == null) {
-      m = scala.collection.concurrent.TrieMap.empty[K, V]
-      bySession.put(s, m)
+  private val bySession = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[K, Cell]]()
+
+  private def mapFor(s: SparkSession): scala.collection.concurrent.TrieMap[K, Cell] =
+    bySession.synchronized {
+      var m = bySession.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[K, Cell]
+        bySession.put(s, m)
+      }
+      m
     }
-    m
+
+  def getOrElseUpdate(s: SparkSession, k: K)(v: => V): V = {
+    val m = mapFor(s)
+    val fresh = new Cell(() => v)
+    m.putIfAbsent(k, fresh).getOrElse(fresh).value
   }
 
-  def getOrElseUpdate(s: SparkSession, k: K)(v: => V): V =
-    bySession.synchronized { mapFor(s).getOrElseUpdate(k, v) }
-
+  /** Blocks only if THIS key's computation is in flight (it then
+    * returns the computed value, as the map-wide form did). */
   def get(s: SparkSession, k: K): Option[V] =
-    bySession.synchronized { mapFor(s).get(k) }
+    mapFor(s).get(k).map(_.value)
 
   /** The memoized value; throws like a map lookup when absent. */
-  def apply(s: SparkSession, k: K): V =
-    bySession.synchronized { mapFor(s)(k) }
+  def apply(s: SparkSession, k: K): V = mapFor(s)(k).value
 
-  def update(s: SparkSession, k: K, v: V): Unit =
-    bySession.synchronized { mapFor(s)(k) = v }
+  def update(s: SparkSession, k: K, v: V): Unit = {
+    val cell = new Cell(() => v)
+    cell.value // pre-force: a stored constant, nothing to defer
+    mapFor(s)(k) = cell
+  }
 
   def clear(): Unit = bySession.synchronized { bySession.clear() }
 }

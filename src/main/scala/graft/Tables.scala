@@ -49,13 +49,12 @@ object Tables {
 
   private val textStaged = new SessionMemo[(String, String), String]
 
-  /** Runs `stage` at most once per key: `TrieMap.getOrElseUpdate` is
-    * get-then-update (NOT atomic), so two concurrent first callers
-    * would each create and write a temp staging dir and one would
-    * leak. Coarse lock on the map — staging happens O(tables) times
-    * per JVM, contention is irrelevant. Every staged dir is also
-    * registered for recursive delete at JVM exit so test/Verify runs
-    * don't accumulate temp trees across invocations. */
+  /** Runs `stage` at most once per key (SessionMemo's per-key cell
+    * guarantees it: same-key racers share one staging write, while
+    * first-touch stagings of DIFFERENT tables proceed in parallel).
+    * Every staged dir is also registered for recursive delete at JVM
+    * exit so test/Verify runs don't accumulate temp trees across
+    * invocations. */
   private def stageOnce(map: SessionMemo[(String, String), String],
       s: SparkSession, key: (String, String))(stage: => String): String =
     map.getOrElseUpdate(s, key) {
