@@ -138,12 +138,12 @@ object StreamNearDedup {
     // parquet per trigger (measured +3.5s on the 3-batch paced gate
     // before this).
     private var committedIds: Set[Long] = readCommitted(stateDir)
-    // Only COMMITTED batches' keys enter the mirror: an uncommitted
+    // Only COMMITTED batches' keys enter the mirror (an uncommitted
     // batch's partial directories are invisible until its replay
-    // overwrites them and lands the marker.
+    // overwrites them and lands the marker), read through the
+    // compaction manifest: generation base + unfolded tail.
     @volatile private var stateMem: DataFrame =
-      readPartitioned(spark, s"$stateDir/bands", committedIds,
-        emptyState(spark))
+      readState(spark, stateDir, "bands")
         .select(col("band_idx"), col("band_key"))
         .localCheckpoint()
 
@@ -172,6 +172,140 @@ object StreamNearDedup {
           .localCheckpoint()
         committedIds += batchId
       }
+    }
+  }
+
+  // --- state compaction: fold per-batch dirs into a generation base ------
+
+  /** Compaction pointer for a state dir: `(generation, foldedUpTo)`.
+    * Generation g > 0 keeps its folded tables at `bands-g<g>` /
+    * `admitted-g<g>` and covers every batch id ≤ foldedUpTo;
+    * generation 0 (no MANIFEST) is the plain per-batch layout with
+    * nothing folded. Replaced by ATOMIC_MOVE — readers see the old
+    * generation (+ its per-batch dirs) or the new one, never a
+    * half-fold (same pointer discipline as the ANN index's
+    * [[graft.operators.Similarity]] MANIFEST). */
+  private def manifest(stateDir: String): (Long, Long) = {
+    val p = java.nio.file.Paths.get(stateDir, "MANIFEST")
+    if (java.nio.file.Files.exists(p)) {
+      val raw = java.nio.file.Files.readString(p)
+      val parts = raw.trim.split("\\s+")
+      require(parts.length == 2 && parts.forall(_.forall(_.isDigit)),
+        s"corrupt MANIFEST at $stateDir: expected '<generation> <foldedUpTo>', " +
+          s"got '${raw.take(80).trim}' — restore or delete it to fall back " +
+          "to the per-batch layout")
+      (parts(0).toLong, parts(1).toLong)
+    } else (0L, -1L) // batch ids start at 0: -1 = nothing folded, so the
+                     // contiguity walk below must see batch 0's marker too
+  }
+
+  private def genRoot(stateDir: String, table: String, gen: Long): String =
+    s"$stateDir/$table-g$gen"
+
+  /** Schema-complete empty frame for one state table (the per-batch
+    * read's fallback when every committed dir wrote zero rows must
+    * union cleanly with a generation base, so it carries batch_id). */
+  private def emptyTable(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    table match {
+      case "bands" => Seq.empty[(Int, Long, Long)]
+        .toDF("band_idx", "band_key", "batch_id")
+      case _ => Seq.empty[(Long, String, Long)]
+        .toDF("doc_id", "text", "batch_id")
+    }
+  }
+
+  /** Visible state of one table: the current generation's folded base
+    * (if any) unioned with the committed per-batch dirs the fold does
+    * not cover. This is what [[PersistentAccumulator]] restarts from
+    * and what [[readAdmitted]] serves — so compaction is output-
+    * invariant by construction and the paced gate's oracle is
+    * unchanged by a fold. */
+  private[streaming] def readState(spark: SparkSession, stateDir: String,
+      table: String): DataFrame = {
+    val (gen, folded) = manifest(stateDir)
+    val committed = readCommitted(stateDir)
+    val fresh = readPartitioned(spark, s"$stateDir/$table",
+      committed.filter(_ > folded), emptyTable(spark, table))
+    val baseDir = genRoot(stateDir, table, gen)
+    if (gen == 0L || !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(baseDir))) fresh
+    else spark.read.parquet(baseDir).unionByName(fresh)
+  }
+
+  private val compactLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Fold the committed per-batch state dirs into a new generation
+    * base — the LSM compaction step of a long-lived ingest. Without it
+    * a restarted query unions one partitioned table PER COMMITTED
+    * BATCH: an ingest triggering every few minutes accumulates
+    * thousands of directories, and every restart pays listing + a scan
+    * per batch. After a fold, restart cost is O(state): one base
+    * table plus the unfolded tail.
+    *
+    * Only the CONTIGUOUS committed prefix is folded: a batch that
+    * crashed after its data write but before its marker will be
+    * REPLAYED by the engine — if its id were folded past, the replay's
+    * rows would be invisible (id ≤ foldedUpTo but absent from the
+    * base). Bounding the fold at the first gap makes that impossible;
+    * in practice foreachBatch is serial so the committed set is a
+    * prefix and everything folds.
+    *
+    * Crash-safety mirrors [[graft.operators.Similarity.annIndexCompact]]:
+    * staged `-g<gen+1>` dirs are invisible until the ATOMIC_MOVE
+    * pointer swap (a crashed attempt's debris is clobbered by the
+    * retry's overwrite and swept by the entry GC); folded per-batch
+    * payloads and the previous generation are reclaimed by the NEXT
+    * fold's entry sweep, giving in-flight readers one fold of grace.
+    * Commit MARKERS are kept — the replay skip-check and batch-id
+    * monotonicity rest on them. Single-writer: call while no query is
+    * writing this state dir (between AvailableNow runs — the spec's
+    * stop/compact/resume sequence is the intended shape). */
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    compactLocks.getOrElseUpdate(stateDir, new Object).synchronized {
+      gcInvisible(stateDir)
+      val (gen, folded) = manifest(stateDir)
+      val committed = readCommitted(stateDir)
+      // Largest id with every id in (folded, id] committed.
+      var upTo = folded
+      while (committed(upTo + 1)) upTo += 1
+      if (upTo > folded) {
+        val newGen = gen + 1
+        Seq("bands", "admitted").foreach { table =>
+          readState(spark, stateDir, table).write.mode("overwrite")
+            .parquet(genRoot(stateDir, table, newGen))
+        }
+        val tmp = java.nio.file.Paths.get(stateDir, "MANIFEST.tmp")
+        java.nio.file.Files.writeString(tmp, s"$newGen $upTo")
+        java.nio.file.Files.move(tmp,
+          java.nio.file.Paths.get(stateDir, "MANIFEST"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+
+  /** Reclaim everything the current MANIFEST no longer references:
+    * per-batch dirs with id ≤ foldedUpTo and generation dirs other
+    * than the live one. Pure on-disk-pointer logic — idempotent, and
+    * a GC interrupted by a crash is finished by the next fold. */
+  private def gcInvisible(stateDir: String): Unit = {
+    val (gen, folded) = manifest(stateDir)
+    Seq("bands", "admitted").foreach { table =>
+      readCommitted(stateDir).filter(_ <= folded).foreach { k =>
+        val d = java.nio.file.Paths.get(s"$stateDir/$table/batch_id=$k")
+        if (java.nio.file.Files.exists(d)) StreamingOps.deleteRecursively(d)
+      }
+      val live = genRoot(stateDir, table, gen)
+      val root = java.nio.file.Paths.get(stateDir)
+      val stale = scala.util.Using.resource(java.nio.file.Files.list(root)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter { p =>
+          p.getFileName.toString.startsWith(s"$table-g") &&
+            p.toString != live
+        }.toList
+      }
+      stale.foreach(StreamingOps.deleteRecursively)
     }
   }
 
@@ -233,8 +367,7 @@ object StreamNearDedup {
     * a result. */
   private[graft] def readAdmitted(spark: SparkSession,
       stateDir: String): DataFrame =
-    readPartitioned(spark, s"$stateDir/admitted", readCommitted(stateDir),
-      new Accumulator(spark).admitted)
+    readState(spark, stateDir, "admitted")
 
   /** Gate/bench query: the admission filter executed by the LIVE
     * streaming engine — file source over the documents parquet,

@@ -218,6 +218,101 @@ class StreamNearDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("state compaction: fold mid-sequence, resume, same answer, O(state) layout") {
+    // The long-lived-ingest contract: after two of the three paced
+    // batches, fold the per-batch state dirs into a generation base
+    // (compactState), then resume over the remaining file. The fold
+    // must be output-invariant (admitted set identical to the
+    // uncompacted single run, batch ids included), and the on-disk
+    // layout afterwards must be O(state): per-batch dirs for the
+    // folded ids GONE on the next fold's sweep, one base + the
+    // unfolded tail meanwhile.
+    import scala.jdk.CollectionConverters._
+    val full = java.nio.file.Paths.get(
+      StreamNearDedup.stagedPacedDocsDir(spark, sfDir))
+    val src = java.nio.file.Files.createTempDirectory("graft_compact_src_")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_compact_ckpt_")
+    val state = java.nio.file.Files.createTempDirectory("graft_compact_state_")
+    try {
+      val files = scala.util.Using.resource(java.nio.file.Files.list(full))(
+          _.iterator().asScala.toSeq)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+      def arrive(p: java.nio.file.Path): Unit = {
+        val t = src.resolve(p.getFileName.toString)
+        java.nio.file.Files.copy(p, t)
+        assert(t.toFile.setLastModified(p.toFile.lastModified))
+      }
+      files.take(2).foreach(arrive)
+      StreamNearDedup.runLiveAgainst(spark, src.toString, paced = true,
+        ckpt.toString, state.toString)
+      val before = StreamNearDedup.readAdmitted(spark, state.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      StreamNearDedup.compactState(spark, state.toString)
+      // Pointer swapped to generation 1 covering both batches; the
+      // visible admitted set is unchanged by the fold.
+      assert(java.nio.file.Files.readString(
+        state.resolve("MANIFEST")).trim == "1 1")
+      assert(java.nio.file.Files.exists(state.resolve("bands-g1")) &&
+        java.nio.file.Files.exists(state.resolve("admitted-g1")))
+      assert(StreamNearDedup.readAdmitted(spark, state.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet == before)
+      // Crashed-fold debris: a staged generation the pointer never
+      // adopted must be invisible now and swept by the next fold.
+      spark.range(1).selectExpr("1 as band_idx", "id as band_key",
+        "9L as batch_id").write.parquet(s"$state/bands-g7")
+      assert(StreamNearDedup.readAdmitted(spark, state.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet == before)
+      // Resume over the remaining file: admission state comes from the
+      // generation base, and the combined answer equals the
+      // uncompacted single-run paced gate's.
+      files.drop(2).foreach(arrive)
+      StreamNearDedup.runLiveAgainst(spark, src.toString, paced = true,
+        ckpt.toString, state.toString)
+      val resumed = StreamNearDedup.readAdmitted(spark, state.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      val single = SparkEntry.queries("stream_neardedup_paced")(spark, sfDir)
+        .as[(Long, Long)].collect().toSet
+      assert(resumed == single,
+        s"compacted-state resume diverges from the single-run answer: " +
+          s"only-resumed=${(resumed -- single).take(5)} " +
+          s"only-single=${(single -- resumed).take(5)}")
+      // Second fold: folds the tail batch (the entry sweep also takes
+      // the g7 crash debris, staged at a non-live generation).
+      StreamNearDedup.compactState(spark, state.toString)
+      assert(java.nio.file.Files.readString(
+        state.resolve("MANIFEST")).trim == "2 2")
+      assert(!java.nio.file.Files.exists(state.resolve("bands-g7")),
+        "crashed-fold debris must be swept")
+      // GC is deferred one fold (in-flight readers' grace): generation
+      // 1 survives the fold that replaced it and falls to the NEXT
+      // call's entry sweep. That next call is also the idempotence
+      // check — nothing new to fold, the pointer does not move.
+      assert(java.nio.file.Files.exists(state.resolve("bands-g1")))
+      StreamNearDedup.compactState(spark, state.toString)
+      assert(java.nio.file.Files.readString(
+        state.resolve("MANIFEST")).trim == "2 2")
+      Seq("bands", "admitted").foreach { t =>
+        assert(!java.nio.file.Files.exists(state.resolve(s"$t-g1")),
+          s"previous generation $t-g1 must be swept")
+        (0L to 2L).foreach { k =>
+          assert(!java.nio.file.Files.exists(
+            state.resolve(s"$t/batch_id=$k")),
+            s"folded per-batch dir $t/batch_id=$k must be swept")
+        }
+      }
+      val markers = scala.util.Using.resource(
+          java.nio.file.Files.list(state.resolve("commits")))(
+          _.iterator().asScala.map(_.getFileName.toString.toLong).toSet)
+      assert(markers == (0L until operators.Dedup.PACED_BATCHES).toSet,
+        "commit markers must survive folds (replay skip + id monotonicity)")
+      assert(StreamNearDedup.readAdmitted(spark, state.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet == single)
+    } finally {
+      Seq(src, ckpt, state).foreach(graft.streaming.StreamingOps.deleteRecursively)
+    }
+  }
+
   test("paced staging: one file per residue class, mtimes strictly increasing") {
     // The paced gate's ORACLE replays batch k = doc_id mod PACED_BATCHES
     // in file-mtime order, so this layout is load-bearing: a staging
