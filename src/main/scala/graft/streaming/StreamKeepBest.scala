@@ -52,6 +52,16 @@ import org.apache.spark.sql.functions._
   * parquet pair becomes a transactional store keyed by
   * (band_idx, band_key) and by cluster id; the per-batch dataflow
   * below is unchanged.
+  *
+  * Compaction boundary: the `bands` table is STATE and folds exactly
+  * like the first-touch filter's ([[StreamNearDedup.compactState]]'s
+  * generation-base pattern applies verbatim — same layout, one extra
+  * column); the `events` table is the job's OUTPUT — the per-doc
+  * new/replace/drop audit the gate emits — so it is deliberately
+  * never folded: collapsing it to per-cluster winners would erase the
+  * replacement history a provenance pipeline exists to keep. A
+  * long-lived deployment compacts bands and ships events downstream
+  * like any append-only log.
   */
 object StreamKeepBest {
 
