@@ -261,6 +261,67 @@ object ScaleProbe {
       s""""stream_admission":{"batches":$nb,"admitted":$admittedTotal,"per_batch":[""",
       ",", "]}")
 
+    // Restart cost vs trigger-history length (round-15 compaction
+    // claim): a long-lived ingest's restart unions ONE partitioned
+    // table per committed batch, so the cost to measure is the LAYOUT
+    // — per-root listing, parquet footer reads, and partition
+    // discovery across thousands of batch dirs versus one generation
+    // base holding the SAME rows. The history is simulated by file
+    // copy: a small real band delta (a production trigger's deltas are
+    // batch-sized, i.e. tiny next to accumulated state) replicated
+    // into `histBatches` marker-committed dirs. Row counts are
+    // identical on both sides of compactState; only directory fan-out
+    // differs — at equal rows the row-scan cost cancels and the
+    // measured gap is exactly the per-directory overhead a trigger-
+    // count-proportional layout accumulates. "Restart" = constructing
+    // a fresh PersistentAccumulator, whose state-mirror
+    // localCheckpoint forces the full read.
+    val histDir = java.nio.file.Files.createTempDirectory("graft_sf1_restart_")
+    val histBatches = 2000
+    val seedDir = java.nio.file.Files.createTempDirectory("graft_sf1_seed_")
+    spark.read.parquet(s"$stateDir/bands/batch_id=0").limit(2000)
+      .coalesce(1).write.mode("overwrite").parquet(s"$seedDir/bands")
+    spark.read.parquet(s"$stateDir/admitted/batch_id=0").limit(100)
+      .coalesce(1).write.mode("overwrite").parquet(s"$seedDir/admitted")
+    def seedFile(table: String): java.nio.file.Path =
+      scala.util.Using.resource(java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$seedDir/$table"))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      }
+    val (bandsSeed, admSeed) = (seedFile("bands"), seedFile("admitted"))
+    val commits = java.nio.file.Paths.get(s"$histDir/commits")
+    java.nio.file.Files.createDirectories(commits)
+    (0 until histBatches).foreach { k =>
+      Seq("bands" -> bandsSeed, "admitted" -> admSeed).foreach {
+        case (table, seed) =>
+          val dest = java.nio.file.Paths.get(s"$histDir/$table/batch_id=$k")
+          java.nio.file.Files.createDirectories(dest)
+          java.nio.file.Files.copy(seed, dest.resolve("part-0.parquet"))
+      }
+      java.nio.file.Files.createFile(commits.resolve(k.toString))
+    }
+    def restartSec(): Double = {
+      val t0 = System.nanoTime()
+      new graft.streaming.StreamNearDedup.PersistentAccumulator(
+        spark, histDir.toString)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val restartBefore = restartSec()
+    val tC0 = System.nanoTime()
+    graft.streaming.StreamNearDedup.compactState(spark, histDir.toString)
+    // The deferred GC keeps folded dirs one extra fold; sweep now (a
+    // second, no-op fold) so the "after" restart reads ONLY the base.
+    graft.streaming.StreamNearDedup.compactState(spark, histDir.toString)
+    val compactSec = (System.nanoTime() - tC0) / 1e9
+    val restartAfter = restartSec()
+    val restartJson =
+      f""""restart_compaction":{"history_batches":$histBatches,""" +
+        f""""restart_uncompacted_sec":$restartBefore%.2f,""" +
+        f""""compact_sec":$compactSec%.2f,""" +
+        f""""restart_compacted_sec":$restartAfter%.2f}"""
+
     // Measured, not assumed: the baseline corpus size sets the growth.
     val growth = n.toDouble / baseDocs
     val parts = queries.map { q =>
@@ -270,7 +331,7 @@ object ScaleProbe {
         f""""sf01_rows":$rs,"sf1_rows":$rl}"""
     }
     println(s"""{"metric":"scale_probe","sf1_docs":$n,"data_growth":$growth,""" +
-      parts.mkString("\"queries\":{", ",", "}") + s",$admitJson}")
+      parts.mkString("\"queries\":{", ",", "}") + s",$admitJson,$restartJson}")
     spark.stop()
   }
 }
