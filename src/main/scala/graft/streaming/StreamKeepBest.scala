@@ -53,15 +53,14 @@ import org.apache.spark.sql.functions._
   * (band_idx, band_key) and by cluster id; the per-batch dataflow
   * below is unchanged.
   *
-  * Compaction boundary: the `bands` table is STATE and folds exactly
-  * like the first-touch filter's ([[StreamNearDedup.compactState]]'s
-  * generation-base pattern applies verbatim — same layout, one extra
-  * column); the `events` table is the job's OUTPUT — the per-doc
-  * new/replace/drop audit the gate emits — so it is deliberately
-  * never folded: collapsing it to per-cluster winners would erase the
-  * replacement history a provenance pipeline exists to keep. A
-  * long-lived deployment compacts bands and ships events downstream
-  * like any append-only log.
+  * Compaction boundary: the `bands` table is STATE and folds via
+  * [[compactBands]] ([[StreamNearDedup.compactState]]'s
+  * generation-base fold, bands only); the `events` table is the job's
+  * OUTPUT — the per-doc new/replace/drop audit the gate emits — so it
+  * is deliberately never folded: collapsing it to per-cluster winners
+  * would erase the replacement history a provenance pipeline exists
+  * to keep. A long-lived deployment compacts bands and ships events
+  * downstream like any append-only log.
   */
 object StreamKeepBest {
 
@@ -84,6 +83,22 @@ object StreamKeepBest {
     Seq.empty[(Long, Long, Double, String, Long)]
       .toDF("doc_id", "comp", "quality", "action", "batch_id")
   }
+
+  /** [[emptyBands]] in its PERSISTED shape (batch_id included) — the
+    * manifest-aware read's and the fold's schema anchor. */
+  private def emptyBandsPersisted(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Int, Long, Long, Long)]
+      .toDF("band_idx", "band_key", "comp", "batch_id")
+  }
+
+  /** Fold this accumulator's committed band-key deltas into a
+    * generation base ([[StreamNearDedup.compactState]] with bands
+    * only): restart's band read stops growing with trigger count while
+    * the event log — the OUTPUT — keeps its full per-batch history. */
+  def compactBands(spark: SparkSession, stateDir: String): Unit =
+    StreamNearDedup.compactState(spark, stateDir,
+      Seq("bands" -> emptyBandsPersisted(spark)))
 
   /** The one canonical-selection order, shared with the batch
     * keep-best gate: best quality first, doc_id as the tie-break. */
@@ -175,9 +190,13 @@ object StreamKeepBest {
     def events: DataFrame = readEvents(spark, stateDir)
 
     private var committedIds: Set[Long] = StreamNearDedup.readCommitted(stateDir)
+    // Bands are read through the compaction manifest (generation base
+    // + unfolded tail); events below stay a plain committed-ids read —
+    // the event log never folds (see the object scaladoc's compaction
+    // boundary), and readPartitioned ignores the manifest.
     @volatile private var bandsMem: DataFrame =
-      StreamNearDedup.readPartitioned(spark, s"$stateDir/bands", committedIds,
-          emptyBands(spark))
+      StreamNearDedup.readState(spark, stateDir, "bands",
+          emptyBandsPersisted(spark))
         .select(col("band_idx"), col("band_key"), col("comp"))
         .localCheckpoint()
     @volatile private var canonMem: DataFrame =

@@ -202,9 +202,10 @@ object StreamNearDedup {
   private def genRoot(stateDir: String, table: String, gen: Long): String =
     s"$stateDir/$table-g$gen"
 
-  /** Schema-complete empty frame for one state table (the per-batch
-    * read's fallback when every committed dir wrote zero rows must
-    * union cleanly with a generation base, so it carries batch_id). */
+  /** Schema-complete empty frame for one near-dedup state table (the
+    * per-batch read's fallback when every committed dir wrote zero
+    * rows must union cleanly with a generation base, so it carries
+    * batch_id). */
   private def emptyTable(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     table match {
@@ -215,23 +216,36 @@ object StreamNearDedup {
     }
   }
 
+  /** This accumulator's foldable tables, paired with their empties —
+    * the default argument of [[compactState]]/[[readState]]'s callers
+    * here; [[StreamKeepBest]] passes its own (bands only — its event
+    * log is output, never folded). */
+  private def ownTables(spark: SparkSession): Seq[(String, DataFrame)] =
+    Seq("bands" -> emptyTable(spark, "bands"),
+      "admitted" -> emptyTable(spark, "admitted"))
+
   /** Visible state of one table: the current generation's folded base
     * (if any) unioned with the committed per-batch dirs the fold does
     * not cover. This is what [[PersistentAccumulator]] restarts from
     * and what [[readAdmitted]] serves — so compaction is output-
     * invariant by construction and the paced gate's oracle is
-    * unchanged by a fold. */
+    * unchanged by a fold. `empty` must carry the persisted shape
+    * (batch_id included). */
   private[streaming] def readState(spark: SparkSession, stateDir: String,
-      table: String): DataFrame = {
+      table: String, empty: => DataFrame): DataFrame = {
     val (gen, folded) = manifest(stateDir)
     val committed = readCommitted(stateDir)
     val fresh = readPartitioned(spark, s"$stateDir/$table",
-      committed.filter(_ > folded), emptyTable(spark, table))
+      committed.filter(_ > folded), empty)
     val baseDir = genRoot(stateDir, table, gen)
     if (gen == 0L || !java.nio.file.Files.exists(
         java.nio.file.Paths.get(baseDir))) fresh
     else spark.read.parquet(baseDir).unionByName(fresh)
   }
+
+  private[streaming] def readState(spark: SparkSession, stateDir: String,
+      table: String): DataFrame =
+    readState(spark, stateDir, table, emptyTable(spark, table))
 
   private val compactLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
@@ -261,10 +275,21 @@ object StreamNearDedup {
     * Commit MARKERS are kept — the replay skip-check and batch-id
     * monotonicity rest on them. Single-writer: call while no query is
     * writing this state dir (between AvailableNow runs — the spec's
-    * stop/compact/resume sequence is the intended shape). */
+    * stop/compact/resume sequence is the intended shape).
+    *
+    * `tables` parameterizes WHICH per-batch tables fold (name + its
+    * schema-complete empty): this accumulator folds bands+admitted;
+    * [[StreamKeepBest]] folds bands only, leaving its event log — the
+    * job's output — in the per-batch layout, which stays correct
+    * because unfolded tables are read via [[readPartitioned]] over ALL
+    * committed ids, ignoring the manifest. */
   def compactState(spark: SparkSession, stateDir: String): Unit =
+    compactState(spark, stateDir, ownTables(spark))
+
+  def compactState(spark: SparkSession, stateDir: String,
+      tables: Seq[(String, DataFrame)]): Unit =
     compactLocks.getOrElseUpdate(stateDir, new Object).synchronized {
-      gcInvisible(stateDir)
+      gcInvisible(stateDir, tables.map(_._1))
       val (gen, folded) = manifest(stateDir)
       val committed = readCommitted(stateDir)
       // Largest id with every id in (folded, id] committed.
@@ -272,8 +297,8 @@ object StreamNearDedup {
       while (committed(upTo + 1)) upTo += 1
       if (upTo > folded) {
         val newGen = gen + 1
-        Seq("bands", "admitted").foreach { table =>
-          readState(spark, stateDir, table).write.mode("overwrite")
+        tables.foreach { case (table, empty) =>
+          readState(spark, stateDir, table, empty).write.mode("overwrite")
             .parquet(genRoot(stateDir, table, newGen))
         }
         val tmp = java.nio.file.Paths.get(stateDir, "MANIFEST.tmp")
@@ -289,9 +314,9 @@ object StreamNearDedup {
     * per-batch dirs with id ≤ foldedUpTo and generation dirs other
     * than the live one. Pure on-disk-pointer logic — idempotent, and
     * a GC interrupted by a crash is finished by the next fold. */
-  private def gcInvisible(stateDir: String): Unit = {
+  private def gcInvisible(stateDir: String, tables: Seq[String]): Unit = {
     val (gen, folded) = manifest(stateDir)
-    Seq("bands", "admitted").foreach { table =>
+    tables.foreach { table =>
       readCommitted(stateDir).filter(_ <= folded).foreach { k =>
         val d = java.nio.file.Paths.get(s"$stateDir/$table/batch_id=$k")
         if (java.nio.file.Files.exists(d)) StreamingOps.deleteRecursively(d)

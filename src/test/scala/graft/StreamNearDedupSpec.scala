@@ -393,6 +393,42 @@ class StreamNearDedupSpec extends SparkSpecBase {
     } finally graft.streaming.StreamingOps.deleteRecursively(state)
   }
 
+  test("keep-best: bands fold mid-sequence, events history intact, same answer") {
+    // The keep-best compaction boundary: after two batches, fold the
+    // band-key deltas (compactBands) — the restored accumulator must
+    // route batch 2's challenger through the FOLDED footprint (doc 30
+    // still drops against the generation-base bands), while the event
+    // log keeps its full per-batch history (it is the output, never
+    // folded) and matches the uncompacted three-batch replay exactly.
+    val plain = java.nio.file.Files.createTempDirectory("graft_kb_plain_")
+    val foldd = java.nio.file.Files.createTempDirectory("graft_kb_fold_")
+    try {
+      val all = kbBatches.zipWithIndex.map { case (b, i) => (b, i.toLong) }
+      val expected = runKeepBest(plain, all)
+      runKeepBest(foldd, all.take(2))
+      graft.streaming.StreamKeepBest.compactBands(spark, foldd.toString)
+      assert(java.nio.file.Files.readString(
+        foldd.resolve("MANIFEST")).trim == "1 1")
+      assert(java.nio.file.Files.exists(foldd.resolve("bands-g1")))
+      assert(!java.nio.file.Files.exists(foldd.resolve("events-g1")),
+        "the event log must never fold")
+      val got = runKeepBest(foldd, all.drop(2))
+      assert(got == expected,
+        s"fold-then-resume diverges: got=$got expected=$expected")
+      // Per-batch event dirs all survive the fold (output history).
+      (0 to 2).foreach { k =>
+        assert(java.nio.file.Files.exists(
+          foldd.resolve(s"events/batch_id=$k")))
+      }
+      // A second fold sweeps the folded band dirs but not the events.
+      graft.streaming.StreamKeepBest.compactBands(spark, foldd.toString)
+      graft.streaming.StreamKeepBest.compactBands(spark, foldd.toString)
+      assert(!java.nio.file.Files.exists(foldd.resolve("bands/batch_id=0")))
+      assert(java.nio.file.Files.exists(foldd.resolve("events/batch_id=0")))
+    } finally Seq(plain, foldd).foreach(
+      graft.streaming.StreamingOps.deleteRecursively)
+  }
+
   test("keep-best: running argmax equals the batch keep-best argmax") {
     // The invariant the gate's `kept` flag rides on: whatever the
     // batch boundaries, each cluster's final canonical is the global
