@@ -313,6 +313,40 @@ class StreamNearDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("state compaction: fold-point invariance under seeded random boundaries") {
+    // Randomized sibling of the paced fold test, engine-free (direct
+    // PersistentAccumulator feeds): random batch boundaries over the
+    // fixture docs, a fold after a random committed prefix, remaining
+    // batches on a FRESH accumulator (the restart path) — admitted
+    // (doc_id, batch_id) must equal the never-folded run's for the
+    // same boundaries, whatever the split or fold point.
+    val rnd = new scala.util.Random(4242L)
+    val docs = batches.flatten
+    (1 to 4).foreach { trial =>
+      val nb = 2 + rnd.nextInt(3) // 2..4 batches
+      val assign = docs.map(d => (d, rnd.nextInt(nb)))
+      val bs = (0 until nb).map(k => assign.filter(_._2 == k).map(_._1))
+      val foldAfter = rnd.nextInt(nb - 1) // fold once 0..foldAfter committed
+      def run(fold: Boolean): Set[(Long, Long)] = {
+        val state = java.nio.file.Files.createTempDirectory(s"graft_cprop_$trial")
+        try {
+          val acc1 = new StreamNearDedup.PersistentAccumulator(spark, state.toString)
+          (0 to foldAfter).foreach(k => acc1.onBatch(bs(k).toDF("doc_id", "text"), k.toLong))
+          if (fold) StreamNearDedup.compactState(spark, state.toString)
+          val acc2 = new StreamNearDedup.PersistentAccumulator(spark, state.toString)
+          (foldAfter + 1 until nb).foreach(k =>
+            acc2.onBatch(bs(k).toDF("doc_id", "text"), k.toLong))
+          StreamNearDedup.readAdmitted(spark, state.toString)
+            .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+        } finally graft.streaming.StreamingOps.deleteRecursively(state)
+      }
+      val (folded, plain) = (run(fold = true), run(fold = false))
+      assert(folded == plain,
+        s"trial $trial (nb=$nb foldAfter=$foldAfter): fold changed the answer — " +
+          s"only-folded=${(folded -- plain).take(5)} only-plain=${(plain -- folded).take(5)}")
+    }
+  }
+
   test("paced staging: one file per residue class, mtimes strictly increasing") {
     // The paced gate's ORACLE replays batch k = doc_id mod PACED_BATCHES
     // in file-mtime order, so this layout is load-bearing: a staging
