@@ -32,13 +32,25 @@ object Caches {
   * per-(session, key) memo and staging registry in the library.
   * Entries are reached through a `WeakHashMap` keyed by the OWNING
   * SparkSession (the posture the function-registry caches such as
-  * `UrlNormalize.registered` already use), so a session that is
-  * stopped and dropped by its creator becomes collectable together
-  * with everything memoized under it. A strong session key would pin
-  * dead sessions — and, for the DataFrame-valued memos, their
-  * `localCheckpoint`ed RDD blocks — for the JVM lifetime in a
-  * long-lived multi-session process (notebook server, test suite);
-  * round-14 verdict item.
+  * `UrlNormalize.registered` already use).
+  *
+  * Collectability — precisely (r15 advice corrected the earlier
+  * blanket claim): a `WeakHashMap` entry is reclaimable only if its
+  * VALUE does not strongly reach its KEY. Each cell nulls its thunk
+  * once the value is computed (an un-nulled thunk closure would retain
+  * the session as a field for the cell's lifetime), so memos whose
+  * values are session-free — the String-valued staging registries,
+  * which are most instances — really are collected with their
+  * session. DataFrame-valued memos (trained models, cluster tables)
+  * are NOT: a DataFrame strongly references its owning session, so the
+  * value reaches the key and the entry survives until an explicit
+  * [[SessionMemo.clear]] / [[Caches.clearAll]] (the classic
+  * WeakHashMap value→key caveat). A long-lived multi-session process
+  * that churns sessions must therefore clear the DataFrame-valued
+  * memos when it retires a session — most are registered with
+  * [[Caches]] (`clearAll()` empties them); the deliberately
+  * unregistered clusters memo pins its session until its own
+  * `clear()`, the documented cost of its warm read-through.
   *
   * Compute-once is guaranteed PER KEY, not per memo: the map stores
   * lazily-initialized cells inserted with an atomic `putIfAbsent` (a
@@ -55,8 +67,18 @@ object Caches {
 final class SessionMemo[K, V] {
   import org.apache.spark.sql.SparkSession
 
-  /** One per-key compute slot; `lazy val` gives the per-cell lock. */
-  private final class Cell(thunk: () => V) { lazy val value: V = thunk() }
+  /** One per-key compute slot; `lazy val` gives the per-cell lock.
+    * The thunk is HELD IN A VAR AND NULLED once the value lands: a
+    * constructor param referenced from a lazy-val body stays a field,
+    * and these closures typically capture the owning session — keeping
+    * one alive would give every entry a value→key strong path and
+    * defeat the WeakHashMap (r15 advice). A thunk that throws leaves
+    * both the cell uninitialized and the thunk in place, so the next
+    * caller retries. */
+  private final class Cell(thunk0: () => V) {
+    private[this] var thunk: () => V = thunk0
+    lazy val value: V = { val v = thunk(); thunk = null; v }
+  }
 
   private val bySession = new java.util.WeakHashMap[
     SparkSession, scala.collection.concurrent.TrieMap[K, Cell]]()

@@ -118,6 +118,17 @@ object StreamKeepBest {
     // branch and feeds BOTH per-batch actions (the events write and the
     // band-delta write) — materialize it once.
     val keys = Dedup.bandKeys(spark, batch).localCheckpoint()
+    keepBestWithKeys(spark, batch, keys, stateBands, canon)
+  }
+
+  /** [[keepBestBatch]] against a caller-materialized band-key frame —
+    * the per-trigger accumulator passes a `persist()`ed frame so the
+    * minhash pipeline materializes INSIDE the first consuming write
+    * job (one fewer job per trigger, the [[StreamNearDedup
+    * .admitWithKeys]] posture) and unpersists it once its writes land. */
+  private[streaming] def keepBestWithKeys(spark: SparkSession,
+      batch: DataFrame, keys: DataFrame, stateBands: DataFrame,
+      canon: DataFrame): (DataFrame, DataFrame) = {
     // Deliberately NOT checkpointed: quality is one codegen map pass
     // over the batch source, consumed by two branches of the single
     // events action — a second in-job scan of one micro-batch file is
@@ -138,7 +149,10 @@ object StreamKeepBest {
         Seq("band_idx", "band_key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    val comps = Dedup.components(pairs)
+    // Bounded components: a micro-batch's collision graph is tiny, and
+    // the distributed star loop's per-round driver overhead dominated
+    // trigger wall-clock — see [[Dedup.componentsBounded]].
+    val comps = Dedup.componentsBounded(pairs)
       .select(col("id").as("doc_id"), col("comp"))
     val survComp = survivors.join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -166,7 +180,20 @@ object StreamKeepBest {
 
   /** Canonical table from a persisted event log: per cluster, the
     * winner row of the LATEST committed batch (one winner per cluster
-    * per batch, so the window is unambiguous). */
+    * per batch, so the window is unambiguous).
+    *
+    * Restart cost, deliberately: the rebuild scans the committed event
+    * log — which the job must retain anyway (events IS the output, the
+    * provenance an audit pipeline ships downstream; see the compaction
+    * boundary in the object scaladoc) — but the `action != drop`
+    * filter lands before the window's exchange, so the shuffle moves
+    * only WINNER rows: one per cluster per batch-that-changed-it, not
+    * the per-doc log. Dropping to a groupBy(max(batch_id)) + self-join
+    * would shuffle those same winner rows for the join anyway, so the
+    * single window is already the minimal plan over retained data; a
+    * deployment that wants O(state) restarts regardless snapshots this
+    * table the way bands fold (a third, foldable table), trading the
+    * audit-log independence the current two-table design keeps. */
   private def consolidate(events: DataFrame): DataFrame = {
     val latest = Window.partitionBy(col("comp"))
       .orderBy(col("batch_id").desc)
@@ -185,7 +212,8 @@ object StreamKeepBest {
     * mirrors from committed storage — the band footprint directly,
     * the canonical table by [[consolidate]]-ing the event log — so
     * canonical replacements survive a crash without a third table. */
-  final class PersistentKeepBest(spark: SparkSession, stateDir: String) {
+  final class PersistentKeepBest(spark: SparkSession, stateDir: String,
+      foldEvery: Int = StreamNearDedup.DISK_FOLD_EVERY) {
 
     def events: DataFrame = readEvents(spark, stateDir)
 
@@ -202,6 +230,8 @@ object StreamKeepBest {
     @volatile private var canonMem: DataFrame =
       consolidate(StreamNearDedup.readPartitioned(spark, s"$stateDir/events",
         committedIds, emptyEvents(spark))).localCheckpoint()
+    private var sinceMemFold = 0
+    private var sinceDiskFold = 0
 
     /** The foreachBatch body (serial per query; lock defensive).
       *
@@ -211,34 +241,63 @@ object StreamKeepBest {
       * back instead of a second checkpoint — two fewer jobs per
       * trigger than the checkpoint-then-write order, at the price of
       * re-scanning one batch-sized file. The marker still lands only
-      * after BOTH delta writes, so replay visibility is unchanged. */
+      * after BOTH delta writes, so replay visibility is unchanged.
+      *
+      * Mirror folds are LAZY (the [[StreamNearDedup
+      * .PersistentAccumulator]] cadence): between fold points both
+      * mirrors are plans over the checkpointed base and up to
+      * [[StreamNearDedup.MEM_FOLD_EVERY]] committed delta scans /
+      * anti-join layers, so steady-state triggers run exactly the two
+      * delta-write jobs plus [[Dedup.componentsBounded]]'s one probe
+      * fetch. Every `foldEvery` committed batches the on-disk band
+      * layout folds too ([[compactBands]] from inside the loop — safe:
+      * foreachBatch is the single writer and runs serially) and the
+      * band mirror re-bases onto the new generation. */
     def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (!committedIds(batchId)) {
-        val (events, keys) = keepBestBatch(spark, batch, bandsMem, canonMem)
-        // coalesce(1): one batch's delta, sized like the first-touch
-        // accumulator's — a production job sizes this to batch volume.
-        events.coalesce(1).write.mode("overwrite")
-          .parquet(s"$stateDir/events/batch_id=$batchId")
-        val winners = spark.read
-          .parquet(s"$stateDir/events/batch_id=$batchId")
-          .filter(col("action") =!= "drop")
-          .select(col("comp"), col("doc_id"), col("quality"))
-        val bandDelta = keys
-          .join(winners.select(col("doc_id"), col("comp")), Seq("doc_id"))
-          .select(col("band_idx"), col("band_key"), col("comp"))
-        bandDelta.coalesce(1).write.mode("overwrite")
-          .parquet(s"$stateDir/bands/batch_id=$batchId")
-        StreamNearDedup.commit(stateDir, batchId)
+        val keys = Dedup.bandKeys(spark, batch).persist()
+        val winners = try {
+          val (events, _) =
+            keepBestWithKeys(spark, batch, keys, bandsMem, canonMem)
+          // coalesce(1): one batch's delta, sized like the first-touch
+          // accumulator's — a production job sizes this to batch volume.
+          events.coalesce(1).write.mode("overwrite")
+            .parquet(s"$stateDir/events/batch_id=$batchId")
+          val winners = spark.read
+            .parquet(s"$stateDir/events/batch_id=$batchId")
+            .filter(col("action") =!= "drop")
+            .select(col("comp"), col("doc_id"), col("quality"))
+          val bandDelta = keys
+            .join(winners.select(col("doc_id"), col("comp")), Seq("doc_id"))
+            .select(col("band_idx"), col("band_key"), col("comp"))
+          bandDelta.coalesce(1).write.mode("overwrite")
+            .parquet(s"$stateDir/bands/batch_id=$batchId")
+          StreamNearDedup.commit(stateDir, batchId)
+          winners
+        } finally keys.unpersist(blocking = false)
+        committedIds += batchId
         bandsMem = bandsMem.union(
-            spark.read.parquet(s"$stateDir/bands/batch_id=$batchId")
-              .select(col("band_idx"), col("band_key"), col("comp")))
-          .localCheckpoint()
+          spark.read.parquet(s"$stateDir/bands/batch_id=$batchId")
+            .select(col("band_idx"), col("band_key"), col("comp")))
         // Replacements overwrite their cluster's row; new clusters
         // append. The anti-join keys on comp — one winner per cluster
         // per batch keeps it exact.
         canonMem = canonMem.join(winners.select(col("comp")), Seq("comp"), "left_anti")
-          .unionByName(winners).localCheckpoint()
-        committedIds += batchId
+          .unionByName(winners)
+        sinceMemFold += 1; sinceDiskFold += 1
+        if (foldEvery > 0 && sinceDiskFold >= foldEvery) {
+          compactBands(spark, stateDir)
+          bandsMem = StreamNearDedup.readState(spark, stateDir, "bands",
+              emptyBandsPersisted(spark))
+            .select(col("band_idx"), col("band_key"), col("comp"))
+            .localCheckpoint()
+          canonMem = canonMem.localCheckpoint()
+          sinceDiskFold = 0; sinceMemFold = 0
+        } else if (sinceMemFold >= StreamNearDedup.MEM_FOLD_EVERY) {
+          bandsMem = bandsMem.localCheckpoint()
+          canonMem = canonMem.localCheckpoint()
+          sinceMemFold = 0
+        }
       }
     }
   }
@@ -255,7 +314,8 @@ object StreamKeepBest {
     * (the spec stops mid-sequence and proves canonical replacement
     * survives the restart). Isolated `newSession`. */
   private[graft] def runLiveAgainst(spark: SparkSession, path: String,
-      ckpt: String, stateDir: String): Unit = {
+      ckpt: String, stateDir: String,
+      foldEvery: Int = StreamNearDedup.DISK_FOLD_EVERY): Unit = {
     val schema = spark.read.parquet(path).schema
     val ss = spark.newSession()
     // Per-trigger shuffles move one batch's delta, not the corpus —
@@ -265,7 +325,7 @@ object StreamKeepBest {
     ss.conf.set("spark.sql.shuffle.partitions",
       StreamNearDedup.triggerShufflePartitions(spark).toString)
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
-    val acc = new PersistentKeepBest(ss, stateDir)
+    val acc = new PersistentKeepBest(ss, stateDir, foldEvery = foldEvery)
     val q = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(path)

@@ -39,7 +39,10 @@ object QueryProbe {
     df.queryExecution.toRdd.count()
     val p = df.queryExecution.executedPlan.toString
     def n(rx: String) = rx.r.findAllIn(p).length
-    println(s"PLAN scans=${n("Scan parquet")} exchanges=${n("Exchange ")}" +
+    // "(?<!Reused)Exchange" — a plain "Exchange " pattern also matches
+    // inside every "ReusedExchange" node, overcounting by exactly the
+    // reused count (r15 advice).
+    println(s"PLAN scans=${n("Scan parquet")} exchanges=${n("(?<!Reused)Exchange ")}" +
       s" reused=${n("ReusedExchange|ReusedQueryStage")}" +
       s" codegen=${n("""\*\(\d+\)""")}" +
       s" windows=${n("Window ")} joins=${n("Join ")}")

@@ -276,9 +276,12 @@ object ScaleProbe {
     // count-proportional layout accumulates. "Restart" = constructing
     // a fresh PersistentAccumulator, whose state-mirror
     // localCheckpoint forces the full read.
+    // Deleted in the finally below (r15 advice: the 4000 copied dirs +
+    // 2000 markers leaked per probe run, unlike the other staging paths).
     val histDir = java.nio.file.Files.createTempDirectory("graft_sf1_restart_")
     val histBatches = 2000
     val seedDir = java.nio.file.Files.createTempDirectory("graft_sf1_seed_")
+    val restartJson = try {
     spark.read.parquet(s"$stateDir/bands/batch_id=0").limit(2000)
       .coalesce(1).write.mode("overwrite").parquet(s"$seedDir/bands")
     spark.read.parquet(s"$stateDir/admitted/batch_id=0").limit(100)
@@ -316,11 +319,47 @@ object ScaleProbe {
     graft.streaming.StreamNearDedup.compactState(spark, histDir.toString)
     val compactSec = (System.nanoTime() - tC0) / 1e9
     val restartAfter = restartSec()
-    val restartJson =
-      f""""restart_compaction":{"history_batches":$histBatches,""" +
-        f""""restart_uncompacted_sec":$restartBefore%.2f,""" +
-        f""""compact_sec":$compactSec%.2f,""" +
-        f""""restart_compacted_sec":$restartAfter%.2f}"""
+    f""""restart_compaction":{"history_batches":$histBatches,""" +
+      f""""restart_uncompacted_sec":$restartBefore%.2f,""" +
+      f""""compact_sec":$compactSec%.2f,""" +
+      f""""restart_compacted_sec":$restartAfter%.2f}"""
+    } finally Seq(histDir, seedDir, stateDir).foreach(
+      graft.streaming.StreamingOps.deleteRecursively)
+
+    // Growth decomposition for the dedup-family tails (round-15
+    // verdict item): the near-dup family's wall-clock factor
+    // legitimately outgrows the doc count because duplicate/candidate
+    // density rises with corpus size — ~5% of docs duplicate an
+    // EARLIER doc, so planted-pair count grows ~quadratically in n
+    // until cluster saturation. Record the dominant intermediates at
+    // BOTH scales so each query's factor decomposes into
+    // data growth × candidate/output growth instead of being
+    // eyeballed: near_dedup / dedup_components / dedup_keep_best ride
+    // lsh_candidate_pairs → verified_dup_pairs → dup_cluster_rows;
+    // decontaminate_fuzzy rides fuzzy_candidate_pairs; dsir_select's
+    // join input is dsir_token_occurrences (linear ⇒ its tail is
+    // fixed-overhead amortization, not density).
+    val workProbes: Seq[(String, String => Long)] = Seq(
+      "lsh_candidate_pairs" ->
+        (d => graft.operators.Dedup.candidatePairCount(spark, d)),
+      "fuzzy_candidate_pairs" ->
+        (d => graft.operators.Dedup.fuzzyCandidateCount(spark, d)),
+      "verified_dup_pairs" ->
+        (d => graft.SparkEntry.queries("near_dedup")(spark, d).count()),
+      "dup_cluster_rows" ->
+        (d => graft.SparkEntry.queries("dedup_components")(spark, d).count()),
+      "dsir_token_occurrences" -> (d => {
+        import org.apache.spark.sql.functions.{col, explode}
+        spark.read.parquet(s"$d/documents.parquet")
+          .select(explode(graft.functions.TextFns.tokenize(col("text"))))
+          .count()
+      }))
+    val workJson = workProbes.map { case (name, f) =>
+      val ws = f(baseDir)
+      val wl = f(dir.toString)
+      f""""$name":{"sf01":$ws,"sf1":$wl,""" +
+        f""""factor":${wl.toDouble / math.max(1L, ws)}%.2f}"""
+    }.mkString(""""work":{""", ",", "}")
 
     // Measured, not assumed: the baseline corpus size sets the growth.
     val growth = n.toDouble / baseDocs
@@ -331,7 +370,8 @@ object ScaleProbe {
         f""""sf01_rows":$rs,"sf1_rows":$rl}"""
     }
     println(s"""{"metric":"scale_probe","sf1_docs":$n,"data_growth":$growth,""" +
-      parts.mkString("\"queries\":{", ",", "}") + s",$admitJson,$restartJson}")
+      parts.mkString("\"queries\":{", ",", "}") +
+      s",$workJson,$admitJson,$restartJson}")
     spark.stop()
   }
 }

@@ -92,6 +92,26 @@ class SaltedJoinSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketPairs auto-salts past the occupancy trigger, not below it") {
+    // The occupancy-triggered selection in the MAIN nearDedup path:
+    // same pair set either way (that's saltedBucketPairs' contract,
+    // pinned above); here we pin WHICH generator the probe picks.
+    val naive = naivePairs.as[(Long, Long)].collect().toSet
+    val below = Dedup.bucketPairs(bands, hotOccupancy = 60)
+      .as[(Long, Long)].collect().toSet
+    assert(!Dedup.lastAutoSalted.get, "occupancy 60 must not trip a 60 threshold")
+    val above = Dedup.bucketPairs(bands, hotOccupancy = 59)
+      .as[(Long, Long)].collect().toSet
+    assert(Dedup.lastAutoSalted.get, "occupancy 60 must trip a 59 threshold")
+    assert(below == naive && above == naive)
+    // The production default stays cold on the fixture corpus: the
+    // gates bench the plain exchange-lean plan.
+    Dedup.bucketPairs(Dedup.bandKeys(spark,
+      Tables.documents(spark, sfDir)).localCheckpoint()).count()
+    assert(!Dedup.lastAutoSalted.get,
+      "fixture corpus unexpectedly trips AUTO_SALT_OCCUPANCY")
+  }
+
   test("near_dedup_salted equals near_dedup on the fixture") {
     val plain = SparkEntry.queries("near_dedup")(spark, sfDir)
       .as[(Long, Long, Double)].collect().toSeq

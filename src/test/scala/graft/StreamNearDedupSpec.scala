@@ -463,6 +463,162 @@ class StreamNearDedupSpec extends SparkSpecBase {
       graft.streaming.StreamingOps.deleteRecursively)
   }
 
+  // --- bounded components (the per-trigger clustering fast path) ----------
+
+  test("componentsBounded equals the distributed star loop on random graphs") {
+    // Path equality the fast path's scaladoc promises: same (id, comp)
+    // set as [[Dedup.components]] on seeded random multigraphs (dup
+    // edges and self-loops included — both drop self-loops, both
+    // tolerate duplicates).
+    val rnd = new scala.util.Random(1717L)
+    (1 to 5).foreach { trial =>
+      val n = 6 + rnd.nextInt(20)
+      val m = rnd.nextInt(3 * n) + 1
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).toDF("a", "b")
+      val fast = operators.Dedup.componentsBounded(edges)
+        .as[(Long, Long)].collect().toSet
+      val slow = operators.Dedup.components(edges)
+        .as[(Long, Long)].collect().toSet
+      assert(fast == slow, s"trial $trial (n=$n m=$m): bounded != star loop")
+    }
+    // Degenerate shapes: empty graph; self-loop-only graph (dropped by
+    // both paths, so neither vertex appears).
+    assert(operators.Dedup.componentsBounded(
+      Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+    assert(operators.Dedup.componentsBounded(
+      Seq((4L, 4L), (9L, 9L)).toDF("a", "b")).count() == 0)
+  }
+
+  test("componentsBounded past the bound falls back to the distributed path") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 13L), (11L, 13L))
+      .toDF("a", "b")
+    val fast = operators.Dedup.componentsBounded(edges, maxCollect = 2)
+      .as[(Long, Long)].collect().toSet
+    val slow = operators.Dedup.components(edges)
+      .as[(Long, Long)].collect().toSet
+    assert(fast == slow)
+  }
+
+  // --- in-loop fold / state-dir hygiene ------------------------------------
+
+  test("persistent accumulator: in-loop disk fold (foldEvery) is answer-invariant") {
+    // foldEvery=2 drives compactState from INSIDE onBatch after every
+    // second commit (verdict item: the fold must not need an external
+    // compaction job); the never-folding run is the reference. The
+    // MANIFEST proves the folds actually ran mid-loop.
+    val docs = batches.flatten
+    val bs = (0 until 4).map(k => docs.zipWithIndex.collect {
+      case (d, i) if i % 4 == k => d })
+    def run(foldEvery: Int): (Set[(Long, Long)], Option[String]) = {
+      val state = java.nio.file.Files.createTempDirectory("graft_infold_")
+      try {
+        val acc = new StreamNearDedup.PersistentAccumulator(
+          spark, state.toString, foldEvery = foldEvery)
+        bs.zipWithIndex.foreach { case (b, i) =>
+          acc.onBatch(b.toDF("doc_id", "text"), i.toLong) }
+        val got = StreamNearDedup.readAdmitted(spark, state.toString)
+          .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+        val manifest = state.resolve("MANIFEST")
+        (got, if (java.nio.file.Files.exists(manifest))
+          Some(java.nio.file.Files.readString(manifest).trim) else None)
+      } finally graft.streaming.StreamingOps.deleteRecursively(state)
+    }
+    val (folded, manifest) = run(foldEvery = 2)
+    val (plain, noManifest) = run(foldEvery = 0)
+    assert(folded == plain,
+      s"in-loop fold changed the answer: only-folded=${(folded -- plain).take(5)} " +
+        s"only-plain=${(plain -- folded).take(5)}")
+    assert(manifest.contains("2 3"), s"expected two in-loop folds, got $manifest")
+    assert(noManifest.isEmpty, "foldEvery=0 must never fold")
+  }
+
+  test("live in-loop fold: AvailableNow queries folding mid-stream keep answers identical") {
+    // verdict item: foldEvery=2 drives the disk fold from INSIDE the
+    // running paced query (after its second trigger) — no external
+    // compaction job. The MANIFEST proves the fold ran under the live
+    // engine; the answers must be byte-identical to the unfolded runs.
+    val src = StreamNearDedup.stagedPacedDocsDir(spark, sfDir)
+    def dirs(tag: String) = (
+      java.nio.file.Files.createTempDirectory(s"graft_livefold_${tag}_ckpt_"),
+      java.nio.file.Files.createTempDirectory(s"graft_livefold_${tag}_state_"))
+    val (ck1, st1) = dirs("nd")
+    val (ck2, st2) = dirs("kb")
+    val (ck3, st3) = dirs("kb0")
+    try {
+      // First-touch accumulator under the live engine, folding in-loop.
+      StreamNearDedup.runLiveAgainst(spark, src, paced = true,
+        ck1.toString, st1.toString, foldEvery = 2)
+      assert(java.nio.file.Files.readString(st1.resolve("MANIFEST")).trim == "1 1",
+        "the in-loop fold must have run under the live query")
+      val folded = StreamNearDedup.readAdmitted(spark, st1.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      val single = SparkEntry.queries("stream_neardedup_paced")(spark, sfDir)
+        .as[(Long, Long)].collect().toSet
+      assert(folded == single,
+        s"live in-loop fold changed the paced answer: " +
+          s"only-folded=${(folded -- single).take(5)} " +
+          s"only-single=${(single -- folded).take(5)}")
+      // Keep-best accumulator: same contract, fold vs no-fold runs.
+      graft.streaming.StreamKeepBest.runLiveAgainst(spark, src,
+        ck2.toString, st2.toString, foldEvery = 2)
+      assert(java.nio.file.Files.readString(st2.resolve("MANIFEST")).trim == "1 1")
+      graft.streaming.StreamKeepBest.runLiveAgainst(spark, src,
+        ck3.toString, st3.toString)
+      def evs(st: java.nio.file.Path) =
+        graft.streaming.StreamKeepBest.readEvents(spark, st.toString)
+          .select("doc_id", "comp", "quality", "action", "batch_id")
+          .as[(Long, Long, Double, String, Long)].collect().toSet
+      assert(evs(st2) == evs(st3),
+        "live in-loop band fold changed the keep-best event log")
+    } finally Seq(ck1, st1, ck2, st2, ck3, st3).foreach(
+      graft.streaming.StreamingOps.deleteRecursively)
+  }
+
+  test("compactState tolerates a trailing slash in stateDir") {
+    // r15 advice regression: the sweep compared a concatenated path
+    // string against a normalized java.nio Path — a trailing slash in
+    // the caller-supplied stateDir made them differ and the sweep
+    // deleted the LIVE generation base.
+    val state = java.nio.file.Files.createTempDirectory("graft_slash_")
+    try {
+      val acc = new StreamNearDedup.PersistentAccumulator(spark, state.toString)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        acc.onBatch(b.toDF("doc_id", "text"), i.toLong) }
+      val before = StreamNearDedup.readAdmitted(spark, state.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      val slashed = state.toString + "/"
+      StreamNearDedup.compactState(spark, slashed)
+      // Second call's entry sweep is where the live base died before.
+      StreamNearDedup.compactState(spark, slashed)
+      assert(java.nio.file.Files.exists(state.resolve("bands-g1")),
+        "live generation base swept under a trailing-slash stateDir")
+      Seq(slashed, state.toString).foreach { d =>
+        assert(StreamNearDedup.readAdmitted(spark, d)
+          .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet == before)
+      }
+    } finally graft.streaming.StreamingOps.deleteRecursively(state)
+  }
+
+  test("readState fails loudly when the manifest names a missing generation base") {
+    // r15 advice: silently returning only the unfolded tail would drop
+    // every folded row — state would resume near-empty and re-admit
+    // near-duplicates. Corrupt storage must refuse to start.
+    val state = java.nio.file.Files.createTempDirectory("graft_loud_")
+    try {
+      val acc = new StreamNearDedup.PersistentAccumulator(spark, state.toString)
+      batches.zipWithIndex.foreach { case (b, i) =>
+        acc.onBatch(b.toDF("doc_id", "text"), i.toLong) }
+      StreamNearDedup.compactState(spark, state.toString)
+      graft.streaming.StreamingOps.deleteRecursively(state.resolve("bands-g1"))
+      val e = intercept[IllegalArgumentException] {
+        new StreamNearDedup.PersistentAccumulator(spark, state.toString)
+      }
+      assert(e.getMessage.contains("MANIFEST") &&
+        e.getMessage.contains("bands-g1"))
+    } finally graft.streaming.StreamingOps.deleteRecursively(state)
+  }
+
   test("keep-best: running argmax equals the batch keep-best argmax") {
     // The invariant the gate's `kept` flag rides on: whatever the
     // batch boundaries, each cluster's final canonical is the global
