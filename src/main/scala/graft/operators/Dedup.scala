@@ -158,7 +158,9 @@ object Dedup extends QueryModule {
     // consume the band frame and per-side pruning defeats exchange
     // reuse — materialized, the minhash pipeline runs once.
     val bands = bandsOf(spark, sh).localCheckpoint()
-    verifiedPairs(bucketPairs(bands), sh)
+    val occ = occupancyMemo.getOrElseUpdate(spark, graft.Caches.pathKey(dir))(
+      maxOccupancyOf(bands))
+    verifiedPairs(bucketPairs(bands, knownOcc = Some(occ)), sh)
   }
 
   /** Bucket occupancy above which the main candidate self-join
@@ -179,19 +181,36 @@ object Dedup extends QueryModule {
   private[graft] val lastAutoSalted =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  /** Candidate pairs from an (doc_id, band_idx, band_key) band frame,
-    * occupancy-triggered: one tiny aggregate over the (caller-
-    * materialized) band frame finds the max bucket occupancy; past
-    * `hotOccupancy` the generator is [[saltedBucketPairs]] (same
-    * candidate SET — SaltedJoinSpec), otherwise the plain self-join.
-    * The probe is O(distinct buckets) rows through a partial-agg
-    * shuffle — noise next to the band explode that produced the frame. */
-  def bucketPairs(bands: DataFrame,
-      hotOccupancy: Int = AUTO_SALT_OCCUPANCY): DataFrame = {
-    val maxOcc = bands.groupBy(col("band_idx"), col("band_key"))
+  /** Max bucket occupancy of a band frame — the auto-salt trigger
+    * scalar. One aggregate keyed like the candidate join itself; since
+    * LSH buckets are mostly singletons, the map side barely reduces
+    * and the shuffle is ~O(n·bands) rows, so [[nearDedupPairs]]
+    * memoizes the result per (session, dataset) below rather than
+    * paying it per query. */
+  private def maxOccupancyOf(bands: DataFrame): Long =
+    bands.groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("n"))
       .agg(coalesce(max(col("n")), lit(0L)).as("m"))
       .head().getLong(0)
+
+  /** Memoized occupancy probe, one entry per (session, dataset) — the
+    * [[clustersMemo]] posture: occupancy is a deterministic property
+    * of the corpus, so a warm read is indistinguishable from a
+    * recompute, and the whole dedup family (pairs, components,
+    * keep-best, fuzzy decontamination) shares one probe job instead
+    * of re-shuffling the band frame per query. Deliberately NOT
+    * registered with [[graft.Caches]], same as [[clustersMemo]]. */
+  private val occupancyMemo = new graft.SessionMemo[String, Long]
+
+  /** Candidate pairs from an (doc_id, band_idx, band_key) band frame,
+    * occupancy-triggered: past `hotOccupancy` the generator is
+    * [[saltedBucketPairs]] (same candidate SET — SaltedJoinSpec),
+    * otherwise the plain self-join. `knownOcc` lets dataset-keyed
+    * callers supply the memoized probe scalar. */
+  def bucketPairs(bands: DataFrame,
+      hotOccupancy: Int = AUTO_SALT_OCCUPANCY,
+      knownOcc: Option[Long] = None): DataFrame = {
+    val maxOcc = knownOcc.getOrElse(maxOccupancyOf(bands))
     lastAutoSalted.set(maxOcc > hotOccupancy)
     if (maxOcc > hotOccupancy)
       saltedBucketPairs(bands, "doc_id", hotOccupancy, SALT_FACTOR)
