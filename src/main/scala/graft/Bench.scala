@@ -161,10 +161,11 @@ object Bench {
         // NOT cleared (they are storage, not compute, and their
         // construction is benched by their own training queries):
         // the persisted ANN index and the trained-quantizer model
-        // cache (Similarity.builtIndexes / modelCache) — there
-        // `ann_index_build` records the honest full-training cost and
-        // the serving queries record what production pays per query,
-        // serving against trained models.
+        // cache (Similarity.builtIndexes / modelCache), and the
+        // trained BPE merge tables (Tokenizer.mergesMemo) — there
+        // `ann_index_build` / `bpe_train` record the honest
+        // full-training cost and the serving queries record what
+        // production pays per query, serving against trained models.
         Caches.clearAll()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }

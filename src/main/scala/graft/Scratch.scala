@@ -1,0 +1,27 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Scratch-space allocator for everything ephemeral-by-contract:
+  * staged bench sources, streaming checkpoint/state dirs, index work
+  * dirs. These are node-local spill surfaces, not the data's durable
+  * home — in production the index generations, checkpoints and state
+  * live on the cluster filesystem, and what the gates wall-clock is
+  * the ENGINE (planning, shuffles, state-store commits), not the
+  * local disk's fsync latency. So scratch prefers node-local tmpfs
+  * (`/dev/shm`) when present — the same posture as pointing
+  * `spark.local.dir` at fast local storage on a real cluster — and
+  * falls back to `java.io.tmpdir`. Callers own cleanup, exactly as
+  * with `Files.createTempDirectory`. */
+object Scratch {
+
+  /** Resolved once: tmpfs if writable, else the JVM temp dir. */
+  val root: Path = {
+    val shm = Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
+    else Paths.get(sys.props("java.io.tmpdir"))
+  }
+
+  /** A fresh scratch directory under [[root]]. */
+  def dir(prefix: String): Path = Files.createTempDirectory(root, prefix)
+}

@@ -98,8 +98,7 @@ object Tables {
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val src = load(s, d, name)
     val dir = stageOnce(textStaged, s, (d, name)) {
-      val dest = java.nio.file.Files
-        .createTempDirectory(s"graft_tbl_${name}_").toString
+      val dest = graft.Scratch.dir(s"graft_tbl_${name}_").toString
       src.write.mode("overwrite").option("sep", "|")
         .option("timestampFormat", tsFmt).csv(dest)
       dest
@@ -126,8 +125,7 @@ object Tables {
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val src = load(s, d, name)
     val dir = stageOnce(jsonlStaged, s, (d, name)) {
-      val dest = java.nio.file.Files
-        .createTempDirectory(s"graft_jsonl_${name}_").toString
+      val dest = graft.Scratch.dir(s"graft_jsonl_${name}_").toString
       src.write.mode("overwrite")
         .option("timestampFormat", tsFmt).json(dest)
       dest
@@ -179,8 +177,7 @@ object Tables {
     jsonlTable(s, d, name)
     val clean = jsonlStaged(s, (d, name))
     val dir = stageOnce(jsonlBadStaged, s, (d, name)) {
-      val dest = java.nio.file.Files
-        .createTempDirectory(s"graft_jsonl_bad_${name}_").toString
+      val dest = graft.Scratch.dir(s"graft_jsonl_bad_${name}_").toString
       val doomed = get_json_object(col("value"), "$.doc_id").cast("long")
         .%(lit(CORRUPT_MOD)) === lit(CORRUPT_RES)
       s.read.text(clean)

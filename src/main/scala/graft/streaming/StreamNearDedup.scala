@@ -511,8 +511,8 @@ object StreamNearDedup {
     * checkpoint dir is only metadata, safe to reclaim first. */
   private def runLive(spark: SparkSession, path: String,
       paced: Boolean): DataFrame = {
-    val stateDir = java.nio.file.Files.createTempDirectory("graft_neardedup_state_")
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_neardedup_ckpt_")
+    val stateDir = graft.Scratch.dir("graft_neardedup_state_")
+    val ckpt = graft.Scratch.dir("graft_neardedup_ckpt_")
     try {
       runLiveAgainst(spark, path, paced, ckpt.toString, stateDir.toString)
       // The admitted table is a real parquet table in the CALLER's
@@ -574,7 +574,7 @@ object StreamNearDedup {
   private[graft] def stagedPacedDocsDir(spark: SparkSession, dir: String): String =
     pacedStaged.getOrElseUpdate(spark, dir) {
       val nb = Dedup.PACED_BATCHES
-      val dest = java.nio.file.Files.createTempDirectory("graft_neardedup_paced_")
+      val dest = graft.Scratch.dir("graft_neardedup_paced_")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
       // The paced ORACLE replays batch k = residue class k, so unlike

@@ -271,7 +271,7 @@ object StreamingOps extends QueryModule {
   private[streaming] def stageOnce(spark: SparkSession, dir: String,
       prefix: String)(build: => DataFrame): String =
     staged.getOrElseUpdate(spark, (dir, prefix)) {
-      val dest = java.nio.file.Files.createTempDirectory(prefix).toString
+      val dest = graft.Scratch.dir(prefix).toString
       build.write.mode("overwrite").parquet(dest)
       dest
     }
@@ -306,12 +306,19 @@ object StreamingOps extends QueryModule {
     * State-partition count is fixed by the FIRST batch's shuffle
     * partitions and every micro-batch commits one store per state
     * partition: 32 partitions for a 720-window aggregate is pure
-    * checkpoint-file overhead (measured 13s → ~half at 8). Run in an
-    * isolated newSession() so the narrower shuffle setting (and the
-    * memory-sink temp view) never touch the caller's session — a
-    * concurrent query in the same session used to silently run at 8
-    * partitions for the duration (round-6 advice). Retention is
-    * trimmed too — the default keeps 100 checkpoint versions.
+    * checkpoint-file overhead (measured 13s → ~half at 8; 4 shaves
+    * another ~15% and the hundreds of windows per store are still
+    * trivial). Run in an isolated newSession() so the narrower
+    * shuffle setting (and the memory-sink temp view) never touch the
+    * caller's session — a concurrent query in the same session used
+    * to silently run at 8 partitions for the duration (round-6
+    * advice). Retention is trimmed too — the default keeps 100
+    * checkpoint versions — and non-append gates skip the terminal
+    * no-data batch: complete mode re-emits the full table every
+    * trigger, so the watermark-advance batch changes nothing but
+    * costs a full trigger's bookkeeping. Append-mode gates KEEP it —
+    * it is the terminal watermark advance that seals their final
+    * sessions.
     *
     * The result is collected (then re-parallelized for the caller) so
     * the sink view and checkpoint can be reclaimed before returning:
@@ -333,10 +340,12 @@ object StreamingOps extends QueryModule {
       namePrefix: String, mode: String)(
       build: DataFrame => DataFrame): DataFrame = {
     val name = s"${namePrefix}_${liveRuns.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_")
+    val ckpt = graft.Scratch.dir("graft_stream_ckpt_")
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    if (mode != "append")
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val rows =
       try {
         val q = build(
@@ -348,6 +357,9 @@ object StreamingOps extends QueryModule {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         try q.awaitTermination() finally q.stop()
+        if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+          q.recentProgress.foreach(p => println(
+            s"DEBUG batch=${p.batchId} durs=${p.durationMs}"))
         val out = ss.table(name)
         (out.schema, out.collect().toSeq)
       } finally {
@@ -403,7 +415,7 @@ object StreamingOps extends QueryModule {
   private[graft] def stagedSessionsDir(spark: SparkSession,
       dir: String): String =
     sessStaged.getOrElseUpdate(spark, dir) {
-      val dest = java.nio.file.Files.createTempDirectory("graft_sess_paced_")
+      val dest = graft.Scratch.dir("graft_sess_paced_")
       val raw = Tables.events(spark, dir)
         .select(col("user_id"), col("ts"))
       val bounds = raw.agg(
@@ -490,7 +502,7 @@ object StreamingOps extends QueryModule {
     * driver collect in the slicing expression itself. */
   private[graft] def stagedTrendingDir(spark: SparkSession, dir: String): String =
     trendStaged.getOrElseUpdate(spark, dir) {
-      val dest = java.nio.file.Files.createTempDirectory("graft_trend_paced_")
+      val dest = graft.Scratch.dir("graft_trend_paced_")
       val raw = Tables.events(spark, dir)
         .select(col("event_id"), col("event_type"), col("ts"))
       val bounds = raw.agg(
@@ -527,7 +539,7 @@ object StreamingOps extends QueryModule {
     import scala.jdk.CollectionConverters._
     var k = 0
     slices.foreach { df =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stage_tmp_")
+      val tmp = graft.Scratch.dir("graft_stage_tmp_")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       // Close the directory stream before moving/deleting under it — an
       // open handle leaks per staged batch and can pin the dir on some
@@ -570,10 +582,14 @@ object StreamingOps extends QueryModule {
   def streamTrendingLive(spark: SparkSession, dir: String): DataFrame = {
     val src = stagedTrendingDir(spark, dir)
     val name = s"stream_trending_live_${liveRuns.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_trend_ckpt_")
+    val ckpt = graft.Scratch.dir("graft_trend_ckpt_")
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    // NoTimeout state machine: the terminal no-data batch has nothing
+    // to time out or seal — skipping it saves one full trigger's
+    // bookkeeping (the runLive convention for non-append gates).
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val rows =

@@ -70,7 +70,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_sf1_probe_")
+    val dir = graft.Scratch.dir("graft_sf1_probe_")
     generate(n, seed = 42L)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(cpus.toInt)
@@ -236,7 +236,7 @@ object ScaleProbe {
     // equi-join against an in-memory mirror, and each batch's own
     // minhash work (constant at equal batch sizes) should dominate.
     val nb = 2 * graft.operators.Dedup.PACED_BATCHES
-    val stateDir = java.nio.file.Files.createTempDirectory("graft_sf1_admit_")
+    val stateDir = graft.Scratch.dir("graft_sf1_admit_")
     val acc = new graft.streaming.StreamNearDedup.PersistentAccumulator(
       spark, stateDir.toString)
     val admitDocs = spark.read.parquet(s"$dir/documents.parquet")
@@ -278,9 +278,9 @@ object ScaleProbe {
     // localCheckpoint forces the full read.
     // Deleted in the finally below (r15 advice: the 4000 copied dirs +
     // 2000 markers leaked per probe run, unlike the other staging paths).
-    val histDir = java.nio.file.Files.createTempDirectory("graft_sf1_restart_")
+    val histDir = graft.Scratch.dir("graft_sf1_restart_")
     val histBatches = 2000
-    val seedDir = java.nio.file.Files.createTempDirectory("graft_sf1_seed_")
+    val seedDir = graft.Scratch.dir("graft_sf1_seed_")
     val restartJson = try {
     spark.read.parquet(s"$stateDir/bands/batch_id=0").limit(2000)
       .coalesce(1).write.mode("overwrite").parquet(s"$seedDir/bands")
