@@ -139,6 +139,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Session warm-up before ANY timing: executor-thread spin-up,
+    // codegen/JIT compilation of the scan+agg skeleton, and the
+    // parquet footer reader otherwise land entirely on the
+    // alphabetically-first query (~5s onto ann_index_build's number).
+    // A shuffle-bearing aggregate over a real table touches all of
+    // them; the work itself is throwaway.
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count().collect()
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""

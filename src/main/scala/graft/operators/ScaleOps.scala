@@ -33,7 +33,7 @@ object ScaleOps extends QueryModule {
     * deferred scan. */
   private[operators] def scratchDir(kind: String, dir: String): String = {
     val ds = new java.io.File(dir).getName
-    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_${ds}_pid${ProcessHandle.current().pid()}"
+    s"${graft.Scratch.root}/graft_${kind}_${ds}_pid${ProcessHandle.current().pid()}"
   }
 
   // --- bucketed_join: co-located join via bucketBy -----------------------

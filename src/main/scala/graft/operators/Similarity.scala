@@ -1014,7 +1014,7 @@ object Similarity extends QueryModule {
         }
         graft.Caches.pathKey(s"${n}_${bytes}_$mt")
       }
-    s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${graft.Caches.pathKey(dir)}" +
+    s"${graft.Scratch.root}/graft_annidx_${graft.Caches.pathKey(dir)}" +
       s"_$fp" + s"_pid${ProcessHandle.current().pid()}"
   }
 
