@@ -63,5 +63,17 @@ object GraftExtensions {
     (FunctionIdentifier(gfn.UrlNormalize.FUNC_NAME),
       new ExpressionInfo(classOf[gfn.UrlNormalize].getName,
         gfn.UrlNormalize.FUNC_NAME),
-      exprs => gfn.UrlNormalize(exprs.head)))
+      exprs => gfn.UrlNormalize(exprs.head)),
+    (FunctionIdentifier(gfn.VectorMath.DOT_NAME),
+      new ExpressionInfo(classOf[gfn.ArrayDot].getName,
+        gfn.VectorMath.DOT_NAME),
+      exprs => gfn.ArrayDot(exprs.head, exprs(1))),
+    (FunctionIdentifier(gfn.VectorMath.SQDIST_NAME),
+      new ExpressionInfo(classOf[gfn.ArraySqDist].getName,
+        gfn.VectorMath.SQDIST_NAME),
+      exprs => gfn.ArraySqDist(exprs.head, exprs(1))),
+    (FunctionIdentifier(gfn.VectorMath.SQNORM_NAME),
+      new ExpressionInfo(classOf[gfn.ArraySqNorm].getName,
+        gfn.VectorMath.SQNORM_NAME),
+      exprs => gfn.ArraySqNorm(exprs.head)))
 }

@@ -59,8 +59,23 @@ object Similarity extends QueryModule {
     Array.fill(N_PLANES, DIM)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the native codegen kernel
+    * ([[graft.functions.ArrayDot]]) — bit-identical to the
+    * `aggregate(zip_with(...))` fold it replaced (same index-order
+    * double adds; VectorMathSpec pins it), ~3 orders of magnitude
+    * faster per row. Registration is idempotent; the active-session
+    * fallback covers sessions not built with [[graft.GraftExtensions]]. */
+  private def dot(a: Column, b: Column): Column = {
+    graft.functions.VectorMath.register(SparkSession.active)
+    call_function(graft.functions.VectorMath.DOT_NAME, a, b)
+  }
+
+  /** Squared norm via [[graft.functions.ArraySqNorm]] — the
+    * `aggregate(transform(v, x*x))` fold, codegen'd. */
+  private def sqnorm(v: Column): Column = {
+    graft.functions.VectorMath.register(SparkSession.active)
+    call_function(graft.functions.VectorMath.SQNORM_NAME, v)
+  }
 
   /** 1-row (qstride) relation derived from a per-vector DataFrame. */
   private def qstrideDf(perVec: DataFrame): DataFrame =
@@ -79,7 +94,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        sqrt(sqnorm(col("v"))))
 
   // --- cosine_topk: exact brute-force baseline ---------------------------
   def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -503,8 +518,7 @@ object Similarity extends QueryModule {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
         .select(col("cell").as("cid"), col("cv"),
-          sqrt(aggregate(transform(col("cv"), x => x * x), lit(0.0),
-            (a, x) => a + x)).as("cnrm"))
+          sqrt(sqnorm(col("cv"))).as("cnrm"))
         .localCheckpoint()
     }
     cent
@@ -601,9 +615,13 @@ object Similarity extends QueryModule {
   val PQ_KSUB = 16
   val PQ_OFF = 1
 
-  /** Squared L2 distance between two equal-length array columns. */
-  private def sqdist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+  /** Squared L2 distance between two equal-length array columns, via
+    * the native codegen kernel ([[graft.functions.ArraySqDist]] — same
+    * parity contract as [[dot]]). */
+  private def sqdist(a: Column, b: Column): Column = {
+    graft.functions.VectorMath.register(SparkSession.active)
+    call_function(graft.functions.VectorMath.SQDIST_NAME, a, b)
+  }
 
   /** The L2-NORMALIZED corpus the whole PQ family quantizes: PQ here
     * serves COSINE (the engine's similarity metric throughout), so
@@ -1111,11 +1129,11 @@ object Similarity extends QueryModule {
     raw.select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("v"))
       .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        sqrt(sqnorm(col("v"))))
       .select(col("vec_id"), transform(col("v"), _ / col("nrm")).as("v"))
       .repartition(col("vec_id"))
       .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+        sqrt(sqnorm(col("v"))))
 
   /** Train the full IVF-PQ index over `raw` and write its model tables
     * under `base` — [[buildIndex]]'s body with the corpus and location
@@ -1207,6 +1225,48 @@ object Similarity extends QueryModule {
       fams.foreach(f =>
         scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     }
+  }
+
+  /** Stage-timed replay of [[buildIndexAt]]'s dataflow (sequential, so
+    * each phase's wall-clock is unshared) — the decomposition behind
+    * the ann_index_build bench number. Profiling aid only; the real
+    * build is [[buildIndexAt]]. */
+  private[graft] def profileBuild(spark: SparkSession, dir: String): Long = {
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val base = graft.Scratch.dir("graft_profile_idx_").toString
+    val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val en = t("normalize+checkpoint")(normalizedFrom(raw).localCheckpoint())
+    val cent = t("ivf train (2 iters)")(
+      trainedCodebook(en, strideCodebook(en), IVF_TRAIN_ITERS).localCheckpoint())
+    val cellOf = t("ivf assign full corpus")(nearestCells(cent)(en, 1)
+      .select(col("vec_id"), col("cid").as("cell")).localCheckpoint())
+    t("centroids write")(cent.write.mode("overwrite").parquet(s"$base/centroids"))
+    val subs = t("subspace slice+checkpoint")(subspaces(en, "vec_id").localCheckpoint())
+    val books = t("pq train (3 iters)")(
+      trainedPqBooks(subs, pqCodebooks(en), PQ_TRAIN_ITERS))
+    t("codebooks write")(books.write.mode("overwrite").parquet(s"$base/codebooks"))
+    t("codes encode+write")(pqAssignSubs(subs, books).join(cellOf, "vec_id")
+      .repartition(col("cell")).write.partitionBy("cell")
+      .mode("overwrite").parquet(s"$base/codes"))
+    val resid = t("residual frame+checkpoint")(
+      residualFrame(en, cent, cellOf).localCheckpoint())
+    val rsubs = t("resid slice+checkpoint")(
+      subspaces(resid.select(col("vec_id"), col("v")), "vec_id").localCheckpoint())
+    val rbooks = t("resid pq train (3 iters)")(trainedPqBooks(rsubs,
+      pqCodebooks(resid.select(col("vec_id"), col("v"))), PQ_TRAIN_ITERS))
+    t("rbooks write")(rbooks.write.mode("overwrite").parquet(s"$base/rcodebooks"))
+    t("rcodes encode+write")(pqAssignSubs(rsubs, rbooks)
+      .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+      .repartition(col("cell")).write.partitionBy("cell")
+      .mode("overwrite").parquet(s"$base/rcodes"))
+    val n = en.count()
+    graft.streaming.StreamingOps.deleteRecursively(java.nio.file.Paths.get(base))
+    n
   }
 
   private def buildIndex(spark: SparkSession, dir: String): String = {
@@ -2356,7 +2416,7 @@ object Similarity extends QueryModule {
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val withNrm = base.withColumn("nrm",
-      sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      sqrt(sqnorm(col("v"))))
     cand
       .join(withNrm.select(col("vec_id").as("id_a"), col("v").as("v_a"),
         col("nrm").as("n_a")), "id_a")

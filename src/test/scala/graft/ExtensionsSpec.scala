@@ -38,7 +38,17 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
       Seq("graft_minhash", "graft_nfc", "graft_nfkc_cf",
         "graft_ngrampack", "graft_signlsh", "graft_simhash",
-        "graft_url_normalize"))
+        "graft_url_normalize", "graft_vdot", "graft_vsqdist",
+        "graft_vsqnorm"))
+  }
+
+  test("the vector kernels are injected: dot/sqdist/sqnorm from plain SQL") {
+    val (d, s, n) = fresh.sql(
+        """SELECT graft_vdot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       graft_vsqdist(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS s,
+          |       graft_vsqnorm(array(3.0D, 4.0D)) AS n""".stripMargin)
+      .as[(Double, Double, Double)].collect().head
+    assert(d == 11.0 && s == 8.0 && n == 25.0)
   }
 
   test("graft_nfkc_cf is injected: compat forms collapse and case folds") {
