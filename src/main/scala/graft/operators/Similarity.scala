@@ -92,7 +92,7 @@ object Similarity extends QueryModule {
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",
         sqrt(sqnorm(col("v"))))
 
@@ -1127,7 +1127,7 @@ object Similarity extends QueryModule {
     * bit-identical whichever entry built the frame). */
   private def normalizedFrom(raw: DataFrame): DataFrame =
     raw.select(col("vec_id"),
-        transform(col("embedding"), _.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",
         sqrt(sqnorm(col("v"))))
       .select(col("vec_id"), transform(col("v"), _ / col("nrm")).as("v"))
