@@ -75,5 +75,13 @@ object GraftExtensions {
     (FunctionIdentifier(gfn.VectorMath.SQNORM_NAME),
       new ExpressionInfo(classOf[gfn.ArraySqNorm].getName,
         gfn.VectorMath.SQNORM_NAME),
-      exprs => gfn.ArraySqNorm(exprs.head)))
+      exprs => gfn.ArraySqNorm(exprs.head)),
+    (FunctionIdentifier(gfn.HashedNgrams.SHINGLE_NAME),
+      new ExpressionInfo(classOf[gfn.HashedNgrams].getName,
+        gfn.HashedNgrams.SHINGLE_NAME),
+      exprs => gfn.HashedNgrams(exprs.head, 3)),
+    (FunctionIdentifier(gfn.HashedNgrams.TOKHASH_NAME),
+      new ExpressionInfo(classOf[gfn.HashedNgrams].getName,
+        gfn.HashedNgrams.TOKHASH_NAME),
+      exprs => gfn.HashedNgrams(exprs.head, 1)))
 }

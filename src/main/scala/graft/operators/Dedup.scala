@@ -92,15 +92,18 @@ object Dedup extends QueryModule {
     shinglesOf(Tables.documents(spark, dir))
 
   /** (doc_id, hs) for an arbitrary (doc_id, text) frame — the batch
-    * fixture path and the streaming micro-batch path share it. */
+    * fixture path and the streaming micro-batch path share it.
+    *
+    * Shingle fingerprints come from the native codegen'd
+    * [[graft.functions.HashedNgrams]] (one md5 over the joined bytes
+    * per window): the previous two-level `zip_with` built every
+    * "a b c" concat string and md5-ed it through the interpreter —
+    * the dominant per-trigger cost of the streaming admission gates.
+    * Bit-parity with that fold is pinned in HashedNgramsSpec. */
   def shinglesOf(docs: DataFrame): DataFrame = {
     val toks = TextFns.tokenize(col("text"))
-    val n = greatest(size(toks) - 2, lit(0))
-    val sh = zip_with(
-      zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
-        (a, b) => concat(a, lit(" "), b)),
-      slice(toks, lit(3), n),
-      (ab, c) => hash56(concat(ab, lit(" "), c)))
+    graft.functions.HashedNgrams.register(docs.sparkSession)
+    val sh = call_function(graft.functions.HashedNgrams.SHINGLE_NAME, toks)
     docs
       .select(col("doc_id"), array_distinct(sh).as("hs"))
       .filter(size(col("hs")) > 0)
@@ -753,8 +756,9 @@ object Dedup extends QueryModule {
     * tests). */
   private def simhashOf(spark: SparkSession, tokens: Column): Column = {
     graft.functions.SimHashSignature.register(spark, SIMHASH_BITS)
+    graft.functions.HashedNgrams.register(spark)
     call_function(graft.functions.SimHashSignature.FUNC_NAME,
-      transform(tokens, hash56(_)))
+      call_function(graft.functions.HashedNgrams.TOKHASH_NAME, tokens))
   }
 
   def simhash(spark: SparkSession, dir: String): DataFrame =

@@ -37,7 +37,8 @@ class ExtensionsSpec extends SparkSpecBase {
   test("the extension descriptions build evaluable expressions") {
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ==
       Seq("graft_minhash", "graft_nfc", "graft_nfkc_cf",
-        "graft_ngrampack", "graft_signlsh", "graft_simhash",
+        "graft_ngrampack", "graft_shingle56", "graft_signlsh",
+        "graft_simhash", "graft_tokhash56",
         "graft_url_normalize", "graft_vdot", "graft_vsqdist",
         "graft_vsqnorm"))
   }
