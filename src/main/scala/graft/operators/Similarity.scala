@@ -361,13 +361,32 @@ object Similarity extends QueryModule {
 
   /** Rows of `side` tagged with their `keep` nearest centroids. */
   private def nearestCells(cent: DataFrame)(side: DataFrame, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    side.crossJoin(broadcast(cent))
+    val scored = side.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"),
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6).as("ccos"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= keep)
+    if (keep == 1)
+      // The assignment case (training iterations, every encode): the
+      // (ccos DESC, cid ASC) rank-1 window paid an exchange + sort of
+      // the K-way broadcast expansion. max_by over struct(ccos, -cid)
+      // picks the SAME winner (lexicographic struct order, cid unique —
+      // ties impossible; Spark normalizes ±0.0/NaN identically in both
+      // orderings) as a partial-aggregating HashAggregate: candidates
+      // collapse map-side, the K-way expansion never crosses the
+      // exchange. v/nrm ride along via any_value — functionally
+      // dependent on vec_id, so the "any" is deterministic.
+      scored.groupBy(col("vec_id"))
+        .agg(any_value(col("v")).as("v"), any_value(col("nrm")).as("nrm"),
+          max_by(struct(col("cid"), col("ccos")),
+            struct(col("ccos"), -col("cid"))).as("w"))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("w").getField("cid").as("cid"),
+          col("w").getField("ccos").as("ccos"))
+    else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+    }
   }
 
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -668,17 +687,19 @@ object Similarity extends QueryModule {
     * determinism contract). Taking the subs frame (not the corpus) lets
     * training `localCheckpoint` the slices ONCE and re-assign per
     * iteration without re-slicing the corpus each round. */
-  private def pqAssignSubs(subs: DataFrame, books: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d"), col("cid"))
+  private def pqAssignSubs(subs: DataFrame, books: DataFrame): DataFrame =
+    // (d ASC, cid ASC) rank-1 as a partial-aggregating min_by (the
+    // [[nearestCells]] keep=1 rationale): the KSUB-way broadcast
+    // expansion collapses map-side instead of crossing an exchange into
+    // a sort. struct order = (d, cid) lexicographic, cid unique — the
+    // same winner as the window rank.
     subs
       .join(broadcast(books), "m")
       .select(col("vec_id"), col("m"), col("cid"),
         round(sqdist(col("sub"), col("cw")), 6).as("d"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
-  }
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("code"))
+      .select(col("vec_id"), col("m"), col("code"))
 
   private def pqAssign(e: DataFrame, books: DataFrame): DataFrame =
     pqAssignSubs(subspaces(e, "vec_id"), books)
