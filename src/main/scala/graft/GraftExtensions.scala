@@ -27,6 +27,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Analysis-time arity guard for the multi-argument builders: a
+    * wrong-arity SQL call must surface as an analysis error, not an
+    * IndexOutOfBoundsException out of the analyzer. */
+  private def requireArity(name: String,
+      exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> ""))
+
+
   /** The injectable function descriptions (exposed so tests can drive
     * the builders without constructing a whole SparkContext). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
@@ -67,11 +82,13 @@ object GraftExtensions {
     (FunctionIdentifier(gfn.VectorMath.DOT_NAME),
       new ExpressionInfo(classOf[gfn.ArrayDot].getName,
         gfn.VectorMath.DOT_NAME),
-      exprs => gfn.ArrayDot(exprs.head, exprs(1))),
+      exprs => { requireArity("graft_vdot", exprs, 2)
+        gfn.ArrayDot(exprs.head, exprs(1)) }),
     (FunctionIdentifier(gfn.VectorMath.SQDIST_NAME),
       new ExpressionInfo(classOf[gfn.ArraySqDist].getName,
         gfn.VectorMath.SQDIST_NAME),
-      exprs => gfn.ArraySqDist(exprs.head, exprs(1))),
+      exprs => { requireArity("graft_vsqdist", exprs, 2)
+        gfn.ArraySqDist(exprs.head, exprs(1)) }),
     (FunctionIdentifier(gfn.VectorMath.SQNORM_NAME),
       new ExpressionInfo(classOf[gfn.ArraySqNorm].getName,
         gfn.VectorMath.SQNORM_NAME),

@@ -24,4 +24,35 @@ object Scratch {
 
   /** A fresh scratch directory under [[root]]. */
   def dir(prefix: String): Path = Files.createTempDirectory(root, prefix)
+
+  private val exitDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
+
+  /** One hook for every registration (vs. a thread per dir). */
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDirs.forEach { root =>
+        if (Files.exists(root)) {
+          val walk = Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+          finally walk.close()
+        }
+      }))
+
+  /** Register a directory for recursive delete at JVM exit. Scratch on
+    * tmpfs is RAM: anything that outlives its JVM — the pid-keyed
+    * train-once/serve-many dirs (ANN index, bucketed tables), staged
+    * sources, probe corpora — must not pin memory after the process
+    * that can use it is gone. Idempotent; returns the path. */
+  def deleteAtExit(p: Path): Path = {
+    hookInstalled
+    exitDirs.add(p)
+    p
+  }
+
+  /** [[deleteAtExit]] for string paths. */
+  def deleteAtExit(p: String): String = {
+    deleteAtExit(Paths.get(p)); p
+  }
 }

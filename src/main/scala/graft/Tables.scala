@@ -63,18 +63,9 @@ object Tables {
       dir
     }
 
-  private def cleanupAtExit(dir: String): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file.{Files, Path, Paths}
-      import java.util.Comparator
-      val root: Path = Paths.get(dir)
-      if (Files.exists(root)) {
-        val walk = Files.walk(root)
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => { Files.deleteIfExists(p); () })
-        finally walk.close()
-      }
-    }))
+  private def cleanupAtExit(dir: String): Unit = {
+    Scratch.deleteAtExit(dir); ()
+  }
 
   /** TEXT-MODE table access — the reference's per-query `--text` flag
     * (every Q1–Q7 main accepts `--text` | `--parquet`,

@@ -233,10 +233,21 @@ object VectorMath {
     registered.synchronized {
       if (!java.lang.Boolean.TRUE.equals(registered.get(spark))) {
         val reg = spark.sessionState.functionRegistry
+        def two(name: String, exprs: Seq[Expression]): (Expression, Expression) = {
+          if (exprs.length != 2)
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+              messageParameters = Map("functionName" -> name,
+                "expectedNum" -> "2",
+                "actualNum" -> exprs.length.toString, "docroot" -> ""))
+          (exprs.head, exprs(1))
+        }
         reg.createOrReplaceTempFunction(DOT_NAME,
-          exprs => ArrayDot(exprs.head, exprs(1)), "built-in")
+          exprs => { val (a, b) = two(DOT_NAME, exprs); ArrayDot(a, b) },
+          "built-in")
         reg.createOrReplaceTempFunction(SQDIST_NAME,
-          exprs => ArraySqDist(exprs.head, exprs(1)), "built-in")
+          exprs => { val (a, b) = two(SQDIST_NAME, exprs); ArraySqDist(a, b) },
+          "built-in")
         reg.createOrReplaceTempFunction(SQNORM_NAME,
           exprs => ArraySqNorm(exprs.head), "built-in")
         registered.put(spark, java.lang.Boolean.TRUE)

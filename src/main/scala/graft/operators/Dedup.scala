@@ -191,9 +191,8 @@ object Dedup extends QueryModule {
     * memoizes the result per (session, dataset) below rather than
     * paying it per query. */
   private def maxOccupancyOf(bands: DataFrame): Long =
-    bands.groupBy(col("band_idx"), col("band_key"))
-      .agg(count(lit(1)).as("n"))
-      .agg(coalesce(max(col("n")), lit(0L)).as("m"))
+    bucketCounts(bands)
+      .agg(coalesce(max(col("bkt_n")), lit(0L)).as("m"))
       .head().getLong(0)
 
   /** Memoized occupancy probe, one entry per (session, dataset) — the
@@ -213,11 +212,27 @@ object Dedup extends QueryModule {
   def bucketPairs(bands: DataFrame,
       hotOccupancy: Int = AUTO_SALT_OCCUPANCY,
       knownOcc: Option[Long] = None): DataFrame = {
-    val maxOcc = knownOcc.getOrElse(maxOccupancyOf(bands))
+    // When the probe runs here (no memoized scalar), its per-bucket
+    // counts are materialized ONCE and feed both the max-occupancy
+    // trigger and the salted generator's hot-key set — the probe
+    // shuffle is the band frame's own groupBy, so paying it twice
+    // back-to-back doubled the most expensive step of exactly the hot
+    // corpora the salting exists for. The memoized path (knownOcc)
+    // skips the probe; the salted generator then aggregates once
+    // itself.
+    val counts = knownOcc match {
+      case Some(_) => None
+      case None => Some(bucketCounts(bands).localCheckpoint())
+    }
+    val maxOcc = knownOcc.getOrElse(
+      counts.get.agg(coalesce(max(col("bkt_n")), lit(0L))).head().getLong(0))
     lastAutoSalted.set(maxOcc > hotOccupancy)
-    if (maxOcc > hotOccupancy)
-      saltedBucketPairs(bands, "doc_id", hotOccupancy, SALT_FACTOR)
-    else bands
+    if (maxOcc > hotOccupancy) {
+      val hot = counts.fold(hotBuckets(bands, hotOccupancy))(
+        _.filter(col("bkt_n") > hotOccupancy)
+          .select(col("band_idx"), col("band_key")))
+      saltedWithHot(bands, "doc_id", SALT_FACTOR, hot)
+    } else bands
       .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
@@ -225,6 +240,17 @@ object Dedup extends QueryModule {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
+
+  /** Per-bucket occupancy of a band frame — the one aggregation behind
+    * both the auto-salt trigger and the hot-key set. */
+  private def bucketCounts(bands: DataFrame): DataFrame =
+    bands.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bkt_n"))
+
+  private def hotBuckets(bands: DataFrame, hotThreshold: Int): DataFrame =
+    bucketCounts(bands)
+      .filter(col("bkt_n") > hotThreshold)
+      .select(col("band_idx"), col("band_key"))
 
   /** LSH candidate-pair count for the scale probe's growth
     * decomposition (BENCH_SCALE: factor = data growth × candidate
@@ -286,11 +312,15 @@ object Dedup extends QueryModule {
     * generator — the oracle doesn't change. */
   def saltedBucketPairs(bands: DataFrame, idCol: String,
       hotThreshold: Int, saltFactor: Int): DataFrame = {
-    require(hotThreshold >= 1 && saltFactor >= 2)
-    val hot = bands.groupBy(col("band_idx"), col("band_key"))
-      .agg(count(lit(1)).as("bkt_n"))
-      .filter(col("bkt_n") > hotThreshold)
-      .select(col("band_idx"), col("band_key"))
+    require(hotThreshold >= 1)
+    saltedWithHot(bands, idCol, saltFactor, hotBuckets(bands, hotThreshold))
+  }
+
+  /** [[saltedBucketPairs]] against a caller-supplied hot-key set —
+    * lets [[bucketPairs]] reuse its occupancy probe's aggregation. */
+  private def saltedWithHot(bands: DataFrame, idCol: String,
+      saltFactor: Int, hot: DataFrame): DataFrame = {
+    require(saltFactor >= 2)
     val cold = bands.join(broadcast(hot), Seq("band_idx", "band_key"), "left_anti")
     val coldPairs = cold
       .select(col(idCol).as("doc_a"), col("band_idx"), col("band_key"))
@@ -541,7 +571,12 @@ object Dedup extends QueryModule {
   def componentsBounded(edges: DataFrame,
       maxCollect: Int = SMALL_GRAPH_EDGES): DataFrame = {
     val Seq(a, b) = edges.columns.toSeq.take(2)
-    val canon = edges.select(col(a).as("x"), col(b).as("y"))
+    // Ids widen to long up front: the driver union-find reads getLong,
+    // and casting BOTH paths keeps the fast path's output schema
+    // identical to the star-loop fallback's for any integral id type.
+    val wide = edges.select(col(a).cast("long").as("x"),
+      col(b).cast("long").as("y"))
+    val canon = wide
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
@@ -549,7 +584,7 @@ object Dedup extends QueryModule {
     // duplicate edges can trip the limit early and fall back — that
     // only costs the fast path, never correctness.
     val probe = canon.limit(maxCollect + 1).collect()
-    if (probe.length > maxCollect) components(edges)
+    if (probe.length > maxCollect) components(wide)
     else {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {

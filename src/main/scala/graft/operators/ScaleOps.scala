@@ -33,7 +33,8 @@ object ScaleOps extends QueryModule {
     * deferred scan. */
   private[operators] def scratchDir(kind: String, dir: String): String = {
     val ds = new java.io.File(dir).getName
-    s"${graft.Scratch.root}/graft_${kind}_${ds}_pid${ProcessHandle.current().pid()}"
+    graft.Scratch.deleteAtExit(
+      s"${graft.Scratch.root}/graft_${kind}_${ds}_pid${ProcessHandle.current().pid()}")
   }
 
   // --- bucketed_join: co-located join via bucketBy -----------------------

@@ -89,12 +89,14 @@ object Similarity extends QueryModule {
       .drop("qstride")
 
   /** (vec_id, v double[], nrm): the normalized corpus. */
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorMath.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",
         sqrt(sqnorm(col("v"))))
+  }
 
   // --- cosine_topk: exact brute-force baseline ---------------------------
   def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -1053,8 +1055,9 @@ object Similarity extends QueryModule {
         }
         graft.Caches.pathKey(s"${n}_${bytes}_$mt")
       }
-    s"${graft.Scratch.root}/graft_annidx_${graft.Caches.pathKey(dir)}" +
-      s"_$fp" + s"_pid${ProcessHandle.current().pid()}"
+    graft.Scratch.deleteAtExit(
+      s"${graft.Scratch.root}/graft_annidx_${graft.Caches.pathKey(dir)}" +
+        s"_$fp" + s"_pid${ProcessHandle.current().pid()}")
   }
 
   /** Index locations this JVM already built (key = the [[indexDir]]
@@ -1146,7 +1149,8 @@ object Similarity extends QueryModule {
     * unit sphere — [[pqCorpus]] for an arbitrary vector frame (the
     * same cast/normalize/repartition chain, so results are
     * bit-identical whichever entry built the frame). */
-  private def normalizedFrom(raw: DataFrame): DataFrame =
+  private def normalizedFrom(raw: DataFrame): DataFrame = {
+    graft.functions.VectorMath.register(raw.sparkSession)
     raw.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm",
@@ -1155,6 +1159,7 @@ object Similarity extends QueryModule {
       .repartition(col("vec_id"))
       .withColumn("nrm",
         sqrt(sqnorm(col("v"))))
+  }
 
   /** Train the full IVF-PQ index over `raw` and write its model tables
     * under `base` — [[buildIndex]]'s body with the corpus and location
@@ -1259,7 +1264,8 @@ object Similarity extends QueryModule {
       println(f"[profile] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    val base = graft.Scratch.dir("graft_profile_idx_").toString
+    val base = graft.Scratch.deleteAtExit(
+      graft.Scratch.dir("graft_profile_idx_")).toString
     val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val en = t("normalize+checkpoint")(normalizedFrom(raw).localCheckpoint())
     val cent = t("ivf train (2 iters)")(
@@ -2031,7 +2037,8 @@ object Similarity extends QueryModule {
     .empty[String, String]
 
   private[graft] def freshWorkDir(tag: String, dataset: String): String = {
-    val dir = graft.Scratch.dir(s"graft_${tag}_work_").toString
+    val dir = graft.Scratch.deleteAtExit(
+      graft.Scratch.dir(s"graft_${tag}_work_")).toString
     workDirs.put(s"$tag#$dataset", dir).foreach { prev =>
       graft.streaming.StreamingOps.deleteRecursively(
         java.nio.file.Paths.get(prev))
@@ -2399,6 +2406,7 @@ object Similarity extends QueryModule {
       idCol: String, vecCol: String, dim: Int,
       nBands: Int, bitsPerBand: Int, planesFlat: Array[Double],
       minCosine: Double): DataFrame = {
+    graft.functions.VectorMath.register(spark)
     require(nBands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 64,
       "band width is one signature word at most")
     require(planesFlat.length == nBands * bitsPerBand * dim,

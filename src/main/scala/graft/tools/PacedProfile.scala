@@ -8,18 +8,7 @@ import org.apache.spark.sql.functions._
   * and times each micro-batch from inside the foreachBatch loop. */
 object PacedProfile {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    spark.read.parquet(s"$sfDir/nation.parquet")
-      .groupBy("n_regionkey").count().collect()
+    val (spark, sfDir) = ToolSession.build()
 
     def t[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime()

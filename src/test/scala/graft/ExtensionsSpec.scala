@@ -52,6 +52,13 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(d == 11.0 && s == 8.0 && n == 25.0)
   }
 
+  test("wrong-arity vector-kernel calls fail as analysis errors, not internal ones") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      fresh.sql("SELECT graft_vdot(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("graft_vdot"))
+  }
+
   test("graft_nfkc_cf is injected: compat forms collapse and case folds") {
     // fi ligature U+FB01 -> "fi"; fullwidth G U+FF27 -> "g" after the
     // fold; the ASCII tail lowercases.

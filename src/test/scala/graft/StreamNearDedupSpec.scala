@@ -488,6 +488,19 @@ class StreamNearDedupSpec extends SparkSpecBase {
       Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
     assert(operators.Dedup.componentsBounded(
       Seq((4L, 4L), (9L, 9L)).toDF("a", "b")).count() == 0)
+    // Integral id types other than long (the public API makes no long
+    // promise): widened up front, same labels, long output on BOTH
+    // the driver path and (via the cast frame) the fallback.
+    val intFast = operators.Dedup.componentsBounded(
+      Seq((1, 2), (2, 3), (7, 8)).toDF("a", "b"))
+    assert(intFast.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType))
+    assert(intFast.as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L)))
+    val intSlow = operators.Dedup.componentsBounded(
+      Seq((1, 2), (2, 3), (7, 8)).toDF("a", "b"), maxCollect = 1)
+    assert(intSlow.as[(Long, Long)].collect().toSet ==
+      intFast.as[(Long, Long)].collect().toSet)
   }
 
   test("componentsBounded past the bound falls back to the distributed path") {
