@@ -73,9 +73,6 @@ object Dedup extends QueryModule {
   val NGRAM_BAND_WINDOW: Int =
     math.ceil(math.log(1.0 / NGRAM_THRESHOLD) / math.log(2.0)).toInt
 
-  /** Portable 56-bit fingerprint of a string expression ([[TextFns]]). */
-  private def hash56(c: Column): Column = TextFns.hash56(c)
-
   private val hash56Sql: String => String = TextFns.hash56Sql
 
   // --- near_dedup: MinHash + banded LSH + exact verify --------------------
