@@ -22,8 +22,15 @@ object Scratch {
     else Paths.get(sys.props("java.io.tmpdir"))
   }
 
-  /** A fresh scratch directory under [[root]]. */
-  def dir(prefix: String): Path = Files.createTempDirectory(root, prefix)
+  /** A fresh scratch directory under [[root]], registered for
+    * [[deleteAtExit]] reclaim: scratch is ephemeral BY CONTRACT, and on
+    * tmpfs a dir that outlives its JVM pins RAM. Callers still own
+    * in-JVM cleanup (gates delete their state/checkpoint dirs in
+    * `finally`); the exit sweep is the backstop for the long-lived
+    * memoized allocations (staged sources, work dirs) and for crash
+    * paths — deleting an already-gone dir is a no-op. */
+  def dir(prefix: String): Path =
+    deleteAtExit(Files.createTempDirectory(root, prefix))
 
   private val exitDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()

@@ -1264,8 +1264,7 @@ object Similarity extends QueryModule {
       println(f"[profile] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    val base = graft.Scratch.deleteAtExit(
-      graft.Scratch.dir("graft_profile_idx_")).toString
+    val base = graft.Scratch.dir("graft_profile_idx_").toString
     val raw = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val en = t("normalize+checkpoint")(normalizedFrom(raw).localCheckpoint())
     val cent = t("ivf train (2 iters)")(
@@ -2037,8 +2036,7 @@ object Similarity extends QueryModule {
     .empty[String, String]
 
   private[graft] def freshWorkDir(tag: String, dataset: String): String = {
-    val dir = graft.Scratch.deleteAtExit(
-      graft.Scratch.dir(s"graft_${tag}_work_")).toString
+    val dir = graft.Scratch.dir(s"graft_${tag}_work_").toString
     workDirs.put(s"$tag#$dataset", dir).foreach { prev =>
       graft.streaming.StreamingOps.deleteRecursively(
         java.nio.file.Paths.get(prev))

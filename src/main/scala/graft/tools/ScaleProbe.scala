@@ -70,7 +70,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val dir = graft.Scratch.deleteAtExit(graft.Scratch.dir("graft_sf1_probe_"))
+    val dir = graft.Scratch.dir("graft_sf1_probe_")
     generate(n, seed = 42L)
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .repartition(cpus.toInt)
