@@ -15,11 +15,28 @@ import java.nio.file.{Files, Path, Paths}
   * with `Files.createTempDirectory`. */
 object Scratch {
 
-  /** Resolved once: tmpfs if writable, else the JVM temp dir. */
+  /** Minimum free bytes tmpfs must report before we stage onto it.
+    * Docker defaults /dev/shm to 64 MiB; staging a full-table dump
+    * into that hits ENOSPC mid-write — a failure java.io.tmpdir would
+    * not produce. 1 GiB comfortably covers the largest gate staging
+    * (sf0.1 text dumps) while rejecting the constrained defaults. */
+  private val MinTmpfsFreeBytes = 1L << 30
+
+  /** Resolved once: explicit override, else tmpfs if writable and
+    * roomy, else the JVM temp dir. `GRAFT_SCRATCH_DIR` (env) /
+    * `graft.scratch.dir` (system property) force a location — the
+    * escape hatch for hosts where tmpfs is small or memory-pressured. */
   val root: Path = {
+    val overridden = sys.props.get("graft.scratch.dir")
+      .orElse(sys.env.get("GRAFT_SCRATCH_DIR")).map(Paths.get(_))
     val shm = Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm)) shm
-    else Paths.get(sys.props("java.io.tmpdir"))
+    overridden.filter(p => Files.isDirectory(p) && Files.isWritable(p))
+      .orElse(Some(shm).filter { p =>
+        Files.isDirectory(p) && Files.isWritable(p) &&
+          (try p.toFile.getUsableSpace >= MinTmpfsFreeBytes
+           catch { case _: Exception => false })
+      })
+      .getOrElse(Paths.get(sys.props("java.io.tmpdir")))
   }
 
   /** A fresh scratch directory under [[root]], registered for
@@ -35,16 +52,26 @@ object Scratch {
   private val exitDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[Path]()
 
-  /** One hook for every registration (vs. a thread per dir). */
+  /** One hook for every registration (vs. a thread per dir). Each
+    * directory's sweep is exception-isolated: one failed delete (a
+    * permission quirk, or a race with Spark's own shutdown hooks
+    * removing files under the walk) must not abort the sweep and leak
+    * the remaining tmpfs dirs — the RAM-pinning this hook exists to
+    * prevent. */
   private lazy val hookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       exitDirs.forEach { root =>
-        if (Files.exists(root)) {
-          val walk = Files.walk(root)
-          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-            .forEach(p => { Files.deleteIfExists(p); () })
-          finally walk.close()
-        }
+        try {
+          if (Files.exists(root)) {
+            val walk = Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+              .forEach(p => {
+                try { Files.deleteIfExists(p); () }
+                catch { case _: Exception => () }
+              })
+            finally walk.close()
+          }
+        } catch { case _: Exception => () }
       }))
 
   /** Register a directory for recursive delete at JVM exit. Scratch on

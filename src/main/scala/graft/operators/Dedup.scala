@@ -198,7 +198,15 @@ object Dedup extends QueryModule {
     * recompute, and the whole dedup family (pairs, components,
     * keep-best, fuzzy decontamination) shares one probe job instead
     * of re-shuffling the band frame per query. Deliberately NOT
-    * registered with [[graft.Caches]], same as [[clustersMemo]]. */
+    * registered with [[graft.Caches]], same as [[clustersMemo]].
+    *
+    * ASSUMES IMMUTABLE DATASETS: the memo is keyed by path and never
+    * invalidated, so a corpus REWRITTEN in-place mid-session would
+    * serve a stale auto-salt decision. That is the engine-wide source
+    * contract (parquet snapshots are written once and replaced by new
+    * paths, never mutated — every other memo, Spark's own file-index
+    * cache, and the DuckDB oracle share the assumption); a mutable
+    * corpus needs a new path, which naturally misses the memo. */
   private val occupancyMemo = new graft.SessionMemo[String, Long]
 
   /** Candidate pairs from an (doc_id, band_idx, band_key) band frame,
@@ -577,10 +585,14 @@ object Dedup extends QueryModule {
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
-    // One job: the limit is the size probe AND the fetch. A graph with
-    // duplicate edges can trip the limit early and fall back — that
-    // only costs the fast path, never correctness.
-    val probe = canon.limit(maxCollect + 1).collect()
+    // One job: the limit is the size probe AND the fetch. Probed
+    // DISTINCT: repeated band collisions emit the same canonical pair
+    // once per band, and counting those duplicates toward maxCollect
+    // would spuriously trip a small multigraph into the expensive
+    // distributed star loop — the exact per-trigger cost this fast
+    // path exists to avoid. The collected set feeds a union-find that
+    // dedups anyway, so distinct() changes cost, never the answer.
+    val probe = canon.distinct().limit(maxCollect + 1).collect()
     if (probe.length > maxCollect) components(wide)
     else {
       val parent = scala.collection.mutable.LongMap.empty[Long]

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,19 +64,20 @@ object Similarity extends QueryModule {
     * ([[graft.functions.ArrayDot]]) — bit-identical to the
     * `aggregate(zip_with(...))` fold it replaced (same index-order
     * double adds; VectorMathSpec pins it), ~3 orders of magnitude
-    * faster per row. Registration is idempotent; the active-session
-    * fallback covers sessions not built with [[graft.GraftExtensions]]. */
-  private def dot(a: Column, b: Column): Column = {
-    graft.functions.VectorMath.register(SparkSession.active)
-    call_function(graft.functions.VectorMath.DOT_NAME, a, b)
-  }
+    * faster per row. Built as a direct expression Column (no
+    * FunctionRegistry lookup), so the plan analyzes in ANY session —
+    * including a fresh `newSession` without [[graft.GraftExtensions]]
+    * injected, where a registry-name call would fail to resolve. */
+  private def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(graft.functions.ArrayDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Squared norm via [[graft.functions.ArraySqNorm]] — the
-    * `aggregate(transform(v, x*x))` fold, codegen'd. */
-  private def sqnorm(v: Column): Column = {
-    graft.functions.VectorMath.register(SparkSession.active)
-    call_function(graft.functions.VectorMath.SQNORM_NAME, v)
-  }
+    * `aggregate(transform(v, x*x))` fold, codegen'd. Direct
+    * expression Column, same session-independence as [[dot]]. */
+  private def sqnorm(v: Column): Column =
+    ExpressionUtils.column(
+      graft.functions.ArraySqNorm(ExpressionUtils.expression(v)))
 
   /** 1-row (qstride) relation derived from a per-vector DataFrame. */
   private def qstrideDf(perVec: DataFrame): DataFrame =
@@ -639,10 +641,9 @@ object Similarity extends QueryModule {
   /** Squared L2 distance between two equal-length array columns, via
     * the native codegen kernel ([[graft.functions.ArraySqDist]] — same
     * parity contract as [[dot]]). */
-  private def sqdist(a: Column, b: Column): Column = {
-    graft.functions.VectorMath.register(SparkSession.active)
-    call_function(graft.functions.VectorMath.SQDIST_NAME, a, b)
-  }
+  private def sqdist(a: Column, b: Column): Column =
+    ExpressionUtils.column(graft.functions.ArraySqDist(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** The L2-NORMALIZED corpus the whole PQ family quantizes: PQ here
     * serves COSINE (the engine's similarity metric throughout), so

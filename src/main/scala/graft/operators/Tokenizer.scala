@@ -99,7 +99,10 @@ object Tokenizer extends QueryModule {
     * applying an already-learned tokenizer, which is [[applyMergesFast]]'s
     * single shuffle-free map. Values are tiny driver-side Seqs
     * ([[BPE_MERGES]] tuples), so the memo is collectable when the
-    * session dies (the [[graft.SessionMemo]] contract). */
+    * session dies (the [[graft.SessionMemo]] contract). Keyed by
+    * dataset path and never invalidated — valid under the engine-wide
+    * immutable-snapshot source contract (see `Dedup.occupancyMemo`);
+    * a changed corpus must arrive under a new path. */
   private val mergesMemo =
     new graft.SessionMemo[(String, String), Seq[(Int, String, String, Long)]]
 
