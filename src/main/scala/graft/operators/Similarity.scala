@@ -1413,8 +1413,7 @@ object Similarity extends QueryModule {
         // would then mask live codes (the cross-op-type twin of the
         // partial-codes corruption the marker protocol exists for).
         clearDelta(delta)
-        encodeWith(spark, indexBase, fresh).repartition(col("cell"))
-          .write.partitionBy("cell").mode("overwrite").parquet(s"$delta/codes")
+        writeDelta(encodeWith(spark, indexBase, fresh), s"$delta/codes")
         // Both code families stay in lockstep: one marker covers both,
         // so a crash between the two writes leaves NEITHER visible. An
         // index built without residual artifacts (`withResiduals =
@@ -1422,14 +1421,31 @@ object Similarity extends QueryModule {
         // write is skipped.
         if (java.nio.file.Files.exists(
             java.nio.file.Paths.get(indexBase, "rcodebooks")))
-          encodeResidWith(spark, indexBase, fresh).repartition(col("cell"))
-            .write.partitionBy("cell").mode("overwrite").parquet(s"$delta/rcodes")
+          writeDelta(encodeResidWith(spark, indexBase, fresh), s"$delta/rcodes")
         val commits = java.nio.file.Paths.get(indexBase, "commits")
         java.nio.file.Files.createDirectories(commits)
         try java.nio.file.Files.createFile(commits.resolve(k.toString))
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
       }
     }
+
+  /** Delta code layout: plain parquet CLUSTERED by cell (one shuffle
+    * partition per cell, cell a data column), NOT a cell-partitioned
+    * directory tree. This is the LSM L0 posture: deltas are
+    * maintenance-window-sized by contract (compaction folds them into
+    * the next cell-PARTITIONED generation), so readers scan each delta
+    * whole and prune only the big base — and cell-clustering gives
+    * parquet row-group min/max stats that prune within the file
+    * anyway. Partitioning the delta instead writes O(cells) near-empty
+    * files PER APPEND (measured: ~146 files for an 80 KiB delta), and
+    * every later trigger's readCodes pays listing + footer reads on
+    * all of them — the file-count explosion compaction exists to
+    * prevent, paid between every compaction. [[readCodes]] selects
+    * `cell` by name, so both layouts (this one and the partitioned
+    * generation tables) read identically. */
+  private[graft] def writeDelta(codes: DataFrame, dest: String): Unit =
+    codes.repartition(col("cell")).sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(dest)
 
   /** Remove an UNCOMMITTED delta directory before its id is reused —
     * the debris from a crashed attempt of ANY op type. Both writers

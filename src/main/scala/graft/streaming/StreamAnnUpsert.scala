@@ -33,7 +33,7 @@ object StreamAnnUpsert {
     * file source delivers batch k = slice k (the
     * [[StreamNearDedup]] staging contract). Input staging, not
     * memoized compute — not registered with [[graft.Caches]]. */
-  private def stagedDeltaDir(spark: SparkSession, dir: String): String =
+  private[graft] def stagedDeltaDir(spark: SparkSession, dir: String): String =
     staged.getOrElseUpdate(spark, dir) {
       val dest = graft.Scratch.dir("graft_annups_src_")
       val m = Similarity.UPSERT_MOD
