@@ -128,6 +128,16 @@ object StreamKeepBest {
     * .admitWithKeys]] posture) and unpersists it once its writes land. */
   private[streaming] def keepBestWithKeys(spark: SparkSession,
       batch: DataFrame, keys: DataFrame, stateBands: DataFrame,
+      canon: DataFrame): (DataFrame, DataFrame) =
+    keepBestWithKeys(spark, batch, keys, Seq(stateBands), canon)
+
+  /** [[keepBestWithKeys]] with the band state held as SEVERAL parts
+    * (clustered sorted base + consolidated unfolded tail — the
+    * [[StreamNearDedup.admitWithKeys]] multi-part posture and
+    * rationale: part-wise joins keep the base's checkpointed layout,
+    * so its side of the probe is exchange- and sort-free). */
+  private[streaming] def keepBestWithKeys(spark: SparkSession,
+      batch: DataFrame, keys: DataFrame, stateParts: Seq[DataFrame],
       canon: DataFrame): (DataFrame, DataFrame) = {
     // Deliberately NOT checkpointed: quality is one codegen map pass
     // over the batch source, consumed by two branches of the single
@@ -136,8 +146,12 @@ object StreamKeepBest {
     val scored = batch.select(col("doc_id"),
         graft.operators.Pipeline.qualityCol(col("text")).as("quality"))
     // Challenger routing: min colliding cluster per doc (deterministic
-    // when a doc's bands touch several clusters' footprints).
-    val docComp = keys.join(stateBands, Seq("band_idx", "band_key"))
+    // when a doc's bands touch several clusters' footprints). Part-wise
+    // against the state parts; min over the union of per-part matches
+    // equals min over the matches of the parts' union.
+    val docComp = stateParts
+      .map(part => keys.join(part, Seq("band_idx", "band_key")))
+      .reduce(_ unionAll _)
       .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
     val challengers = docComp.join(scored, Seq("doc_id"))
     // Survivors: no collision with any existing cluster — the
@@ -222,11 +236,15 @@ object StreamKeepBest {
     // + unfolded tail); events below stay a plain committed-ids read —
     // the event log never folds (see the object scaladoc's compaction
     // boundary), and readPartitioned ignores the manifest.
-    @volatile private var bandsMem: DataFrame =
-      StreamNearDedup.readState(spark, stateDir, "bands",
-          emptyBandsPersisted(spark))
-        .select(col("band_idx"), col("band_key"), col("comp"))
-        .localCheckpoint()
+    // Base + tail, never one unioned frame — the [[StreamNearDedup
+    // .PersistentAccumulator]] mirror discipline: the clustered base's
+    // probe side is exchange- and sort-free per trigger.
+    @volatile private var bandsBase: DataFrame =
+      StreamNearDedup.ckptClustered(spark,
+        StreamNearDedup.readState(spark, stateDir, "bands",
+            emptyBandsPersisted(spark))
+          .select(col("band_idx"), col("band_key"), col("comp")))
+    @volatile private var bandsTail: List[DataFrame] = Nil
     @volatile private var canonMem: DataFrame =
       consolidate(StreamNearDedup.readPartitioned(spark, s"$stateDir/events",
         committedIds, emptyEvents(spark))).localCheckpoint()
@@ -257,8 +275,10 @@ object StreamKeepBest {
       if (!committedIds(batchId)) {
         val keys = Dedup.bandKeys(spark, batch).persist()
         val winners = try {
-          val (events, _) =
-            keepBestWithKeys(spark, batch, keys, bandsMem, canonMem)
+          val (events, _) = keepBestWithKeys(spark, batch, keys,
+            bandsBase :: (if (bandsTail.isEmpty) Nil
+                          else List(bandsTail.reduce(_ unionAll _))),
+            canonMem)
           // coalesce(1): one batch's delta, sized like the first-touch
           // accumulator's — a production job sizes this to batch volume.
           events.coalesce(1).write.mode("overwrite")
@@ -276,9 +296,8 @@ object StreamKeepBest {
           winners
         } finally keys.unpersist(blocking = false)
         committedIds += batchId
-        bandsMem = bandsMem.union(
-          spark.read.parquet(s"$stateDir/bands/batch_id=$batchId")
-            .select(col("band_idx"), col("band_key"), col("comp")))
+        bandsTail = spark.read.parquet(s"$stateDir/bands/batch_id=$batchId")
+          .select(col("band_idx"), col("band_key"), col("comp")) :: bandsTail
         // Replacements overwrite their cluster's row; new clusters
         // append. The anti-join keys on comp — one winner per cluster
         // per batch keeps it exact.
@@ -287,14 +306,17 @@ object StreamKeepBest {
         sinceMemFold += 1; sinceDiskFold += 1
         if (foldEvery > 0 && sinceDiskFold >= foldEvery) {
           compactBands(spark, stateDir)
-          bandsMem = StreamNearDedup.readState(spark, stateDir, "bands",
-              emptyBandsPersisted(spark))
-            .select(col("band_idx"), col("band_key"), col("comp"))
-            .localCheckpoint()
+          bandsBase = StreamNearDedup.ckptClustered(spark,
+            StreamNearDedup.readState(spark, stateDir, "bands",
+                emptyBandsPersisted(spark))
+              .select(col("band_idx"), col("band_key"), col("comp")))
+          bandsTail = Nil
           canonMem = canonMem.localCheckpoint()
           sinceDiskFold = 0; sinceMemFold = 0
         } else if (sinceMemFold >= StreamNearDedup.MEM_FOLD_EVERY) {
-          bandsMem = bandsMem.localCheckpoint()
+          bandsBase = StreamNearDedup.ckptClustered(spark,
+            (bandsBase :: bandsTail).reduce(_ unionAll _))
+          bandsTail = Nil
           canonMem = canonMem.localCheckpoint()
           sinceMemFold = 0
         }

@@ -77,10 +77,26 @@ object StreamNearDedup {
     * first consuming write job (one fewer job per trigger) and is
     * unpersisted by the caller once its writes land. */
   private[streaming] def admitWithKeys(spark: SparkSession, batch: DataFrame,
-      keys: DataFrame, stateBands: DataFrame): (DataFrame, DataFrame) = {
+      keys: DataFrame, stateBands: DataFrame): (DataFrame, DataFrame) =
+    admitWithKeys(spark, batch, keys, Seq(stateBands))
+
+  /** [[admitWithKeys]] against admission state held as SEVERAL parts
+    * (the [[PersistentAccumulator]] mirror: one band-clustered sorted
+    * base + the unfolded committed-delta tail). The prior-hit probe
+    * semi-joins each part SEPARATELY and unions the hit doc_ids:
+    * joining a single `union` frame instead would erase the base's
+    * [[ckptClustered]] partitioning and re-shuffle + re-sort the whole
+    * state every trigger — the exact O(state)-per-trigger creep the
+    * clustered mirror removes. Part-wise, the base side of its
+    * semi-join is exchange- and sort-free (a merge scan of the
+    * checkpointed layout) and the tail parts are batch-sized scans
+    * AQE broadcasts. */
+  private[streaming] def admitWithKeys(spark: SparkSession, batch: DataFrame,
+      keys: DataFrame, stateParts: Seq[DataFrame]): (DataFrame, DataFrame) = {
     // Cross-batch rule: any collision with admitted state drops the doc.
-    val hitPrior = keys
-      .join(stateBands, Seq("band_idx", "band_key"), "left_semi")
+    val hitPrior = stateParts
+      .map(part => keys.join(part, Seq("band_idx", "band_key"), "left_semi"))
+      .reduce(_ unionAll _)
       .select(col("doc_id")).distinct()
     val survivors = batch.join(hitPrior, Seq("doc_id"), "left_anti")
     val skeys = keys.join(hitPrior, Seq("doc_id"), "left_anti")
@@ -164,18 +180,21 @@ object StreamNearDedup {
     // WRITE-THROUGH: storage is read exactly once, here at construction
     // (the resume path — this is what a restarted query recovers from);
     // the running query serves each batch's prior-state probe from an
-    // in-memory localCheckpoint mirror instead of re-scanning the
-    // parquet per trigger (measured +3.5s on the 3-batch paced gate
-    // before this).
+    // in-memory mirror instead of re-scanning the parquet per trigger
+    // (measured +3.5s on the 3-batch paced gate before this).
     private var committedIds: Set[Long] = readCommitted(stateDir)
     // Only COMMITTED batches' keys enter the mirror (an uncommitted
     // batch's partial directories are invisible until its replay
     // overwrites them and lands the marker), read through the
-    // compaction manifest: generation base + unfolded tail.
-    @volatile private var stateMem: DataFrame =
-      readState(spark, stateDir, "bands")
-        .select(col("band_idx"), col("band_key"))
-        .localCheckpoint()
+    // compaction manifest: generation base + unfolded tail. The mirror
+    // is held as BASE + TAIL parts (never unioned into one frame —
+    // see the multi-part [[admitWithKeys]]): the base a band-clustered
+    // sorted checkpoint whose per-trigger probe is exchange- and
+    // sort-free, the tail the committed deltas since the last fold.
+    @volatile private var stateBase: DataFrame =
+      ckptClustered(spark, readState(spark, stateDir, "bands")
+        .select(col("band_idx"), col("band_key")))
+    @volatile private var stateTail: List[DataFrame] = Nil
     private var sinceMemFold = 0
     private var sinceDiskFold = 0
 
@@ -183,20 +202,28 @@ object StreamNearDedup {
       * Write-once/read-back: the band-delta write is the one execution
       * of its plan (keys materialize inside it via `persist`); the
       * state mirror folds the written file back in LAZILY — between
-      * fold points the mirror is a union of the checkpointed base and
-      * up to [[MEM_FOLD_EVERY]] committed delta scans, so steady-state
+      * fold points the mirror is the clustered base plus up to
+      * [[MEM_FOLD_EVERY]] committed delta scans, so steady-state
       * triggers run exactly two jobs (the two delta writes) plus the
-      * engine's own bookkeeping. Every [[MEM_FOLD_EVERY]] triggers the
-      * union folds into a fresh localCheckpoint; every `foldEvery`
-      * committed batches the ON-DISK layout folds too
-      * ([[compactState]] from inside the loop — safe: foreachBatch is
-      * the single writer and runs serially) and the mirror re-bases
-      * onto the new generation. */
+      * engine's own bookkeeping — and the base's share of the probe is
+      * a sorted merge scan, not a re-shuffle of the whole state. Every
+      * [[MEM_FOLD_EVERY]] triggers the tail folds into a fresh
+      * clustered base (the LSM run merge, amortized); every `foldEvery`
+      * committed batches the ON-DISK layout folds too ([[compactState]]
+      * from inside the loop — safe: foreachBatch is the single writer
+      * and runs serially) and the mirror re-bases onto the new
+      * generation. */
     def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
       if (!committedIds(batchId)) {
         val keys = graft.operators.Dedup.bandKeys(spark, batch).persist()
         try {
-          val (kept, newKeys) = admitWithKeys(spark, batch, keys, stateMem)
+          // The tail rides as ONE part (union of its delta scans), not
+          // one part per delta: every extra union branch in the probe
+          // re-scans the persisted keys frame, so per-branch cost ×
+          // MEM_FOLD_EVERY was itself a creep (measured ~0.07 s/branch).
+          val (kept, newKeys) = admitWithKeys(spark, batch, keys,
+            stateBase :: (if (stateTail.isEmpty) Nil
+                          else List(stateTail.reduce(_ unionAll _))))
           // coalesce(1): a batch's state delta is small relative to the
           // corpus (it is one batch's keys/admissions), and writing it
           // as one file instead of one per shuffle partition keeps the
@@ -209,18 +236,20 @@ object StreamNearDedup {
           commit(stateDir, batchId)
         } finally keys.unpersist(blocking = false)
         committedIds += batchId
-        stateMem = stateMem.union(
-          spark.read.parquet(s"$stateDir/bands/batch_id=$batchId")
-            .select(col("band_idx"), col("band_key")))
+        stateTail = spark.read.parquet(s"$stateDir/bands/batch_id=$batchId")
+          .select(col("band_idx"), col("band_key")) :: stateTail
         sinceMemFold += 1; sinceDiskFold += 1
         if (foldEvery > 0 && sinceDiskFold >= foldEvery) {
           compactState(spark, stateDir)
-          stateMem = readState(spark, stateDir, "bands")
-            .select(col("band_idx"), col("band_key"))
-            .localCheckpoint()
+          stateBase = ckptClustered(spark,
+            readState(spark, stateDir, "bands")
+              .select(col("band_idx"), col("band_key")))
+          stateTail = Nil
           sinceDiskFold = 0; sinceMemFold = 0
         } else if (sinceMemFold >= MEM_FOLD_EVERY) {
-          stateMem = stateMem.localCheckpoint()
+          stateBase = ckptClustered(spark,
+            (stateBase :: stateTail).reduce(_ unionAll _))
+          stateTail = Nil
           sinceMemFold = 0
         }
       }
@@ -231,7 +260,35 @@ object StreamNearDedup {
     * LAZY unions over committed delta files (tiny parquet scans — the
     * per-trigger probe re-lists them for free), capping plan depth
     * without paying a localCheckpoint job every trigger. */
-  private[streaming] val MEM_FOLD_EVERY = 8
+  private[graft] val MEM_FOLD_EVERY = 8
+
+  /** Band-state mirror checkpoint, CLUSTERED for the per-trigger
+    * probe: hash-partitioned and sorted on (band_idx, band_key), so
+    * the admission semi-join needs NO exchange and NO sort on the
+    * state side — a merge scan of the checkpointed layout, with only
+    * the batch's keys shuffling. Without this the probe re-shuffles
+    * and re-sorts the ENTIRE state every trigger once it outgrows the
+    * broadcast threshold — the measured 2.7→4.5 s/batch creep at 1.5 M
+    * state rows, unbounded in state size.
+    *
+    * The one mirror-building query runs with AQE off: under AQE the
+    * executed plan hides its final partitioning from
+    * `LogicalRDD.fromDataset` (UnknownPartitioning), and the layout
+    * the checkpoint just paid for would be re-shuffled anyway. The
+    * conf toggle is safe here because the accumulator owns its
+    * session's trigger thread (foreachBatch is serial) — nothing else
+    * plans queries in the window. */
+  private[graft] def ckptClustered(spark: SparkSession, bands: DataFrame): DataFrame = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try bands
+      .repartition(triggerShufflePartitions(spark),
+        col("band_idx"), col("band_key"))
+      .sortWithinPartitions(col("band_idx"), col("band_key"))
+      .localCheckpoint()
+    finally spark.conf.set(key, old)
+  }
 
   /** Default ON-DISK fold cadence for the persistent accumulators: the
     * LSM compaction ([[compactState]]) runs from INSIDE the trigger
