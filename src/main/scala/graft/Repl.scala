@@ -91,6 +91,13 @@ object Repl {
       } catch { case e: Exception => println(s"error: ${e.getMessage}") }
       line = scala.io.StdIn.readLine("graft> ")
     }
+    onExit()
     spark.stop()
   }
+
+  /** Exit path, before `spark.stop()`: a long-lived interactive
+    * session accumulates memoized plans (SessionMemo's
+    * DataFrame-valued entries are non-collectable by design — see
+    * [[Caches]]); release them with the session. */
+  private[graft] def onExit(): Unit = Caches.clearAll()
 }

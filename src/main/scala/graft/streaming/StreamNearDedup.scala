@@ -567,11 +567,20 @@ object StreamNearDedup {
     * already hold the rows in executor storage, and the stream
     * checkpoint dir is only metadata, safe to reclaim first. */
   private def runLive(spark: SparkSession, path: String,
-      paced: Boolean): DataFrame = {
+      paced: Boolean, foldEvery: Int = DISK_FOLD_EVERY): DataFrame = {
     val stateDir = graft.Scratch.dir("graft_neardedup_state_")
     val ckpt = graft.Scratch.dir("graft_neardedup_ckpt_")
     try {
-      runLiveAgainst(spark, path, paced, ckpt.toString, stateDir.toString)
+      runLiveAgainst(spark, path, paced, ckpt.toString, stateDir.toString,
+        foldEvery = foldEvery)
+      // A gate that promises a mid-stream fold must PROVE one ran:
+      // a fold leaves the MANIFEST generation pointer. Checked here,
+      // before the finally reclaims the state dir.
+      if (foldEvery > 0 && foldEvery < Dedup.PACED_BATCHES)
+        require(java.nio.file.Files.exists(
+            java.nio.file.Paths.get(stateDir.toString, "MANIFEST")),
+          s"foldEvery=$foldEvery run left no MANIFEST — the in-loop " +
+            "fold did not execute under the live engine")
       // The admitted table is a real parquet table in the CALLER's
       // session — no RDD re-base; localCheckpoint (eager) detaches
       // the rows from the state dir before it is reclaimed. The text
@@ -656,5 +665,16 @@ object StreamNearDedup {
     * sensitive to batch lumping or reordering. */
   def streamNearDedupPaced(spark: SparkSession, dir: String): DataFrame =
     runLive(spark, stagedPacedDocsDir(spark, dir), paced = true)
+      .select(col("doc_id"), col("batch_id")).orderBy(col("doc_id"))
+
+  /** Gate/bench query: the paced admission gate with the ON-DISK fold
+    * driven from INSIDE the trigger loop (`foldEvery = 2`, under the
+    * default 3-batch pacing) — so the driver-checked path demonstrably
+    * executes a mid-stream generation fold and the LAST batch probes a
+    * folded base plus an unfolded delta. [[runLive]] refuses to return
+    * without the MANIFEST the fold leaves. Shares the paced oracle
+    * verbatim: compaction must be invisible in the admitted set. */
+  def streamNearDedupFolded(spark: SparkSession, dir: String): DataFrame =
+    runLive(spark, stagedPacedDocsDir(spark, dir), paced = true, foldEvery = 2)
       .select(col("doc_id"), col("batch_id")).orderBy(col("doc_id"))
 }

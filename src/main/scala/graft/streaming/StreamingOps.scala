@@ -740,6 +740,9 @@ object StreamingOps extends QueryModule {
     QueryDef("stream_neardedup_paced", StreamNearDedup.streamNearDedupPaced,
       Some(graft.operators.Dedup.streamNearDedupPacedSql),
       "the same admission paced one file per micro-batch (cross-batch state live)"),
+    QueryDef("stream_neardedup_folded", StreamNearDedup.streamNearDedupFolded,
+      Some(graft.operators.Dedup.streamNearDedupPacedSql),
+      "the paced admission with an in-loop LSM state fold mid-stream (foldEvery=2)"),
     QueryDef("stream_keepbest_paced", StreamKeepBest.streamKeepBestPaced,
       Some(graft.operators.Dedup.streamKeepBestPacedSql),
       "keep-best admission live: later better captures replace cluster canonicals"),

@@ -120,4 +120,14 @@ class ReplSpec extends SparkSpecBase {
     assert(Repl.dispatch(spark, sfDir, "sim notanumber").isEmpty)
     assert(Repl.dispatch(spark, sfDir, "q").isEmpty)
   }
+
+  test("exit path releases registered caches") {
+    // The quit path must drain every Caches-registered memo: a
+    // long-lived interactive session otherwise pins its accumulated
+    // DataFrame-valued plans past the point anything can use them.
+    var cleared = false
+    Caches.register(() => cleared = true)
+    Repl.onExit()
+    assert(cleared, "Repl.onExit must run Caches.clearAll")
+  }
 }
