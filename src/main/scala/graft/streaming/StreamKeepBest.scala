@@ -136,7 +136,7 @@ object StreamKeepBest {
     * [[StreamNearDedup.admitWithKeys]] multi-part posture and
     * rationale: part-wise joins keep the base's checkpointed layout,
     * so its side of the probe is exchange- and sort-free). */
-  private[streaming] def keepBestWithKeys(spark: SparkSession,
+  private[graft] def keepBestWithKeys(spark: SparkSession,
       batch: DataFrame, keys: DataFrame, stateParts: Seq[DataFrame],
       canon: DataFrame): (DataFrame, DataFrame) = {
     // Deliberately NOT checkpointed: quality is one codegen map pass
