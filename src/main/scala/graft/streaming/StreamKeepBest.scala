@@ -138,7 +138,7 @@ object StreamKeepBest {
     * so its side of the probe is exchange- and sort-free). */
   private[graft] def keepBestWithKeys(spark: SparkSession,
       batch: DataFrame, keys: DataFrame, stateParts: Seq[DataFrame],
-      canon: DataFrame): (DataFrame, DataFrame) = {
+      canon: DataFrame, ckptProbe: Boolean = false): (DataFrame, DataFrame) = {
     // Deliberately NOT checkpointed: quality is one codegen map pass
     // over the batch source, consumed by two branches of the single
     // events action — a second in-job scan of one micro-batch file is
@@ -149,10 +149,18 @@ object StreamKeepBest {
     // when a doc's bands touch several clusters' footprints). Part-wise
     // against the state parts; min over the union of per-part matches
     // equals min over the matches of the parts' union.
-    val docComp = stateParts
+    // `ckptProbe` MATERIALIZES the routing probe once: it is the one
+    // state-sized sub-plan of the trigger and it feeds THREE branches
+    // of the events plan (challengers, survivors, skeys) plus the
+    // components probe — unmaterialized it re-executes per consumer
+    // (the [[StreamNearDedup.admitWithKeys]] hitPrior argument, same
+    // broadcast-regime rationale for when the accumulator enables it).
+    // Its result is (doc_id, comp)-sized, batch-bounded.
+    val probe = stateParts
       .map(part => keys.join(part, Seq("band_idx", "band_key")))
       .reduce(_ unionAll _)
       .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+    val docComp = if (ckptProbe) probe.localCheckpoint() else probe
     val challengers = docComp.join(scored, Seq("doc_id"))
     // Survivors: no collision with any existing cluster — the
     // first-touch intra-batch clustering, unchanged.
@@ -245,6 +253,10 @@ object StreamKeepBest {
             emptyBandsPersisted(spark))
           .select(col("band_idx"), col("band_key"), col("comp")))
     @volatile private var bandsTail: List[DataFrame] = Nil
+    // Running band-table bytes (the [[StreamNearDedup
+    // .PersistentAccumulator]] counter): past the broadcast regime the
+    // routing probe is materialized once per trigger.
+    private var bandBytes: Long = StreamNearDedup.bandTableBytes(stateDir)
     @volatile private var canonMem: DataFrame =
       consolidate(StreamNearDedup.readPartitioned(spark, s"$stateDir/events",
         committedIds, emptyEvents(spark))).localCheckpoint()
@@ -276,9 +288,8 @@ object StreamKeepBest {
         val keys = Dedup.bandKeys(spark, batch).persist()
         val winners = try {
           val (events, _) = keepBestWithKeys(spark, batch, keys,
-            bandsBase :: (if (bandsTail.isEmpty) Nil
-                          else List(bandsTail.reduce(_ unionAll _))),
-            canonMem)
+            bandsBase :: bandsTail, canonMem,
+            ckptProbe = bandBytes > StreamNearDedup.RUN_CLUSTER_BYTES)
           // coalesce(1): one batch's delta, sized like the first-touch
           // accumulator's — a production job sizes this to batch volume.
           events.coalesce(1).write.mode("overwrite")
@@ -296,8 +307,14 @@ object StreamKeepBest {
           winners
         } finally keys.unpersist(blocking = false)
         committedIds += batchId
-        bandsTail = spark.read.parquet(s"$stateDir/bands/batch_id=$batchId")
-          .select(col("band_idx"), col("band_key"), col("comp")) :: bandsTail
+        // One tail part per committed delta — the [[StreamNearDedup
+        // .PersistentAccumulator]] L0 discipline and rationale
+        // (broadcast-regime deltas stay lazy scans; bigger ones become
+        // clustered sorted runs; never consolidated).
+        bandsTail = StreamNearDedup.tailRunFor(spark,
+          s"$stateDir/bands/batch_id=$batchId",
+          col("band_idx"), col("band_key"), col("comp")) :: bandsTail
+        bandBytes += StreamNearDedup.dirBytes(s"$stateDir/bands/batch_id=$batchId")
         // Replacements overwrite their cluster's row; new clusters
         // append. The anti-join keys on comp — one winner per cluster
         // per batch keeps it exact.
@@ -311,6 +328,7 @@ object StreamKeepBest {
                 emptyBandsPersisted(spark))
               .select(col("band_idx"), col("band_key"), col("comp")))
           bandsTail = Nil
+          bandBytes = StreamNearDedup.bandTableBytes(stateDir)
           canonMem = canonMem.localCheckpoint()
           sinceDiskFold = 0; sinceMemFold = 0
         } else if (sinceMemFold >= StreamNearDedup.MEM_FOLD_EVERY) {

@@ -82,22 +82,36 @@ object StreamNearDedup {
 
   /** [[admitWithKeys]] against admission state held as SEVERAL parts
     * (the [[PersistentAccumulator]] mirror: one band-clustered sorted
-    * base + the unfolded committed-delta tail). The prior-hit probe
-    * semi-joins each part SEPARATELY and unions the hit doc_ids:
-    * joining a single `union` frame instead would erase the base's
-    * [[ckptClustered]] partitioning and re-shuffle + re-sort the whole
-    * state every trigger — the exact O(state)-per-trigger creep the
-    * clustered mirror removes. Part-wise, the base side of its
-    * semi-join is exchange- and sort-free (a merge scan of the
-    * checkpointed layout) and the tail parts are batch-sized scans
-    * AQE broadcasts. */
-  private[streaming] def admitWithKeys(spark: SparkSession, batch: DataFrame,
-      keys: DataFrame, stateParts: Seq[DataFrame]): (DataFrame, DataFrame) = {
+    * base + one clustered run per unfolded committed delta). The
+    * prior-hit probe semi-joins each part SEPARATELY and unions the
+    * hit doc_ids: joining a single `union` frame instead would erase
+    * the parts' [[ckptClustered]] partitioning and re-shuffle +
+    * re-sort the whole state every trigger — the exact
+    * O(state)-per-trigger creep the clustered mirror removes.
+    * Part-wise, every part's side of its semi-join is exchange- and
+    * sort-free (a merge scan of its checkpointed layout), the keys
+    * side's one exchange is shared across branches (ReuseExchange —
+    * all parts carry the same partitioning scheme), and small parts
+    * broadcast under AQE instead, which is also exchange-free on the
+    * state side. */
+  private[graft] def admitWithKeys(spark: SparkSession, batch: DataFrame,
+      keys: DataFrame, stateParts: Seq[DataFrame],
+      ckptProbe: Boolean = false): (DataFrame, DataFrame) = {
     // Cross-batch rule: any collision with admitted state drops the doc.
-    val hitPrior = stateParts
+    // `ckptProbe` MATERIALIZES the probe once: it is the one
+    // state-sized sub-plan of the trigger and it feeds the components
+    // probe AND both delta writes — unmaterialized it re-executes per
+    // consumer (3× per trigger, the dominant measured cost once state
+    // grows). Its result is doc_id-sized, so the extra job is
+    // batch-bounded. The accumulators enable it once their band state
+    // leaves the broadcast regime; below that the re-executions are
+    // broadcast-cheap and the checkpoint job would be pure overhead
+    // on the 3-trigger gates.
+    val probe = stateParts
       .map(part => keys.join(part, Seq("band_idx", "band_key"), "left_semi"))
       .reduce(_ unionAll _)
       .select(col("doc_id")).distinct()
+    val hitPrior = if (ckptProbe) probe.localCheckpoint() else probe
     val survivors = batch.join(hitPrior, Seq("doc_id"), "left_anti")
     val skeys = keys.join(hitPrior, Seq("doc_id"), "left_anti")
     // Intra-batch rule: canonical representative per collision cluster.
@@ -195,6 +209,11 @@ object StreamNearDedup {
       ckptClustered(spark, readState(spark, stateDir, "bands")
         .select(col("band_idx"), col("band_key")))
     @volatile private var stateTail: List[DataFrame] = Nil
+    // Running band-table size (stored bytes — seeded from disk on
+    // resume, advanced by each delta's written size): past the
+    // broadcast regime the per-trigger probe is materialized once
+    // instead of re-executing per consumer (see admitWithKeys).
+    private var stateBytes: Long = bandTableBytes(stateDir)
     private var sinceMemFold = 0
     private var sinceDiskFold = 0
 
@@ -217,13 +236,9 @@ object StreamNearDedup {
       if (!committedIds(batchId)) {
         val keys = graft.operators.Dedup.bandKeys(spark, batch).persist()
         try {
-          // The tail rides as ONE part (union of its delta scans), not
-          // one part per delta: every extra union branch in the probe
-          // re-scans the persisted keys frame, so per-branch cost ×
-          // MEM_FOLD_EVERY was itself a creep (measured ~0.07 s/branch).
-          val (kept, newKeys) = admitWithKeys(spark, batch, keys,
-            stateBase :: (if (stateTail.isEmpty) Nil
-                          else List(stateTail.reduce(_ unionAll _))))
+          val (kept, newKeys) =
+            admitWithKeys(spark, batch, keys, stateBase :: stateTail,
+              ckptProbe = stateBytes > RUN_CLUSTER_BYTES)
           // coalesce(1): a batch's state delta is small relative to the
           // corpus (it is one batch's keys/admissions), and writing it
           // as one file instead of one per shuffle partition keeps the
@@ -236,8 +251,19 @@ object StreamNearDedup {
           commit(stateDir, batchId)
         } finally keys.unpersist(blocking = false)
         committedIds += batchId
-        stateTail = spark.read.parquet(s"$stateDir/bands/batch_id=$batchId")
-          .select(col("band_idx"), col("band_key")) :: stateTail
+        // Each committed delta becomes its OWN tail part (L0 of the
+        // in-memory LSM) — never consolidated: a consolidated lazy
+        // tail re-shuffled + re-sorted MEM_FOLD_EVERY batches of keys
+        // every trigger once it outgrew the broadcast threshold
+        // (measured: the 2.7→4.7 s/batch creep at scale-probe batch
+        // sizes). A delta small enough to broadcast stays a lazy
+        // parquet scan (AQE broadcasts its branch — exchange-free on
+        // the state side, no extra job); a bigger one pays ONE
+        // clustering job (batch-bounded) and probes as a sorted merge
+        // run like the base. The written file size decides for free.
+        stateTail = tailRun(spark, s"$stateDir/bands/batch_id=$batchId",
+          col("band_idx"), col("band_key")) :: stateTail
+        stateBytes += dirBytes(s"$stateDir/bands/batch_id=$batchId")
         sinceMemFold += 1; sinceDiskFold += 1
         if (foldEvery > 0 && sinceDiskFold >= foldEvery) {
           compactState(spark, stateDir)
@@ -245,6 +271,7 @@ object StreamNearDedup {
             readState(spark, stateDir, "bands")
               .select(col("band_idx"), col("band_key")))
           stateTail = Nil
+          stateBytes = bandTableBytes(stateDir)
           sinceDiskFold = 0; sinceMemFold = 0
         } else if (sinceMemFold >= MEM_FOLD_EVERY) {
           stateBase = ckptClustered(spark,
@@ -278,6 +305,47 @@ object StreamNearDedup {
     * conf toggle is safe here because the accumulator owns its
     * session's trigger thread (foreachBatch is serial) — nothing else
     * plans queries in the window. */
+  /** Parquet bytes under a directory (recursive) — the free size
+    * signal the tail-run and probe-checkpoint decisions read (the
+    * files were just written, or are being resumed from). */
+  private[streaming] def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+    walk(new java.io.File(path))
+  }
+
+  /** Total stored bytes of a state dir's band tables (generation base
+    * + per-batch delta dirs) — the resume-time seed of the
+    * accumulators' running band-size counter. */
+  private[streaming] def bandTableBytes(stateDir: String): Long =
+    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == "bands" || f.getName.startsWith("bands-g"))
+      .map(f => dirBytes(f.toString)).sum
+
+  /** Broadcast-regime bound for a tail delta: below it the lazy scan's
+    * probe branch broadcasts (exchange-free on the state side, no
+    * materialization job); above it the run pays one clustering job
+    * and probes as a sorted merge. Conservatively under Spark's 10 MB
+    * autoBroadcastJoinThreshold — parquet bytes underestimate the
+    * in-memory relation. */
+  private[streaming] val RUN_CLUSTER_BYTES: Long = 4L << 20
+
+  /** One tail part for a just-committed delta directory: lazy scan in
+    * the broadcast regime, clustered sorted run past it. */
+  private def tailRun(spark: SparkSession, path: String,
+      cols: org.apache.spark.sql.Column*): DataFrame = {
+    val scan = spark.read.parquet(path).select(cols: _*)
+    if (dirBytes(path) <= RUN_CLUSTER_BYTES) scan
+    else ckptClustered(spark, scan)
+  }
+
+  /** [[tailRun]] for the keep-best accumulator (its band rows carry
+    * the cluster id). */
+  private[streaming] def tailRunFor(spark: SparkSession, path: String,
+      cols: org.apache.spark.sql.Column*): DataFrame =
+    tailRun(spark, path, cols: _*)
+
   private[graft] def ckptClustered(spark: SparkSession, bands: DataFrame): DataFrame = {
     val key = "spark.sql.adaptive.enabled"
     val old = spark.conf.get(key)

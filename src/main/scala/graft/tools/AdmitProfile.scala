@@ -43,6 +43,34 @@ object AdmitProfile {
     println(s"[adm] admitted total: ${acc.admitted.count()}")
     graft.streaming.StreamingOps.deleteRecursively(stateDir)
 
+    if (args.contains("--exact")) {
+      println("[adm] ===== exact onBatch replay (write-timed) =====")
+      val sd = graft.Scratch.dir("graft_admexact_state_")
+      var base = StreamNearDedup.ckptClustered(
+        spark, StreamNearDedup.emptyState(spark))
+      var tail: List[org.apache.spark.sql.DataFrame] = Nil
+      (0 until nb).foreach { k =>
+        val b = docs.filter(pmod(col("doc_id"), lit(nb)) === k)
+        println(s"[adm] --- batch $k ---")
+        val keys = Dedup.bandKeys(spark, b).persist()
+        val (kept, newKeys) = t(s"b$k admitWithKeys construct(+probe)")(
+          StreamNearDedup.admitWithKeys(spark, b, keys, base :: tail))
+        t(s"b$k newKeys write")(
+          newKeys.coalesce(1).write.mode("overwrite")
+            .parquet(s"$sd/bands/batch_id=$k"))
+        t(s"b$k kept write")(
+          kept.coalesce(1).write.mode("overwrite")
+            .parquet(s"$sd/admitted/batch_id=$k"))
+        keys.unpersist(blocking = false)
+        tail = t(s"b$k cluster delta run")(StreamNearDedup.ckptClustered(
+          spark, spark.read.parquet(s"$sd/bands/batch_id=$k")
+            .select(col("band_idx"), col("band_key")))) :: tail
+      }
+      graft.streaming.StreamingOps.deleteRecursively(sd)
+      spark.stop()
+      return
+    }
+
     if (args.contains("--phases")) {
       println("[adm] ===== phase decomposition (clustered mirror) =====")
       var base = StreamNearDedup.ckptClustered(
@@ -56,8 +84,7 @@ object AdmitProfile {
           val kk = Dedup.bandKeys(spark, b).persist(); kk.count(); kk
         }
         val hitPrior = t(s"b$k prior-probe (base+tail)") {
-          (base :: (if (tail.isEmpty) Nil
-                    else List(tail.reduce(_ unionAll _))))
+          (base :: tail)
             .map(p => keys.join(p, Seq("band_idx", "band_key"), "left_semi"))
             .reduce(_ unionAll _)
             .select(col("doc_id")).distinct().localCheckpoint()
@@ -77,7 +104,8 @@ object AdmitProfile {
           skeys.join(nonCanonical, Seq("doc_id"), "left_anti")
             .select(col("band_idx"), col("band_key")).localCheckpoint()
         }
-        tail = newKeys :: tail
+        tail = t(s"b$k cluster delta run")(
+          StreamNearDedup.ckptClustered(spark, newKeys)) :: tail
         sinceFold += 1
         if (sinceFold >= StreamNearDedup.MEM_FOLD_EVERY) {
           t(s"b$k mirror refold") {
