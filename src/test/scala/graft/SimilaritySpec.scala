@@ -245,6 +245,20 @@ class SimilaritySpec extends SparkSpecBase {
     served.foreach(v => assert(ids.contains(v)))
     assert(served.exists(_ % 4 == 3),
       "no delta vector in any served top-k — appended codes unreachable?")
+    // Layout-pinned: a delta is LSM L0 — one flat cell-clustered
+    // parquet dir, NOT a cell-partitioned tree. Partitioning a
+    // KB-sized delta wrote O(cells) near-empty files per append and
+    // every later read paid listing + footers on all of them (the
+    // measured 146-files-per-80KiB shape this replaced).
+    val deltaDir = new java.io.File(s"$idx/deltas/1/codes")
+    assert(deltaDir.isDirectory)
+    val entries = deltaDir.listFiles()
+    assert(!entries.exists(_.isDirectory),
+      s"delta written as a partition tree: ${entries.filter(_.isDirectory).take(3).mkString(",")}")
+    val dataFiles = entries.count(_.getName.endsWith(".parquet"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(dataFiles > 0 && dataFiles <= parts,
+      s"delta landed as $dataFiles files (shuffle partitions: $parts)")
   }
 
   test("stream_ann_upsert_live: streamed delta commits equal the one-shot upsert") {

@@ -653,4 +653,42 @@ class StreamNearDedupSpec extends SparkSpecBase {
       assert(keptOf(three).contains(20L) && !keptOf(three).contains(10L))
     } finally Seq(s1, s3).foreach(graft.streaming.StreamingOps.deleteRecursively)
   }
+
+  test("clustered mirror probe: no exchange and no sort on the state side") {
+    // The scale claim behind the flat per-trigger admission cost: a
+    // ckptClustered band frame joins with ONLY the keys side paying an
+    // exchange + sort — the state side is a merge scan of the
+    // checkpointed layout. Plan-pinned so a refactor (or an AQE
+    // behavior change) that silently reintroduces the per-trigger
+    // state re-shuffle fails here, not in a scale probe three rounds
+    // later. LogicalRDD reports no stats, so the planner always picks
+    // SortMergeJoin for the checkpointed side — the plan is stable.
+    import spark.implicits._
+    val bands = (0L until 100000L)
+      .map(i => ((i % 16).toInt, i * 2654435761L)).toDF("band_idx", "band_key")
+    val base = StreamNearDedup.ckptClustered(spark, bands)
+    val keys = (0L until 500L)
+      .map(i => ((i % 16).toInt, i * 7919L, i)).toDF("band_idx", "band_key", "doc_id")
+    // Pin the LARGE-state regime (the one the flatness claim is
+    // about): below the broadcast threshold the planner broadcasts the
+    // state instead, which is also exchange-free on the state side but
+    // not the shape that must hold at 10⁹ rows.
+    val threshold = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(threshold)
+    val plan = try {
+      spark.conf.set(threshold, "-1")
+      val probe = keys.join(base, Seq("band_idx", "band_key"), "left_semi")
+      probe.queryExecution.toRdd.count()
+      // The executed-plan string under AQE prints Final AND Initial
+      // plan sections — assert over the final one only.
+      probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+    } finally spark.conf.set(threshold, old)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly the keys-side exchange, got $exchanges:\n$plan")
+    assert(sorts == 1, s"expected exactly the keys-side sort, got $sorts:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      "the state side must be the checkpointed scan itself")
+  }
 }
