@@ -179,25 +179,41 @@ object StreamKeepBest {
     val survComp = survivors.join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("comp"), col("quality"))
-    // New clusters admit their best-quality member. Cluster populations
-    // are bounded by the dedup radius, so the per-key window state
-    // stays tiny at any corpus size (the dedup_keep_best argument).
-    val newEvents = survComp.withColumn("rn", row_number().over(byQuality))
-      .select(col("doc_id"), col("comp"), col("quality"),
-        when(col("rn") === 1, lit("new")).otherwise(lit("drop")).as("action"))
-    // Challenge resolution: rank incumbent + challengers per cluster.
-    // Every state cluster appears via its incumbent row, so clusters
-    // with no challengers this batch keep their canonical untouched.
-    val contenders = challengers
-      .select(col("comp"), col("doc_id"), col("quality"))
-      .withColumn("inc", lit(false))
-      .unionByName(canon.select(col("comp"), col("doc_id"), col("quality"))
-        .withColumn("inc", lit(true)))
-    val chalEvents = contenders.withColumn("rn", row_number().over(byQuality))
+    // Incumbents enter the ranking ONLY for clusters challenged this
+    // batch: a cluster nobody collided with keeps its canonical with
+    // zero event rows either way, and ranking every incumbent would
+    // push O(total clusters) rows through the window per trigger — a
+    // per-trigger cost growing with state, not with the batch.
+    val relevantCanon = canon
+      .join(challengers.select(col("comp")).distinct(), Seq("comp"), "left_semi")
+    // ONE ranking pass for both decisions. New-cluster comps are
+    // CURRENT-batch doc_ids (componentsBounded minima / own id) while
+    // challenged comps are PRIOR-batch doc_ids (cluster ids in
+    // committed state), and a doc_id never belongs to two batches (the
+    // staging contract, enforced by the commit-skip on redelivery) —
+    // so the two partition-key domains are disjoint and one
+    // window(comp) ranks them without mixing. Cluster populations are
+    // bounded by the dedup radius, so per-key window state stays tiny
+    // at any corpus size (the dedup_keep_best argument). Winner
+    // semantics are unchanged: rank 1 of a fresh cluster is `new`,
+    // rank 1 of a challenged cluster is `replace` unless the incumbent
+    // holds it (then, as before, every challenger ranks > 1 and
+    // drops); incumbents themselves emit no event.
+    val contenders = survComp
+      .withColumn("inc", lit(false)).withColumn("fresh", lit(true))
+      .unionByName(challengers
+        .select(col("doc_id"), col("comp"), col("quality"))
+        .withColumn("inc", lit(false)).withColumn("fresh", lit(false)))
+      .unionByName(relevantCanon
+        .select(col("doc_id"), col("comp"), col("quality"))
+        .withColumn("inc", lit(true)).withColumn("fresh", lit(false)))
+    val events = contenders.withColumn("rn", row_number().over(byQuality))
       .filter(!col("inc"))
       .select(col("doc_id"), col("comp"), col("quality"),
-        when(col("rn") === 1, lit("replace")).otherwise(lit("drop")).as("action"))
-    (newEvents.unionByName(chalEvents), keys)
+        when(col("rn") =!= 1, lit("drop"))
+          .when(col("fresh"), lit("new"))
+          .otherwise(lit("replace")).as("action"))
+    (events, keys)
   }
 
   /** Canonical table from a persisted event log: per cluster, the
