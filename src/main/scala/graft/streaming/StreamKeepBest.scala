@@ -105,6 +105,22 @@ object StreamKeepBest {
   private def byQuality = Window.partitionBy(col("comp"))
     .orderBy(col("quality").desc, col("doc_id"))
 
+  /** Latest-wins resolve over canonical PARTS (newest part first):
+    * each part holds at most one row per comp, a later part's row
+    * supersedes an earlier one's — so the current canonical is the
+    * row from the newest part containing the comp. `max_by` over a
+    * generation index is partial-aggregating: no window, no sort, and
+    * when the parts were pre-filtered to a batch-bounded comp set the
+    * one shuffle moves only those rows. */
+  private def resolveLatest(parts: Seq[DataFrame]): DataFrame =
+    parts.zipWithIndex
+      .map { case (p, i) => p.withColumn("gen", lit(-i)) }
+      .reduce(_ unionByName _)
+      .groupBy(col("comp"))
+      .agg(max_by(struct(col("doc_id"), col("quality")), col("gen")).as("w"))
+      .select(col("comp"), col("w.doc_id").as("doc_id"),
+        col("w.quality").as("quality"))
+
   /** One keep-best step over a (doc_id, text) micro-batch. Returns
     * (events, keys): `events` is one row per batch doc —
     * (doc_id, comp, quality, action) with action ∈ new/replace/drop —
@@ -118,27 +134,29 @@ object StreamKeepBest {
     // branch and feeds BOTH per-batch actions (the events write and the
     // band-delta write) — materialize it once.
     val keys = Dedup.bandKeys(spark, batch).localCheckpoint()
-    keepBestWithKeys(spark, batch, keys, stateBands, canon)
+    keepBestWithKeys(spark, batch, keys, Seq(stateBands), Seq(canon))
   }
 
-  /** [[keepBestBatch]] against a caller-materialized band-key frame —
-    * the per-trigger accumulator passes a `persist()`ed frame so the
-    * minhash pipeline materializes INSIDE the first consuming write
-    * job (one fewer job per trigger, the [[StreamNearDedup
-    * .admitWithKeys]] posture) and unpersists it once its writes land. */
-  private[streaming] def keepBestWithKeys(spark: SparkSession,
-      batch: DataFrame, keys: DataFrame, stateBands: DataFrame,
-      canon: DataFrame): (DataFrame, DataFrame) =
-    keepBestWithKeys(spark, batch, keys, Seq(stateBands), canon)
-
-  /** [[keepBestWithKeys]] with the band state held as SEVERAL parts
-    * (clustered sorted base + consolidated unfolded tail — the
-    * [[StreamNearDedup.admitWithKeys]] multi-part posture and
+  /** [[keepBestBatch]] against a caller-materialized band-key frame,
+    * with BOTH state tables held as parts.
+    *
+    * `stateParts` — clustered sorted band base + consolidated unfolded
+    * tail, the [[StreamNearDedup.admitWithKeys]] multi-part posture and
     * rationale: part-wise joins keep the base's checkpointed layout,
-    * so its side of the probe is exchange- and sort-free). */
+    * so its side of the probe is exchange- and sort-free.
+    *
+    * `canonParts` — the canonical table as an LSM list too, NEWEST
+    * first: a checkpointed base plus one winner-delta scan per
+    * committed batch since the last fold. The per-trigger consumer
+    * (the challenged-incumbent lookup) semi-joins EACH part by the
+    * batch's challenged comps before [[resolveLatest]], so a trigger
+    * reads batch-bounded rows per part instead of executing a
+    * per-batch anti-join+union chain whose depth — and shuffle count —
+    * grew with every trigger since the last fold (the measured
+    * 3.4→7.1 s/batch creep at probe scale). */
   private[graft] def keepBestWithKeys(spark: SparkSession,
       batch: DataFrame, keys: DataFrame, stateParts: Seq[DataFrame],
-      canon: DataFrame, ckptProbe: Boolean = false): (DataFrame, DataFrame) = {
+      canonParts: Seq[DataFrame], ckptProbe: Boolean = false): (DataFrame, DataFrame) = {
     // Deliberately NOT checkpointed: quality is one codegen map pass
     // over the batch source, consumed by two branches of the single
     // events action — a second in-job scan of one micro-batch file is
@@ -183,9 +201,14 @@ object StreamKeepBest {
     // batch: a cluster nobody collided with keeps its canonical with
     // zero event rows either way, and ranking every incumbent would
     // push O(total clusters) rows through the window per trigger — a
-    // per-trigger cost growing with state, not with the batch.
-    val relevantCanon = canon
-      .join(challengers.select(col("comp")).distinct(), Seq("comp"), "left_semi")
+    // per-trigger cost growing with state, not with the batch. The
+    // challenged set comes from docComp directly (challengers is
+    // docComp ⋈ scored on an all-batch-docs scored side, so their comp
+    // sets are identical) — each canonical part semi-joins against it
+    // WITHOUT re-executing the scored scan.
+    val challengedComps = docComp.select(col("comp")).distinct()
+    val relevantCanon = resolveLatest(canonParts.map(
+      _.join(challengedComps, Seq("comp"), "left_semi")))
     // ONE ranking pass for both decisions. New-cluster comps are
     // CURRENT-batch doc_ids (componentsBounded minima / own id) while
     // challenged comps are PRIOR-batch doc_ids (cluster ids in
@@ -262,20 +285,38 @@ object StreamKeepBest {
     // boundary), and readPartitioned ignores the manifest.
     // Base + tail, never one unioned frame — the [[StreamNearDedup
     // .PersistentAccumulator]] mirror discipline: the clustered base's
-    // probe side is exchange- and sort-free per trigger.
+    // probe side is exchange- and sort-free per trigger. The base also
+    // COLLAPSES to one row per (band_idx, band_key) holding the MIN
+    // comp: routing takes min over colliding clusters, and min over
+    // per-part minima equals min over the full rows — so the probe
+    // join emits at most one match per batch key per part instead of
+    // the state's collision multiplicity (hot band keys made it grow
+    // with state). Broadcast-regime tail scans stay raw (batch-sized,
+    // not worth a shuffle); clustered runs and every folded base
+    // collapse.
+    private def collapsedMin(bands: DataFrame): DataFrame =
+      bands.groupBy(col("band_idx"), col("band_key"))
+        .agg(min(col("comp")).as("comp"))
     @volatile private var bandsBase: DataFrame =
-      StreamNearDedup.ckptClustered(spark,
+      StreamNearDedup.ckptClustered(spark, collapsedMin(
         StreamNearDedup.readState(spark, stateDir, "bands",
             emptyBandsPersisted(spark))
-          .select(col("band_idx"), col("band_key"), col("comp")))
+          .select(col("band_idx"), col("band_key"), col("comp"))))
     @volatile private var bandsTail: List[DataFrame] = Nil
     // Running band-table bytes (the [[StreamNearDedup
     // .PersistentAccumulator]] counter): past the broadcast regime the
     // routing probe is materialized once per trigger.
     private var bandBytes: Long = StreamNearDedup.bandTableBytes(stateDir)
-    @volatile private var canonMem: DataFrame =
+    // Canonical mirror as an LSM list too — checkpointed base + one
+    // lazy winner-delta scan per committed batch (newest first),
+    // resolved latest-wins by [[resolveLatest]] only for the comps a
+    // trigger actually challenges. The former anti-join+union chain
+    // re-executed one shuffle PER LAYER inside every events write — a
+    // per-trigger cost growing with triggers-since-fold.
+    @volatile private var canonBase: DataFrame =
       consolidate(StreamNearDedup.readPartitioned(spark, s"$stateDir/events",
         committedIds, emptyEvents(spark))).localCheckpoint()
+    @volatile private var canonTail: List[DataFrame] = Nil
     private var sinceMemFold = 0
     private var sinceDiskFold = 0
 
@@ -304,7 +345,7 @@ object StreamKeepBest {
         val keys = Dedup.bandKeys(spark, batch).persist()
         val winners = try {
           val (events, _) = keepBestWithKeys(spark, batch, keys,
-            bandsBase :: bandsTail, canonMem,
+            bandsBase :: bandsTail, canonTail :+ canonBase,
             ckptProbe = bandBytes > StreamNearDedup.RUN_CLUSTER_BYTES)
           // coalesce(1): one batch's delta, sized like the first-touch
           // accumulator's — a production job sizes this to batch volume.
@@ -326,32 +367,41 @@ object StreamKeepBest {
         // One tail part per committed delta — the [[StreamNearDedup
         // .PersistentAccumulator]] L0 discipline and rationale
         // (broadcast-regime deltas stay lazy scans; bigger ones become
-        // clustered sorted runs; never consolidated).
-        bandsTail = StreamNearDedup.tailRunFor(spark,
-          s"$stateDir/bands/batch_id=$batchId",
-          col("band_idx"), col("band_key"), col("comp")) :: bandsTail
+        // clustered sorted runs; never consolidated). Past the
+        // broadcast regime the run is min-collapsed like the base, so
+        // the routing probe's output stays ≤ batch keys × live parts.
+        bandsTail = {
+          val path = s"$stateDir/bands/batch_id=$batchId"
+          val scan = spark.read.parquet(path)
+            .select(col("band_idx"), col("band_key"), col("comp"))
+          if (StreamNearDedup.dirBytes(path) <= StreamNearDedup.RUN_CLUSTER_BYTES)
+            scan
+          else StreamNearDedup.ckptClustered(spark, collapsedMin(scan))
+        } :: bandsTail
         bandBytes += StreamNearDedup.dirBytes(s"$stateDir/bands/batch_id=$batchId")
-        // Replacements overwrite their cluster's row; new clusters
-        // append. The anti-join keys on comp — one winner per cluster
-        // per batch keeps it exact.
-        canonMem = canonMem.join(winners.select(col("comp")), Seq("comp"), "left_anti")
-          .unionByName(winners)
+        // The winners delta IS the canonical update: a replacement's
+        // newer row supersedes the cluster's older one at resolve
+        // time, a new cluster's row introduces it. One lazy scan of
+        // the just-written events file — no per-trigger join.
+        canonTail = winners :: canonTail
         sinceMemFold += 1; sinceDiskFold += 1
         if (foldEvery > 0 && sinceDiskFold >= foldEvery) {
           compactBands(spark, stateDir)
-          bandsBase = StreamNearDedup.ckptClustered(spark,
+          bandsBase = StreamNearDedup.ckptClustered(spark, collapsedMin(
             StreamNearDedup.readState(spark, stateDir, "bands",
                 emptyBandsPersisted(spark))
-              .select(col("band_idx"), col("band_key"), col("comp")))
+              .select(col("band_idx"), col("band_key"), col("comp"))))
           bandsTail = Nil
           bandBytes = StreamNearDedup.bandTableBytes(stateDir)
-          canonMem = canonMem.localCheckpoint()
+          canonBase = resolveLatest(canonTail :+ canonBase).localCheckpoint()
+          canonTail = Nil
           sinceDiskFold = 0; sinceMemFold = 0
         } else if (sinceMemFold >= StreamNearDedup.MEM_FOLD_EVERY) {
-          bandsBase = StreamNearDedup.ckptClustered(spark,
-            (bandsBase :: bandsTail).reduce(_ unionAll _))
+          bandsBase = StreamNearDedup.ckptClustered(spark, collapsedMin(
+            (bandsBase :: bandsTail).reduce(_ unionAll _)))
           bandsTail = Nil
-          canonMem = canonMem.localCheckpoint()
+          canonBase = resolveLatest(canonTail :+ canonBase).localCheckpoint()
+          canonTail = Nil
           sinceMemFold = 0
         }
       }

@@ -22,6 +22,130 @@ object KbProfile {
       r
     }
 
+    // --scale n nb: the ScaleProbe keepbest_admission loop with each
+    // trigger phase forced separately — locates the state-growing term
+    // behind a non-flat per-batch curve (the gate-sized replay below
+    // can't: 3 batches never accumulate enough state).
+    if (args.contains("--scale")) {
+      val rest = args.dropWhile(_ != "--scale").drop(1)
+      val n = rest.headOption.flatMap(_.toIntOption).getOrElse(50000)
+      val nb = rest.drop(1).headOption.flatMap(_.toIntOption).getOrElse(6)
+      import spark.implicits._
+      val docs = ScaleProbe.generate(n, seed = 77)
+        .map { case (id, text, _, _, _) => (id, text) }
+        .toDF("doc_id", "text").localCheckpoint()
+
+      println("[kb] ===== production accumulator (wall-clock) =====")
+      val sd0 = graft.Scratch.dir("graft_kbscale_state_")
+      val acc = new StreamKeepBest.PersistentKeepBest(spark, sd0.toString)
+      (0 until nb).foreach { k =>
+        val b = docs.filter(pmod(col("doc_id"), lit(nb)) === k)
+        t(f"b$k onBatch (accumulator)")(acc.onBatch(b, k.toLong))
+      }
+      graft.streaming.StreamingOps.deleteRecursively(sd0)
+
+      println("[kb] ===== phase decomposition (scale) =====")
+      val sd = graft.Scratch.dir("graft_kbscalep_state_")
+      var bandsBase = StreamNearDedup.ckptClustered(
+        spark, StreamKeepBest.emptyBands(spark))
+      var bandsTail: List[org.apache.spark.sql.DataFrame] = Nil
+      var canonBase = StreamKeepBest.emptyCanon(spark).localCheckpoint()
+      var canonTail: List[org.apache.spark.sql.DataFrame] = Nil
+      def resolveLatest(parts: Seq[org.apache.spark.sql.DataFrame]) =
+        parts.zipWithIndex
+          .map { case (p, i) => p.withColumn("gen", lit(-i)) }
+          .reduce(_ unionByName _)
+          .groupBy(col("comp"))
+          .agg(max_by(struct(col("doc_id"), col("quality")), col("gen")).as("w"))
+          .select(col("comp"), col("w.doc_id").as("doc_id"),
+            col("w.quality").as("quality"))
+      (0 until nb).foreach { k =>
+        println(s"[kb] --- batch $k ---")
+        val b = docs.filter(pmod(col("doc_id"), lit(nb)) === k)
+        val keys = t(s"b$k minhash+persist") {
+          val kk = Dedup.bandKeys(spark, b).persist(); kk.count(); kk
+        }
+        val scored = b.select(col("doc_id"),
+          graft.operators.Pipeline.qualityCol(col("text")).as("quality"))
+        val docComp = t(s"b$k routing probe ckpt") {
+          (bandsBase :: bandsTail)
+            .map(p => keys.join(p, Seq("band_idx", "band_key")))
+            .reduce(_ unionAll _)
+            .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+            .localCheckpoint()
+        }
+        val canonMem = t(s"b$k challenged-canon resolve") {
+          val challenged = docComp.select(col("comp")).distinct()
+          resolveLatest((canonTail :+ canonBase).map(
+            _.join(challenged, Seq("comp"), "left_semi"))).localCheckpoint()
+        }
+        locally {
+          val challengers = t(s"b$k challengers ckpt")(
+            docComp.join(scored, Seq("doc_id")).localCheckpoint())
+          val skeys = t(s"b$k skeys ckpt")(
+            keys.join(docComp, Seq("doc_id"), "left_anti").localCheckpoint())
+          val survivors = scored.join(docComp, Seq("doc_id"), "left_anti")
+          val comps = t(s"b$k pairs+components") {
+            val pairs = skeys.select(col("doc_id").as("a"), col("band_idx"), col("band_key"))
+              .join(skeys.select(col("doc_id").as("b"), col("band_idx"), col("band_key")),
+                Seq("band_idx", "band_key"))
+              .filter(col("a") < col("b"))
+              .select(col("a"), col("b")).distinct()
+            Dedup.componentsBounded(pairs)
+              .select(col("id").as("doc_id"), col("comp"))
+          }
+          println(s"[kb]   docComp=${docComp.count()} " +
+            s"challengers=${challengers.count()} skeys=${skeys.count()}")
+          t(s"b$k events window+write") {
+            val survComp = survivors.join(comps, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("comp"), col("doc_id")).as("comp"), col("quality"))
+            val relevantCanon = canonMem
+              .join(challengers.select(col("comp")).distinct(), Seq("comp"), "left_semi")
+            val contenders = survComp
+              .withColumn("inc", lit(false)).withColumn("fresh", lit(true))
+              .unionByName(challengers
+                .select(col("doc_id"), col("comp"), col("quality"))
+                .withColumn("inc", lit(false)).withColumn("fresh", lit(false)))
+              .unionByName(relevantCanon
+                .select(col("doc_id"), col("comp"), col("quality"))
+                .withColumn("inc", lit(true)).withColumn("fresh", lit(false)))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("comp")).orderBy(col("quality").desc, col("doc_id"))
+            contenders.withColumn("rn", row_number().over(w))
+              .filter(!col("inc"))
+              .select(col("doc_id"), col("comp"), col("quality"),
+                when(col("rn") =!= 1, lit("drop"))
+                  .when(col("fresh"), lit("new"))
+                  .otherwise(lit("replace")).as("action"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$sd/events/batch_id=$k")
+          }
+        }
+        val winners = spark.read.parquet(s"$sd/events/batch_id=$k")
+          .filter(col("action") =!= "drop")
+          .select(col("comp"), col("doc_id"), col("quality"))
+        t(s"b$k band-delta write") {
+          keys.join(winners.select(col("doc_id"), col("comp")), Seq("doc_id"))
+            .select(col("band_idx"), col("band_key"), col("comp"))
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$sd/bands/batch_id=$k")
+        }
+        t(s"b$k tail cluster run") {
+          bandsTail = StreamNearDedup.ckptClustered(spark,
+            spark.read.parquet(s"$sd/bands/batch_id=$k")
+              .select(col("band_idx"), col("band_key"), col("comp"))
+              .groupBy(col("band_idx"), col("band_key"))
+              .agg(min(col("comp")).as("comp"))) :: bandsTail
+        }
+        canonTail = winners :: canonTail
+        keys.unpersist(blocking = false)
+      }
+      graft.streaming.StreamingOps.deleteRecursively(sd)
+      spark.stop()
+      return
+    }
+
     val src = graft.streaming.StreamNearDedup.stagedPacedDocsDir(spark, sfDir)
     val files = new java.io.File(src).listFiles().filter(_.getName.endsWith(".parquet"))
       .sortBy(_.getName)
@@ -35,7 +159,8 @@ object KbProfile {
       var bandsBase = t("ckptClustered(empty)")(
         StreamNearDedup.ckptClustered(ss, StreamKeepBest.emptyBands(ss)))
       var bandsTail: List[org.apache.spark.sql.DataFrame] = Nil
-      var canonMem = StreamKeepBest.emptyCanon(ss).localCheckpoint()
+      var canonBase = StreamKeepBest.emptyCanon(ss).localCheckpoint()
+      var canonTail: List[org.apache.spark.sql.DataFrame] = Nil
       files.zipWithIndex.foreach { case (f, i) =>
         println(s"[kb] --- batch $i ---")
         val batch = ss.read.parquet(f.toString).select(col("doc_id"), col("text"))
@@ -46,7 +171,7 @@ object KbProfile {
           val (ev, _) = StreamKeepBest.keepBestWithKeys(ss, batch, keys,
             bandsBase :: (if (bandsTail.isEmpty) Nil
                           else List(bandsTail.reduce(_ unionAll _))),
-            canonMem)
+            canonTail :+ canonBase)
           ev.coalesce(1).write.mode("overwrite")
             .parquet(s"$stateDir/events/batch_id=$i")
         }
@@ -64,8 +189,7 @@ object KbProfile {
         t(s"b$i mirror updates") {
           bandsTail = ss.read.parquet(s"$stateDir/bands/batch_id=$i")
             .select(col("band_idx"), col("band_key"), col("comp")) :: bandsTail
-          canonMem = canonMem.join(winners.select(col("comp")), Seq("comp"), "left_anti")
-            .unionByName(winners)
+          canonTail = winners :: canonTail
         }
         keys.unpersist(blocking = false)
       }

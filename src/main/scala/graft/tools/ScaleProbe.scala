@@ -326,6 +326,43 @@ object ScaleProbe {
     } finally Seq(histDir, seedDir, stateDir).foreach(
       graft.streaming.StreamingOps.deleteRecursively)
 
+    // Keep-best admission at the same scale (round-17): per-trigger
+    // cost must track BATCH volume, not accumulated state — the
+    // ranking window ranks only the batch's contenders (survivors,
+    // challengers, and the incumbents of clusters actually CHALLENGED
+    // this batch), the canonical mirror resolves latest-wins over
+    // LSM parts semi-joined by the challenged set, and the band
+    // mirror is min-collapsed. The residual per-trigger term is the
+    // per-PART overhead of the unfolded tails, which the
+    // MEM_FOLD_EVERY mirror fold caps — so this probe runs PAST the
+    // fold point (12 batches, fold at 8) to show the sawtooth: cost
+    // climbs with tail depth, resets at the fold (whose one-off cost
+    // lands on that batch), and stays bounded thereafter.
+    val nbKb = 4 * graft.operators.Dedup.PACED_BATCHES
+    val kbDir = graft.Scratch.dir("graft_sf1_keepbest_")
+    val kbJson = try {
+      val kb = new graft.streaming.StreamKeepBest.PersistentKeepBest(
+        spark, kbDir.toString)
+      val per = (0 until nbKb).map { k =>
+        val b = admitDocs.filter(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.lit(nbKb)) === k)
+        val t0 = System.nanoTime()
+        kb.onBatch(b, k.toLong)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stateRows = spark.read.parquet(s"$kbDir/bands").count()
+        (k, sec, stateRows)
+      }
+      val evTotal = graft.streaming.StreamKeepBest
+        .readEvents(spark, kbDir.toString).count()
+      per.map { case (k, sec, rows) =>
+        f"""{"batch":$k,"sec":$sec%.2f,"state_rows":$rows}"""
+      }.mkString(
+        s""""keepbest_admission":{"batches":$nbKb,"events":$evTotal,"per_batch":[""",
+        ",", "]}")
+    } finally graft.streaming.StreamingOps.deleteRecursively(kbDir)
+
     // Growth decomposition for the dedup-family tails (round-15
     // verdict item): the near-dup family's wall-clock factor
     // legitimately outgrows the doc count because duplicate/candidate
@@ -371,7 +408,7 @@ object ScaleProbe {
     }
     println(s"""{"metric":"scale_probe","sf1_docs":$n,"data_growth":$growth,""" +
       parts.mkString("\"queries\":{", ",", "}") +
-      s",$workJson,$admitJson,$restartJson}")
+      s",$workJson,$admitJson,$kbJson,$restartJson}")
     spark.stop()
   }
 }
