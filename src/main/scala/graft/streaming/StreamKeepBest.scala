@@ -168,8 +168,9 @@ object StreamKeepBest {
     // against the state parts; min over the union of per-part matches
     // equals min over the matches of the parts' union.
     // `ckptProbe` MATERIALIZES the routing probe once: it is the one
-    // state-sized sub-plan of the trigger and it feeds THREE branches
-    // of the events plan (challengers, survivors, skeys) plus the
+    // state-sized sub-plan of the trigger and it feeds FOUR consumers
+    // of the events plan (challengers, survivors, skeys, and the
+    // challenged-comp set embedded once per canonical part) plus the
     // components probe — unmaterialized it re-executes per consumer
     // (the [[StreamNearDedup.admitWithKeys]] hitPrior argument, same
     // broadcast-regime rationale for when the accumulator enables it).
@@ -205,8 +206,15 @@ object StreamKeepBest {
     // challenged set comes from docComp directly (challengers is
     // docComp ⋈ scored on an all-batch-docs scored side, so their comp
     // sets are identical) — each canonical part semi-joins against it
-    // WITHOUT re-executing the scored scan.
-    val challengedComps = docComp.select(col("comp")).distinct()
+    // WITHOUT re-executing the scored scan. It is embedded once PER
+    // canonical part, so past the broadcast regime — where one
+    // materialization job per trigger is already the posture — it is
+    // checkpointed too, collapsing every embedding to a broadcast of
+    // materialized rows; below the regime the duplicates are
+    // broadcast-cheap distincts over a tiny probe, like the probe's
+    // other consumers.
+    val challenged = docComp.select(col("comp")).distinct()
+    val challengedComps = if (ckptProbe) challenged.localCheckpoint() else challenged
     val relevantCanon = resolveLatest(canonParts.map(
       _.join(challengedComps, Seq("comp"), "left_semi")))
     // ONE ranking pass for both decisions. New-cluster comps are

@@ -340,12 +340,6 @@ object StreamNearDedup {
     else ckptClustered(spark, scan)
   }
 
-  /** [[tailRun]] for the keep-best accumulator (its band rows carry
-    * the cluster id). */
-  private[streaming] def tailRunFor(spark: SparkSession, path: String,
-      cols: org.apache.spark.sql.Column*): DataFrame =
-    tailRun(spark, path, cols: _*)
-
   private[graft] def ckptClustered(spark: SparkSession, bands: DataFrame): DataFrame = {
     val key = "spark.sql.adaptive.enabled"
     val old = spark.conf.get(key)

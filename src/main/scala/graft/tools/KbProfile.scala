@@ -100,8 +100,9 @@ object KbProfile {
             val survComp = survivors.join(comps, Seq("doc_id"), "left")
               .select(col("doc_id"),
                 coalesce(col("comp"), col("doc_id")).as("comp"), col("quality"))
+            // canonMem is ALREADY the challenged-comp resolved slice —
+            // no second semi-join, matching the production plan.
             val relevantCanon = canonMem
-              .join(challengers.select(col("comp")).distinct(), Seq("comp"), "left_semi")
             val contenders = survComp
               .withColumn("inc", lit(false)).withColumn("fresh", lit(true))
               .unionByName(challengers

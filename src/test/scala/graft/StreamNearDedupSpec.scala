@@ -463,6 +463,36 @@ class StreamNearDedupSpec extends SparkSpecBase {
       graft.streaming.StreamingOps.deleteRecursively)
   }
 
+  test("keep-best: mem-fold at MEM_FOLD_EVERY preserves latest-wins canonicals") {
+    // 10 batches through ONE accumulator instance cross the in-memory
+    // mirror fold (MEM_FOLD_EVERY = 8; disk fold stays at the default
+    // 64, so only the mem-fold branch fires): the canonical mirror
+    // folds via resolveLatest and the band mirror via the
+    // min-collapsed union. A POST-fold challenger whose quality sits
+    // strictly between the deposed original (batch 0) and the reigning
+    // canonical (batch 1) must still lose — a part-order inversion in
+    // either fold would present the deposed original as the incumbent
+    // and record `replace` instead of `drop`.
+    val state = java.nio.file.Files.createTempDirectory("graft_kb_memfold_")
+    try {
+      val filler = (2 to 8).map(k =>
+        Seq(doc(100L * k, s"filler text number$k only")))
+      val bs: Seq[(Seq[(Long, String)], Long)] =
+        (Seq(Seq(doc(10, base + " zebra???")), Seq(doc(20, base + " zebra")))
+          ++ filler :+ Seq(doc(90, base + " zebra?"))).zipWithIndex
+          .map { case (b, i) => (b, i.toLong) }
+      assert(bs.size > graft.streaming.StreamNearDedup.MEM_FOLD_EVERY)
+      val ev = runKeepBest(state, bs)
+      assert(ev(20L)._1 == 10L && ev(20L)._3 == "replace" && ev(20L)._4 == 1L)
+      assert(ev(90L)._1 == 10L && ev(90L)._3 == "drop" && ev(90L)._4 == 9L,
+        s"post-fold challenge resolved wrongly: ${ev(90L)}")
+      assert(ev(90L)._2 > ev(10L)._2 && ev(90L)._2 < ev(20L)._2,
+        "fixture must order qualities original < challenger < canonical")
+      // Filler singletons are untouched by the fold.
+      (2 to 8).foreach(k => assert(ev(100L * k)._3 == "new"))
+    } finally graft.streaming.StreamingOps.deleteRecursively(state)
+  }
+
   // --- bounded components (the per-trigger clustering fast path) ----------
 
   test("componentsBounded equals the distributed star loop on random graphs") {
