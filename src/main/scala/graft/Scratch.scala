@@ -30,7 +30,15 @@ object Scratch {
     val overridden = sys.props.get("graft.scratch.dir")
       .orElse(sys.env.get("GRAFT_SCRATCH_DIR")).map(Paths.get(_))
     val shm = Paths.get("/dev/shm")
-    overridden.filter(p => Files.isDirectory(p) && Files.isWritable(p))
+    // An explicit override FORCES the location: create it if absent,
+    // fail loudly if unusable. Silently falling back to tmpfs would
+    // reintroduce exactly the memory pressure the operator set the
+    // override to avoid.
+    overridden.map { p =>
+        Files.createDirectories(p)
+        require(Files.isWritable(p), s"scratch override $p is not writable")
+        p
+      }
       .orElse(Some(shm).filter { p =>
         Files.isDirectory(p) && Files.isWritable(p) &&
           (try p.toFile.getUsableSpace >= MinTmpfsFreeBytes

@@ -112,7 +112,7 @@ object StreamKeepBest {
     * generation index is partial-aggregating: no window, no sort, and
     * when the parts were pre-filtered to a batch-bounded comp set the
     * one shuffle moves only those rows. */
-  private def resolveLatest(parts: Seq[DataFrame]): DataFrame =
+  private[graft] def resolveLatest(parts: Seq[DataFrame]): DataFrame =
     parts.zipWithIndex
       .map { case (p, i) => p.withColumn("gen", lit(-i)) }
       .reduce(_ unionByName _)
@@ -185,11 +185,14 @@ object StreamKeepBest {
     // first-touch intra-batch clustering, unchanged.
     val skeys = keys.join(docComp, Seq("doc_id"), "left_anti")
     val survivors = scored.join(docComp, Seq("doc_id"), "left_anti")
+    // No call-site distinct — [[Dedup.componentsBounded]] dedups the
+    // canonicalized pairs itself (the [[StreamNearDedup.admitWithKeys]]
+    // rationale).
     val pairs = skeys.select(col("doc_id").as("a"), col("band_idx"), col("band_key"))
       .join(skeys.select(col("doc_id").as("b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"))
     // Bounded components: a micro-batch's collision graph is tiny, and
     // the distributed star loop's per-round driver overhead dominated
     // trigger wall-clock — see [[Dedup.componentsBounded]].

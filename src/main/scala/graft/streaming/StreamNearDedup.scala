@@ -115,11 +115,15 @@ object StreamNearDedup {
     val survivors = batch.join(hitPrior, Seq("doc_id"), "left_anti")
     val skeys = keys.join(hitPrior, Seq("doc_id"), "left_anti")
     // Intra-batch rule: canonical representative per collision cluster.
+    // No call-site distinct: [[Dedup.componentsBounded]]'s probe
+    // dedups the canonicalized pairs at the same plan point, and its
+    // star-loop fallback is multigraph-safe (spec-pinned) — a second
+    // distinct here only added an exchange per trigger.
     val pairs = skeys.select(col("doc_id").as("a"), col("band_idx"), col("band_key"))
       .join(skeys.select(col("doc_id").as("b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"))
     // Bounded components: a micro-batch's collision graph is tiny, and
     // the distributed star loop's per-round driver overhead dominated
     // trigger wall-clock — see [[Dedup.componentsBounded]].
@@ -315,13 +319,28 @@ object StreamNearDedup {
     walk(new java.io.File(path))
   }
 
-  /** Total stored bytes of a state dir's band tables (generation base
-    * + per-batch delta dirs) — the resume-time seed of the
-    * accumulators' running band-size counter. */
-  private[streaming] def bandTableBytes(stateDir: String): Long =
-    Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName == "bands" || f.getName.startsWith("bands-g"))
-      .map(f => dirBytes(f.toString)).sum
+  /** Stored bytes of a state dir's LIVE band table — the resume-time
+    * seed of the accumulators' running band-size counter. Counts the
+    * current generation base (per the MANIFEST) plus only UNFOLDED
+    * per-batch deltas: the deferred one-fold GC keeps the previous
+    * generation and the just-folded batch dirs on disk, and counting
+    * that debris tripled the size right after a fold — tripping the
+    * ckptProbe regime (RUN_CLUSTER_BYTES) while the real state still
+    * broadcast. */
+  private[streaming] def bandTableBytes(stateDir: String): Long = {
+    val (gen, foldedUpTo) = manifest(stateDir)
+    val base = if (gen > 0) dirBytes(s"$stateDir/bands-g$gen") else 0L
+    val deltas =
+      Option(new java.io.File(s"$stateDir/bands").listFiles())
+        .getOrElse(Array.empty)
+        .filter { d =>
+          val n = d.getName
+          n.startsWith("batch_id=") &&
+            n.stripPrefix("batch_id=").toLongOption.exists(_ > foldedUpTo)
+        }
+        .map(d => dirBytes(d.toString)).sum
+    base + deltas
+  }
 
   /** Broadcast-regime bound for a tail delta: below it the lazy scan's
     * probe branch broadcasts (exchange-free on the state side, no

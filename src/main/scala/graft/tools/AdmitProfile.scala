@@ -97,7 +97,7 @@ object AdmitProfile {
             .join(skeys.select(col("doc_id").as("b"), col("band_idx"), col("band_key")),
               Seq("band_idx", "band_key"))
             .filter(col("a") < col("b"))
-            .select(col("a"), col("b")).distinct()
+            .select(col("a"), col("b"))
           val nonCanonical = Dedup.componentsBounded(pairs)
             .filter(col("comp") < col("id"))
             .select(col("id").as("doc_id"))

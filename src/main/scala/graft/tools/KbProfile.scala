@@ -51,14 +51,6 @@ object KbProfile {
       var bandsTail: List[org.apache.spark.sql.DataFrame] = Nil
       var canonBase = StreamKeepBest.emptyCanon(spark).localCheckpoint()
       var canonTail: List[org.apache.spark.sql.DataFrame] = Nil
-      def resolveLatest(parts: Seq[org.apache.spark.sql.DataFrame]) =
-        parts.zipWithIndex
-          .map { case (p, i) => p.withColumn("gen", lit(-i)) }
-          .reduce(_ unionByName _)
-          .groupBy(col("comp"))
-          .agg(max_by(struct(col("doc_id"), col("quality")), col("gen")).as("w"))
-          .select(col("comp"), col("w.doc_id").as("doc_id"),
-            col("w.quality").as("quality"))
       (0 until nb).foreach { k =>
         println(s"[kb] --- batch $k ---")
         val b = docs.filter(pmod(col("doc_id"), lit(nb)) === k)
@@ -76,7 +68,7 @@ object KbProfile {
         }
         val canonMem = t(s"b$k challenged-canon resolve") {
           val challenged = docComp.select(col("comp")).distinct()
-          resolveLatest((canonTail :+ canonBase).map(
+          StreamKeepBest.resolveLatest((canonTail :+ canonBase).map(
             _.join(challenged, Seq("comp"), "left_semi"))).localCheckpoint()
         }
         locally {
@@ -90,7 +82,7 @@ object KbProfile {
               .join(skeys.select(col("doc_id").as("b"), col("band_idx"), col("band_key")),
                 Seq("band_idx", "band_key"))
               .filter(col("a") < col("b"))
-              .select(col("a"), col("b")).distinct()
+              .select(col("a"), col("b"))
             Dedup.componentsBounded(pairs)
               .select(col("id").as("doc_id"), col("comp"))
           }
