@@ -1252,6 +1252,26 @@ object Similarity extends QueryModule {
       fams.foreach(f =>
         scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
     }
+    // Fail LOUDLY on an empty code table. The deterministic stride
+    // codebook picks by vec_id RESIDUE (`vec_id % stride == off %
+    // stride`), which the oracles mirror — but on a sparse id set
+    // (e.g. every 10th id) a residue class can be empty, the PQ
+    // codebooks come out empty, and the build would silently write a
+    // zero-row codes table that serves nothing and breaks every later
+    // read with an unhelpful schema-inference error. A cell-partitioned
+    // write of zero rows leaves no data entries at all, so the check is
+    // a free directory listing.
+    def requireNonEmpty(table: String): Unit = {
+      val entries = Option(new java.io.File(s"$base/$table").listFiles())
+        .getOrElse(Array.empty)
+      require(entries.exists(f => f.isDirectory || f.getName.endsWith(".parquet")),
+        s"index build at $base wrote an EMPTY '$table' table — the stride " +
+          "codebook selects by vec_id residue and matched no rows (sparse or " +
+          "non-contiguous vec_ids can miss every residue class); re-id the " +
+          "corpus densely before building")
+    }
+    requireNonEmpty("codes")
+    if (withResiduals) requireNonEmpty("rcodes")
   }
 
   /** Stage-timed replay of [[buildIndexAt]]'s dataflow (sequential, so
@@ -1387,7 +1407,35 @@ object Similarity extends QueryModule {
   }
 
   def annIndexUpsert(spark: SparkSession, indexBase: String,
-      raw: DataFrame): Unit =
+      raw: DataFrame): Unit = {
+    annIndexUpsert(spark, indexBase, raw, knownParts = None)
+    ()
+  }
+
+  /** [[annIndexUpsert]] with the idempotence anti-join's KNOWN side
+    * supplied by the caller as LSM mirror parts instead of derived
+    * from storage. The storage derivation
+    * (`readCodes(...).select(vec_id).distinct()`) scans the WHOLE
+    * index and shuffles every live id per call — the honest price of
+    * a standalone batch append, but an O(index)-per-trigger cost in a
+    * maintenance LOOP, the same state-growth shape the streaming
+    * admission mirrors exist to remove. A single-writer upsert-only
+    * loop ([[graft.streaming.StreamAnnUpsert]]) instead tracks the
+    * known set itself: a clustered sorted id base built once at loop
+    * start plus one batch-sized part per committed append, anti-joined
+    * part-wise so the base's side stays exchange- and sort-free.
+    *
+    * Caller contract: `knownParts` must cover EXACTLY the committed
+    * live ids (interleaved deletes by another writer would make the
+    * mirror stale and re-append a vector — the per-base lock already
+    * forbids concurrent writers, and the owning loop performs no
+    * deletes). Compaction between calls is fine: it folds layout, not
+    * the id set. Returns the committed fresh `(vec_id)` rows — the
+    * caller's next mirror part, projected from the already-
+    * materialized delta frame — or None when the batch held nothing
+    * new (a redelivery) and no delta was written. */
+  private[graft] def annIndexUpsert(spark: SparkSession, indexBase: String,
+      raw: DataFrame, knownParts: Option[Seq[DataFrame]]): Option[DataFrame] =
     upsertLocks.getOrElseUpdate(indexBase, new Object).synchronized {
       // Known = COMMITTED codes only. A bare parquet append would be
       // the corruption path here: a job-level crash mid-append can
@@ -1399,10 +1447,19 @@ object Similarity extends QueryModule {
       // to this anti-join, and the retry overwrites them wholesale
       // (delta id = max committed + 1, so a crashed attempt's id is
       // reused and its debris clobbered — self-healing replay).
-      val known = readCodes(spark, indexBase)
-        .select(col("vec_id")).distinct()
-      val fresh = raw.join(known, Seq("vec_id"), "left_anti").localCheckpoint()
-      if (!fresh.isEmpty) {
+      val fresh = (knownParts match {
+        case Some(parts) =>
+          // Part-wise chained anti-joins: each layer's state side keeps
+          // its own (clustered base) or broadcast (batch-sized tail)
+          // shape; only the batch-sized raw side moves.
+          parts.foldLeft(raw)((acc, p) =>
+            acc.join(p.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+        case None =>
+          raw.join(readCodes(spark, indexBase).select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+      }).localCheckpoint()
+      if (fresh.isEmpty) None
+      else {
         val k = committedDeltas(indexBase).maxOption.getOrElse(0L) + 1
         val delta = s"$indexBase/deltas/$k"
         // Clear the WHOLE reused directory, not just the tables this op
@@ -1426,6 +1483,7 @@ object Similarity extends QueryModule {
         java.nio.file.Files.createDirectories(commits)
         try java.nio.file.Files.createFile(commits.resolve(k.toString))
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        Some(fresh.select(col("vec_id")))
       }
     }
 

@@ -48,6 +48,49 @@ object StreamAnnUpsert {
       dest.toString
     }
 
+  /** Known-ids mirror for a SINGLE-WRITER upsert-only maintenance
+    * loop: the committed live vec_ids as LSM parts — a clustered
+    * sorted base built ONCE from storage at loop start (vec_id-
+    * partitioned checkpoint, so every trigger's idempotence anti-join
+    * is exchange- and sort-free on this side) plus one batch-sized
+    * part per committed append, folded back into the base every
+    * [[StreamNearDedup.MEM_FOLD_EVERY]] appends (parts are disjoint
+    * by construction — each part was anti-joined against all earlier
+    * ones — so the fold is a plain union, no distinct). Without the
+    * mirror each trigger re-derived the known set from storage:
+    * a full-index codes scan plus an all-ids distinct SHUFFLE per
+    * micro-batch — per-trigger cost growing with the index, the
+    * state-read creep the admission mirrors (r17) exist to remove.
+    * Compaction between appends folds layout, not ids, so it leaves
+    * the mirror valid; interleaved DELETES would not (see the
+    * [[Similarity.annIndexUpsert]] caller contract) — this loop
+    * performs none. */
+  private[graft] final class KnownIdsMirror(spark: SparkSession,
+      indexBase: String) {
+    @volatile private var base: DataFrame = StreamNearDedup.ckptClustered(
+      spark,
+      Similarity.readCodes(spark, indexBase).select(col("vec_id")).distinct(),
+      col("vec_id"))
+    @volatile private var tail: List[DataFrame] = Nil
+    private var sinceFold = 0
+
+    def parts: Seq[DataFrame] = base :: tail
+
+    /** Fold one committed append's fresh ids in (the return value of
+      * the mirror-driven [[Similarity.annIndexUpsert]] — already
+      * backed by a materialized checkpoint). */
+    def advance(freshIds: DataFrame): Unit = {
+      tail = freshIds :: tail
+      sinceFold += 1
+      if (sinceFold >= StreamNearDedup.MEM_FOLD_EVERY) {
+        base = StreamNearDedup.ckptClustered(spark,
+          (base :: tail).reduce(_ unionAll _), col("vec_id"))
+        tail = Nil
+        sinceFold = 0
+      }
+    }
+  }
+
   /** Gate/bench query: copy the cached base-slice index (immutable
     * storage, [[Similarity.upsertSliceIndex]]), stream the delta
     * through the live engine one file per micro-batch with a
@@ -79,11 +122,16 @@ object StreamAnnUpsert {
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     try {
+      // Per-trigger idempotence runs against the in-memory known-ids
+      // mirror: ONE storage read at loop start instead of a full-index
+      // scan + all-ids distinct per micro-batch.
+      val known = new KnownIdsMirror(ss, work)
       val q = ss.readStream.schema(ss.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
         .writeStream
         .foreachBatch { (b: DataFrame, id: Long) =>
-          Similarity.annIndexUpsert(b.sparkSession, work, b)
+          Similarity.annIndexUpsert(b.sparkSession, work, b,
+            Some(known.parts)).foreach(known.advance)
           if (compactEvery > 0 && id % compactEvery == compactEvery - 1)
             Similarity.annIndexCompact(b.sparkSession, work)
         }

@@ -359,14 +359,23 @@ object StreamNearDedup {
     else ckptClustered(spark, scan)
   }
 
-  private[graft] def ckptClustered(spark: SparkSession, bands: DataFrame): DataFrame = {
+  private[graft] def ckptClustered(spark: SparkSession, bands: DataFrame): DataFrame =
+    ckptClustered(spark, bands, col("band_idx"), col("band_key"))
+
+  /** General clustered-checkpoint form: hash-partition + sort `df` on
+    * `keys` (any probe key set — the band mirrors use (band_idx,
+    * band_key); [[StreamAnnUpsert]]'s known-ids mirror uses vec_id)
+    * with AQE off so `LogicalRDD` keeps the layout for exchange- and
+    * sort-free per-trigger probes. */
+  private[graft] def ckptClustered(spark: SparkSession, df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    require(keys.nonEmpty, "clustered checkpoint needs at least one key")
     val key = "spark.sql.adaptive.enabled"
     val old = spark.conf.get(key)
     spark.conf.set(key, "false")
-    try bands
-      .repartition(triggerShufflePartitions(spark),
-        col("band_idx"), col("band_key"))
-      .sortWithinPartitions(col("band_idx"), col("band_key"))
+    try df
+      .repartition(triggerShufflePartitions(spark), keys: _*)
+      .sortWithinPartitions(keys: _*)
       .localCheckpoint()
     finally spark.conf.set(key, old)
   }

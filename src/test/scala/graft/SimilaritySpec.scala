@@ -279,6 +279,67 @@ class SimilaritySpec extends SparkSpecBase {
       "live append/compact/append loop diverged from the one-shot upsert")
   }
 
+  test("known-ids mirror: mirror-driven chunked appends across the base fold equal the one-pass encode, redelivery is a no-op") {
+    // The maintenance loop's idempotence anti-join runs against the
+    // in-memory LSM mirror instead of a per-trigger storage scan; the
+    // mirror must stay EXACTLY the committed live id set through
+    // appends, redeliveries, and its own base fold. 9 appends cross
+    // MEM_FOLD_EVERY=8, so the fold path executes mid-sequence.
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    // Dense base slice (the stride codebook picks by vec_id residue —
+    // see the sparse-id loud-failure test below); the % 4 === 3 holdout
+    // arrives as 9 chunks keyed by floor(id/4) mod 9.
+    val base = raw.filter(col("vec_id") % 4 =!= 3)
+    val idx = java.nio.file.Files.createTempDirectory("graft_mirror_idx_")
+      .toString
+    Similarity.buildIndexAt(spark, base, idx)
+    val mirror = new graft.streaming.StreamAnnUpsert.KnownIdsMirror(spark, idx)
+    (0 until 9).foreach { r =>
+      val chunk = raw.filter(col("vec_id") % 4 === 3 &&
+        pmod(floor(col("vec_id") / 4), lit(9)) === r)
+      val fresh = Similarity.annIndexUpsert(spark, idx, chunk,
+        Some(mirror.parts))
+      assert(fresh.nonEmpty, s"chunk $r wrote no delta")
+      mirror.advance(fresh.get)
+      // Redelivery of the same chunk against the ADVANCED mirror: the
+      // anti-join must drop every row and write nothing (a duplicate
+      // delta would double-count these ids in every served ADC sum).
+      assert(Similarity.annIndexUpsert(spark, idx, chunk,
+        Some(mirror.parts)).isEmpty, s"chunk $r re-delivery wrote a delta")
+    }
+    // The 9th advance folded the tail into a fresh base: parts is back
+    // to base + one unfolded part, not base + 9.
+    assert(mirror.parts.size == 2,
+      s"mirror fold did not run: ${mirror.parts.size} parts after 9 appends")
+    // Mirror path == storage-known path: the stored index equals the
+    // one-pass frozen encode of the whole union, bit for bit.
+    val stored = Similarity.readCodes(spark, idx)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val onePass = Similarity.encodeWith(spark, idx, raw)
+      .select(col("vec_id"), col("m").cast("int"), col("code"), col("cell"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(stored == onePass)
+  }
+
+  test("buildIndexAt fails loudly when a sparse id set empties the stride codebook") {
+    // The stride codebook selects `vec_id % stride == off % stride`;
+    // every-10th ids have residues {0, 2} mod the PQ stride of 4 at
+    // this fixture size, so the PQ books match nothing. The build must
+    // refuse to leave a zero-row codes table behind (it previously
+    // wrote one silently, and every later read died on parquet
+    // schema inference).
+    val sparse = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 10 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sparse_idx_")
+      .toString
+    val e = intercept[IllegalArgumentException] {
+      Similarity.buildIndexAt(spark, sparse, idx)
+    }
+    assert(e.getMessage.contains("EMPTY"), e.getMessage)
+  }
+
   test("delta-commit fuzz: random upsert/delete/compact interleavings with cross-type debris equal the one-pass encode of the live set") {
     // Seeded randomized drive of the FULL maintenance protocol: the
     // delta arrives as 1–4 random disjoint chunks, tombstone deletes
