@@ -363,6 +363,51 @@ object ScaleProbe {
         ",", "]}")
     } finally graft.streaming.StreamingOps.deleteRecursively(kbDir)
 
+    // ANN maintenance idempotence probe (round-17): the upsert loop's
+    // known-ids anti-join, storage-derived vs mirror-served, at two
+    // index sizes with the SAME fixed-size delta. The storage
+    // derivation (readCodes().distinct()) scans the whole index and
+    // shuffles every live id per call — its cost must grow with the
+    // index; the mirror path anti-joins a clustered checkpointed id
+    // base and must stay ~flat (the per-trigger claim), with the
+    // mirror's one-off construction read carrying the O(index) cost
+    // ONCE per loop start instead of per trigger. Delta = 200 vectors
+    // at both scales ([0,200) then [200,400), base = every id ≥ 400 —
+    // contiguous, so the stride codebooks stay populated).
+    val upsJson = {
+      import org.apache.spark.sql.functions.col
+      def probeAt(tag: String, scaleDir: String): String = {
+        val annDir = graft.Scratch.dir(s"graft_sf1_annups_${tag}_")
+        try {
+          val emb = spark.read.parquet(s"$scaleDir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding"))
+          val baseSlice = emb.filter(col("vec_id") >= 400)
+          val nBase = baseSlice.count()
+          graft.operators.Similarity.buildIndexAt(spark, baseSlice,
+            annDir.toString)
+          def sec[A](f: => A): (Double, A) = {
+            val t0 = System.nanoTime()
+            val r = f
+            ((System.nanoTime() - t0) / 1e9, r)
+          }
+          val (tStorage, _) = sec(graft.operators.Similarity.annIndexUpsert(
+            spark, annDir.toString, emb.filter(col("vec_id") < 200),
+            knownParts = None))
+          val (tMirrorBuild, mirror) = sec(
+            new graft.streaming.StreamAnnUpsert.KnownIdsMirror(
+              spark, annDir.toString))
+          val (tMirror, fresh) = sec(graft.operators.Similarity.annIndexUpsert(
+            spark, annDir.toString,
+            emb.filter(col("vec_id") >= 200 && col("vec_id") < 400),
+            knownParts = Some(mirror.parts)))
+          require(fresh.nonEmpty, s"$tag mirror upsert wrote no delta")
+          f""""${tag}":{"base_vecs":$nBase,"storage_sec":$tStorage%.2f,""" +
+            f""""mirror_build_sec":$tMirrorBuild%.2f,"mirror_sec":$tMirror%.2f}"""
+        } finally graft.streaming.StreamingOps.deleteRecursively(annDir)
+      }
+      s""""ann_upsert_known":{${probeAt("sf01", baseDir)},${probeAt("sf1", dir.toString)}}"""
+    }
+
     // Growth decomposition for the dedup-family tails (round-15
     // verdict item): the near-dup family's wall-clock factor
     // legitimately outgrows the doc count because duplicate/candidate
@@ -408,7 +453,7 @@ object ScaleProbe {
     }
     println(s"""{"metric":"scale_probe","sf1_docs":$n,"data_growth":$growth,""" +
       parts.mkString("\"queries\":{", ",", "}") +
-      s",$workJson,$admitJson,$kbJson,$restartJson}")
+      s",$workJson,$admitJson,$kbJson,$upsJson,$restartJson}")
     spark.stop()
   }
 }
