@@ -1737,7 +1737,31 @@ object Similarity extends QueryModule {
     require(roots.nonEmpty,
       s"index at $base has no '$table' table — built withResiduals=false? " +
         "(the residual serving path needs an index that stored rcodes)")
-    val codes = roots
+    // Roots with at least one data file. A root can legitimately exist
+    // with NONE: deleting every live id and compacting stages a
+    // zero-row generation (cell-partitioned writes of zero rows leave
+    // only _SUCCESS) — the DRAINED index, a valid lifecycle state that
+    // must read as the empty codes table (and refill via a later
+    // upsert), not die in parquet schema inference. The distinct
+    // missing-table case above still fails loudly: absent root =
+    // misconfigured index, dataless root = empty table.
+    def hasParquetData(p: String): Boolean =
+      scala.util.Using.resource(
+          java.nio.file.Files.walk(java.nio.file.Paths.get(p))) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      }
+    val dataRoots = roots.filter { case (_, p) => hasParquetData(p) }
+    if (dataRoots.isEmpty) {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("vec_id", LongType, nullable = false),
+          StructField("m", IntegerType, nullable = false),
+          StructField("code", LongType, nullable = false),
+          StructField("cell", LongType, nullable = false))))
+    }
+    val codes = dataRoots
       .map { case (seq, p) => spark.read.parquet(p)
         .select(col("vec_id"), col("m"), col("code"),
           col("cell").cast("long").as("cell"), lit(seq).as("seq")) }

@@ -77,10 +77,16 @@ object StreamAnnUpsert {
     def parts: Seq[DataFrame] = base :: tail
 
     /** Fold one committed append's fresh ids in (the return value of
-      * the mirror-driven [[Similarity.annIndexUpsert]] — already
-      * backed by a materialized checkpoint). */
+      * the mirror-driven [[Similarity.annIndexUpsert]]). The incoming
+      * frame is a PROJECTION over the upsert's full-delta checkpoint —
+      * vec_id plus the embedding arrays — and holding it as-is would
+      * pin up to MEM_FOLD_EVERY batches of embedding payloads in
+      * block-manager storage just to serve a join that only reads
+      * vec_id; re-checkpointing the single id column (a tiny
+      * batch-bounded job) lets the delta checkpoint be released when
+      * the trigger's writes finish. */
     def advance(freshIds: DataFrame): Unit = {
-      tail = freshIds :: tail
+      tail = freshIds.localCheckpoint() :: tail
       sinceFold += 1
       if (sinceFold >= StreamNearDedup.MEM_FOLD_EVERY) {
         base = StreamNearDedup.ckptClustered(spark,

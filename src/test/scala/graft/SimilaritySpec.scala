@@ -340,6 +340,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(e.getMessage.contains("EMPTY"), e.getMessage)
   }
 
+  test("drained index: delete every id, compact to a zero-row generation, serve empty, refill by upsert") {
+    // Deleting EVERY live id then compacting stages a generation table
+    // with zero rows — a legitimate lifecycle state (unlike the
+    // build-time empty-codebook hazard above): the drained index must
+    // read as the empty codes table, not die in parquet schema
+    // inference, and a later upsert must refill it (known set = empty,
+    // frozen quantizers intact).
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val slice = raw.filter(col("vec_id") < 200)
+    val idx = java.nio.file.Files.createTempDirectory("graft_drain_idx_")
+      .toString
+    Similarity.buildIndexAt(spark, slice, idx)
+    Similarity.annIndexDelete(spark, idx, slice.select(col("vec_id")))
+    Similarity.annIndexCompact(spark, idx)
+    assert(Similarity.readCodes(spark, idx).count() == 0)
+    assert(Similarity.readCodes(spark, idx, "rcodes").count() == 0)
+    val refill = raw.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    Similarity.annIndexUpsert(spark, idx, refill)
+    val stored = Similarity.readCodes(spark, idx)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val onePass = Similarity.encodeWith(spark, idx, refill)
+      .select(col("vec_id"), col("m").cast("int"), col("code"), col("cell"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(stored.nonEmpty && stored == onePass)
+  }
+
   test("delta-commit fuzz: random upsert/delete/compact interleavings with cross-type debris equal the one-pass encode of the live set") {
     // Seeded randomized drive of the FULL maintenance protocol: the
     // delta arrives as 1–4 random disjoint chunks, tombstone deletes
