@@ -721,4 +721,31 @@ class StreamNearDedupSpec extends SparkSpecBase {
     assert(plan.contains("ExistingRDD"),
       "the state side must be the checkpointed scan itself")
   }
+
+  test("known-ids mirror probe: no exchange and no sort on the id-base side") {
+    // The single-key twin of the band-mirror pin above, for the ANN
+    // upsert loop's idempotence anti-join ([[StreamAnnUpsert
+    // .KnownIdsMirror]]): the vec_id-clustered checkpointed base joins
+    // with only the batch side paying an exchange + sort.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = (0L until 100000L).map(i => i * 2654435761L).toDF("vec_id")
+    val base = StreamNearDedup.ckptClustered(spark, ids, col("vec_id"))
+    val batch = (0L until 500L).map(i => (i * 7919L, i)).toDF("vec_id", "x")
+    val threshold = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(threshold)
+    val plan = try {
+      spark.conf.set(threshold, "-1")
+      val fresh = batch.join(base, Seq("vec_id"), "left_anti")
+      fresh.queryExecution.toRdd.count()
+      fresh.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+    } finally spark.conf.set(threshold, old)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly the batch-side exchange, got $exchanges:\n$plan")
+    assert(sorts == 1, s"expected exactly the batch-side sort, got $sorts:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      "the id-base side must be the checkpointed scan itself")
+  }
 }
