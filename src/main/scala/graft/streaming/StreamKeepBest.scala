@@ -172,9 +172,11 @@ object StreamKeepBest {
     // of the events plan (challengers, survivors, skeys, and the
     // challenged-comp set embedded once per canonical part) plus the
     // components probe — unmaterialized it re-executes per consumer
-    // (the [[StreamNearDedup.admitWithKeys]] hitPrior argument, same
-    // broadcast-regime rationale for when the accumulator enables it).
-    // Its result is (doc_id, comp)-sized, batch-bounded.
+    // (the [[StreamNearDedup.admitWithKeys]] hitPrior argument; like
+    // there, the persistent accumulator enables it unconditionally
+    // since round 18 — measured ~1s off the 3-trigger gate even while
+    // the band state still broadcasts). Its result is
+    // (doc_id, comp)-sized, batch-bounded.
     val probe = stateParts
       .map(part => keys.join(part, Seq("band_idx", "band_key")))
       .reduce(_ unionAll _)
@@ -186,8 +188,9 @@ object StreamKeepBest {
     val skeys = keys.join(docComp, Seq("doc_id"), "left_anti")
     val survivors = scored.join(docComp, Seq("doc_id"), "left_anti")
     // No call-site distinct — [[Dedup.componentsBounded]] dedups the
-    // canonicalized pairs itself (the [[StreamNearDedup.admitWithKeys]]
-    // rationale).
+    // canonicalized pairs itself; the a<b self-join's ReusedExchange
+    // beat both min-star rewrites in round-18 A/B (the
+    // [[StreamNearDedup.admitWithKeys]] rationale).
     val pairs = skeys.select(col("doc_id").as("a"), col("band_idx"), col("band_key"))
       .join(skeys.select(col("doc_id").as("b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
@@ -314,10 +317,6 @@ object StreamKeepBest {
             emptyBandsPersisted(spark))
           .select(col("band_idx"), col("band_key"), col("comp"))))
     @volatile private var bandsTail: List[DataFrame] = Nil
-    // Running band-table bytes (the [[StreamNearDedup
-    // .PersistentAccumulator]] counter): past the broadcast regime the
-    // routing probe is materialized once per trigger.
-    private var bandBytes: Long = StreamNearDedup.bandTableBytes(stateDir)
     // Canonical mirror as an LSM list too — checkpointed base + one
     // lazy winner-delta scan per committed batch (newest first),
     // resolved latest-wins by [[resolveLatest]] only for the comps a
@@ -351,13 +350,24 @@ object StreamKeepBest {
       * layout folds too ([[compactBands]] from inside the loop — safe:
       * foreachBatch is the single writer and runs serially) and the
       * band mirror re-bases onto the new generation. */
-    def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+    def onBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
       if (!committedIds(batchId)) {
+        // Spread the one-file micro-batch before minhash/quality (the
+        // [[StreamNearDedup.PersistentAccumulator.onBatch]] rationale:
+        // one row group = one scan task, and the persisted band rows
+        // would otherwise sit in a single partition). Persisted —
+        // quality is scanned by two event branches and the survivors
+        // anti-join; unpersisted each would re-scan and re-shuffle.
+        val batch = batch0.repartition(
+          StreamNearDedup.triggerShufflePartitions(spark), col("doc_id"))
+          .persist()
         val keys = Dedup.bandKeys(spark, batch).persist()
         val winners = try {
+          // ckptProbe whenever PRIOR state exists (the
+          // [[StreamNearDedup.PersistentAccumulator]] rationale).
           val (events, _) = keepBestWithKeys(spark, batch, keys,
             bandsBase :: bandsTail, canonTail :+ canonBase,
-            ckptProbe = bandBytes > StreamNearDedup.RUN_CLUSTER_BYTES)
+            ckptProbe = committedIds.nonEmpty)
           // coalesce(1): one batch's delta, sized like the first-touch
           // accumulator's — a production job sizes this to batch volume.
           events.coalesce(1).write.mode("overwrite")
@@ -373,7 +383,10 @@ object StreamKeepBest {
             .parquet(s"$stateDir/bands/batch_id=$batchId")
           StreamNearDedup.commit(stateDir, batchId)
           winners
-        } finally keys.unpersist(blocking = false)
+        } finally {
+          keys.unpersist(blocking = false)
+          batch.unpersist(blocking = false)
+        }
         committedIds += batchId
         // One tail part per committed delta — the [[StreamNearDedup
         // .PersistentAccumulator]] L0 discipline and rationale
@@ -389,7 +402,6 @@ object StreamKeepBest {
             scan
           else StreamNearDedup.ckptClustered(spark, collapsedMin(scan))
         } :: bandsTail
-        bandBytes += StreamNearDedup.dirBytes(s"$stateDir/bands/batch_id=$batchId")
         // The winners delta IS the canonical update: a replacement's
         // newer row supersedes the cluster's older one at resolve
         // time, a new cluster's row introduces it. One lazy scan of
@@ -403,7 +415,6 @@ object StreamKeepBest {
                 emptyBandsPersisted(spark))
               .select(col("band_idx"), col("band_key"), col("comp"))))
           bandsTail = Nil
-          bandBytes = StreamNearDedup.bandTableBytes(stateDir)
           canonBase = resolveLatest(canonTail :+ canonBase).localCheckpoint()
           canonTail = Nil
           sinceDiskFold = 0; sinceMemFold = 0

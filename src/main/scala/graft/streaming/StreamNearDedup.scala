@@ -103,10 +103,13 @@ object StreamNearDedup {
     // probe AND both delta writes — unmaterialized it re-executes per
     // consumer (3× per trigger, the dominant measured cost once state
     // grows). Its result is doc_id-sized, so the extra job is
-    // batch-bounded. The accumulators enable it once their band state
-    // leaves the broadcast regime; below that the re-executions are
-    // broadcast-cheap and the checkpoint job would be pure overhead
-    // on the 3-trigger gates.
+    // batch-bounded. The persistent accumulators enable it
+    // UNCONDITIONALLY since round 18: with the spread cached batch the
+    // one materialization job measured cheaper than the re-executions
+    // even while the band state still broadcasts, and past the
+    // broadcast regime it was already the posture. The in-memory
+    // [[Accumulator]] (MemoryStream semantics tests) keeps the lazy
+    // default.
     val probe = stateParts
       .map(part => keys.join(part, Seq("band_idx", "band_key"), "left_semi"))
       .reduce(_ unionAll _)
@@ -118,7 +121,13 @@ object StreamNearDedup {
     // No call-site distinct: [[Dedup.componentsBounded]]'s probe
     // dedups the canonicalized pairs at the same plan point, and its
     // star-loop fallback is multigraph-safe (spec-pinned) — a second
-    // distinct here only added an exchange per trigger.
+    // distinct here only added an exchange per trigger. The a<b
+    // self-join is deliberate: its two sides hit ReusedExchange (the
+    // skeys plan executes once), which round-18 A/B measured faster at
+    // gate scale than both min-star rewrites (window-min and
+    // agg+back-join) that avoid the O(s²) bucket blowup — a
+    // boilerplate-hot band key lands in [[Dedup.componentsBounded]]'s
+    // star-loop fallback, the same pressure valve the batch path has.
     val pairs = skeys.select(col("doc_id").as("a"), col("band_idx"), col("band_key"))
       .join(skeys.select(col("doc_id").as("b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
@@ -190,8 +199,18 @@ object StreamNearDedup {
     * (the probe is already an equi-join on (band_idx, band_key), the
     * pushdown shape) and the marker its commit record; the per-batch
     * dataflow is [[admitBatch]], unchanged. */
+  /** `spreadBatches` — whether each micro-batch is hash-repartitioned
+    * (and cached) to [[triggerShufflePartitions]] before the minhash
+    * pipeline. True for PACED sources, whose batch is one small
+    * parquet file = one row group = ONE scan task — unspread, the
+    * minhash compute and the persisted band rows land in a single
+    * partition and every consumer's first exchange reads from one
+    * core. False for sources already written multi-file (the unpaced
+    * live gate stages ~32 files): there the scan is parallel and the
+    * extra shuffle+cache of corpus-sized batch text was measured pure
+    * overhead. */
   final class PersistentAccumulator(spark: SparkSession, stateDir: String,
-      foldEvery: Int = DISK_FOLD_EVERY) {
+      foldEvery: Int = DISK_FOLD_EVERY, spreadBatches: Boolean = true) {
 
     def admitted: DataFrame = readAdmitted(spark, stateDir)
 
@@ -213,11 +232,6 @@ object StreamNearDedup {
       ckptClustered(spark, readState(spark, stateDir, "bands")
         .select(col("band_idx"), col("band_key")))
     @volatile private var stateTail: List[DataFrame] = Nil
-    // Running band-table size (stored bytes — seeded from disk on
-    // resume, advanced by each delta's written size): past the
-    // broadcast regime the per-trigger probe is materialized once
-    // instead of re-executing per consumer (see admitWithKeys).
-    private var stateBytes: Long = bandTableBytes(stateDir)
     private var sinceMemFold = 0
     private var sinceDiskFold = 0
 
@@ -236,13 +250,34 @@ object StreamNearDedup {
       * from inside the loop — safe: foreachBatch is the single writer
       * and runs serially) and the mirror re-bases onto the new
       * generation. */
-    def onBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+    def onBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
       if (!committedIds(batchId)) {
+        // Spread a paced one-file micro-batch before the shingle→
+        // minhash pipeline (see the class scaladoc). Hash-partitioning
+        // by doc_id moves only the batch's raw rows, and PERSISTING
+        // the result makes that one tiny shuffle the only one — the
+        // batch has several consumers (the keys pipeline, the admitted
+        // anti-join), and unpersisted each would re-scan the file and
+        // re-shuffle per job. Materializes inside the first consuming
+        // job, like keys.
+        val batch =
+          if (spreadBatches) batch0.repartition(
+            triggerShufflePartitions(spark), col("doc_id")).persist()
+          else batch0
         val keys = graft.operators.Dedup.bandKeys(spark, batch).persist()
         try {
+          // ckptProbe whenever PRIOR state exists: the probe feeds
+          // three consumers (components probe + both delta writes),
+          // and the one doc_id-sized materialization job was measured
+          // cheaper than the re-executions even while the band state
+          // still broadcasts (round-18 A/B; at scale the old
+          // byte-regime check already chose to materialize). Against
+          // EMPTY state (a first/only batch — the unpaced live gate)
+          // the probe is trivially empty and the checkpoint job would
+          // scan the whole batch's keys for nothing.
           val (kept, newKeys) =
             admitWithKeys(spark, batch, keys, stateBase :: stateTail,
-              ckptProbe = stateBytes > RUN_CLUSTER_BYTES)
+              ckptProbe = committedIds.nonEmpty)
           // coalesce(1): a batch's state delta is small relative to the
           // corpus (it is one batch's keys/admissions), and writing it
           // as one file instead of one per shuffle partition keeps the
@@ -253,7 +288,10 @@ object StreamNearDedup {
           kept.coalesce(1).write.mode("overwrite")
             .parquet(s"$stateDir/admitted/batch_id=$batchId")
           commit(stateDir, batchId)
-        } finally keys.unpersist(blocking = false)
+        } finally {
+          keys.unpersist(blocking = false)
+          if (spreadBatches) batch.unpersist(blocking = false)
+        }
         committedIds += batchId
         // Each committed delta becomes its OWN tail part (L0 of the
         // in-memory LSM) — never consolidated: a consolidated lazy
@@ -267,7 +305,6 @@ object StreamNearDedup {
         // run like the base. The written file size decides for free.
         stateTail = tailRun(spark, s"$stateDir/bands/batch_id=$batchId",
           col("band_idx"), col("band_key")) :: stateTail
-        stateBytes += dirBytes(s"$stateDir/bands/batch_id=$batchId")
         sinceMemFold += 1; sinceDiskFold += 1
         if (foldEvery > 0 && sinceDiskFold >= foldEvery) {
           compactState(spark, stateDir)
@@ -275,7 +312,6 @@ object StreamNearDedup {
             readState(spark, stateDir, "bands")
               .select(col("band_idx"), col("band_key")))
           stateTail = Nil
-          stateBytes = bandTableBytes(stateDir)
           sinceDiskFold = 0; sinceMemFold = 0
         } else if (sinceMemFold >= MEM_FOLD_EVERY) {
           stateBase = ckptClustered(spark,
@@ -703,7 +739,8 @@ object StreamNearDedup {
     ss.conf.set("spark.sql.shuffle.partitions",
       triggerShufflePartitions(spark).toString)
     ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
-    val acc = new PersistentAccumulator(ss, stateDir, foldEvery = foldEvery)
+    val acc = new PersistentAccumulator(ss, stateDir, foldEvery = foldEvery,
+      spreadBatches = paced)
     val reader = ss.readStream.schema(schema)
     val src = (if (paced) reader.option("maxFilesPerTrigger", 1) else reader)
       .parquet(path)

@@ -144,6 +144,91 @@ object KbProfile {
       .sortBy(_.getName)
     println(s"[kb] ${files.length} staged batch files")
 
+    // --phases: the --scale sub-phase forcing, but over the GATE's own
+    // staged batch files — locates which job inside the ~2s warm
+    // "plan+events write" actually costs (components collect vs the
+    // window+write vs the double quality scan).
+    if (args.contains("--phases")) {
+      (1 to 2).foreach { pass =>
+        println(s"[kb] === phases pass $pass ===")
+        val sd = graft.Scratch.dir("graft_kbphase_state_")
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        var bandsBase = StreamNearDedup.ckptClustered(ss, StreamKeepBest.emptyBands(ss))
+        var bandsTail: List[org.apache.spark.sql.DataFrame] = Nil
+        var canonBase = StreamKeepBest.emptyCanon(ss).localCheckpoint()
+        var canonTail: List[org.apache.spark.sql.DataFrame] = Nil
+        files.zipWithIndex.foreach { case (f, i) =>
+          println(s"[kb] --- batch $i ---")
+          val batch = ss.read.parquet(f.toString).select(col("doc_id"), col("text"))
+          val keys = t(s"b$i minhash+persist") {
+            val kk = Dedup.bandKeys(ss, batch).persist(); kk.count(); kk
+          }
+          val scored = batch.select(col("doc_id"),
+            graft.operators.Pipeline.qualityCol(col("text")).as("quality"))
+          t(s"b$i quality scan (one pass)")(scored.count())
+          val docComp = (bandsBase :: bandsTail)
+            .map(p => keys.join(p, Seq("band_idx", "band_key")))
+            .reduce(_ unionAll _)
+            .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+          val skeys = keys.join(docComp, Seq("doc_id"), "left_anti")
+          val comps = t(s"b$i pairs+components collect") {
+            val pairs = skeys.select(col("doc_id").as("a"), col("band_idx"), col("band_key"))
+              .join(skeys.select(col("doc_id").as("b"), col("band_idx"), col("band_key")),
+                Seq("band_idx", "band_key"))
+              .filter(col("a") < col("b"))
+              .select(col("a"), col("b"))
+            Dedup.componentsBounded(pairs)
+              .select(col("id").as("doc_id"), col("comp"))
+          }
+          t(s"b$i events window+write") {
+            val challengers = docComp.join(scored, Seq("doc_id"))
+            val survivors = scored.join(docComp, Seq("doc_id"), "left_anti")
+            val survComp = survivors.join(comps, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("comp"), col("doc_id")).as("comp"), col("quality"))
+            val challenged = docComp.select(col("comp")).distinct()
+            val relevantCanon = StreamKeepBest.resolveLatest(
+              (canonTail :+ canonBase).map(_.join(challenged, Seq("comp"), "left_semi")))
+            val contenders = survComp
+              .withColumn("inc", lit(false)).withColumn("fresh", lit(true))
+              .unionByName(challengers
+                .select(col("doc_id"), col("comp"), col("quality"))
+                .withColumn("inc", lit(false)).withColumn("fresh", lit(false)))
+              .unionByName(relevantCanon
+                .select(col("doc_id"), col("comp"), col("quality"))
+                .withColumn("inc", lit(true)).withColumn("fresh", lit(false)))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("comp")).orderBy(col("quality").desc, col("doc_id"))
+            contenders.withColumn("rn", row_number().over(w))
+              .filter(!col("inc"))
+              .select(col("doc_id"), col("comp"), col("quality"),
+                when(col("rn") =!= 1, lit("drop"))
+                  .when(col("fresh"), lit("new"))
+                  .otherwise(lit("replace")).as("action"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$sd/events/batch_id=$i")
+          }
+          val winners = ss.read.parquet(s"$sd/events/batch_id=$i")
+            .filter(col("action") =!= "drop")
+            .select(col("comp"), col("doc_id"), col("quality"))
+          t(s"b$i band-delta write") {
+            keys.join(winners.select(col("doc_id"), col("comp")), Seq("doc_id"))
+              .select(col("band_idx"), col("band_key"), col("comp"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$sd/bands/batch_id=$i")
+          }
+          bandsTail = ss.read.parquet(s"$sd/bands/batch_id=$i")
+            .select(col("band_idx"), col("band_key"), col("comp")) :: bandsTail
+          canonTail = winners :: canonTail
+          keys.unpersist(blocking = false)
+        }
+        graft.streaming.StreamingOps.deleteRecursively(sd)
+      }
+      spark.stop()
+      return
+    }
+
     (1 to 2).foreach { pass =>
       println(s"[kb] === pass $pass ===")
       val stateDir = graft.Scratch.dir("graft_kbprof_state_")
