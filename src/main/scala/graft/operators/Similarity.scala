@@ -1272,6 +1272,33 @@ object Similarity extends QueryModule {
     }
     requireNonEmpty("codes")
     if (withResiduals) requireNonEmpty("rcodes")
+    // Under-fill tripwire (r17 advice): the empty-table check above
+    // catches a residue class that matched NOTHING, but a sparse id
+    // set matching only SOME classes trains a smaller-than-contract
+    // quantizer — valid, silently degraded recall. Counting the tiny
+    // model tables back (≤ K + M·KSUB rows) names the degradation at
+    // build time. Warn, not fail: a legitimately small corpus (n < K)
+    // under-fills too, and refusing to build it would be wrong.
+    locally {
+      def warn(msg: String): Unit =
+        System.err.println(s"[graft] index build at $base: $msg")
+      val k = spark.read.parquet(s"$base/centroids").count()
+      if (k < K_CENTROIDS)
+        warn(s"IVF codebook trained $k of $K_CENTROIDS centroids — " +
+          "sparse/non-contiguous vec_ids under-filled the stride picker, " +
+          "or training drained entries nothing assigns to (recall " +
+          "degrades with the gap; a dense re-id fixes the former)")
+      def checkBooks(table: String): Unit =
+        spark.read.parquet(s"$base/$table")
+          .groupBy(col("m")).agg(countDistinct(col("cid")).as("n"))
+          .filter(col("n") < PQ_KSUB)
+          .collect().foreach(r =>
+            warn(s"$table subspace m=${r.get(0)} trained ${r.getLong(1)} " +
+              s"of $PQ_KSUB PQ entries — under-filled stride pick or " +
+              "training-drained entries (recall degrades with the gap)"))
+      checkBooks("codebooks")
+      if (withResiduals) checkBooks("rcodebooks")
+    }
   }
 
   /** Stage-timed replay of [[buildIndexAt]]'s dataflow (sequential, so
@@ -1429,11 +1456,21 @@ object Similarity extends QueryModule {
     * live ids (interleaved deletes by another writer would make the
     * mirror stale and re-append a vector — the per-base lock already
     * forbids concurrent writers, and the owning loop performs no
-    * deletes). Compaction between calls is fine: it folds layout, not
-    * the id set. Returns the committed fresh `(vec_id)` rows — the
-    * caller's next mirror part, projected from the already-
-    * materialized delta frame — or None when the batch held nothing
-    * new (a redelivery) and no delta was written. */
+    * deletes), and a mirror must be REBUILT FROM STORAGE after any
+    * failed trigger rather than carried across the failure: an
+    * in-memory part set that missed a committed append would let the
+    * retry write a duplicate delta whose code rows double-count in
+    * every served ADC sum. Returns the committed fresh `(vec_id)`
+    * rows — the caller's next mirror part — or None when the batch
+    * held nothing new (a redelivery) and no delta was written. The
+    * returned frame is MATERIALIZED (localCheckpoint) strictly BEFORE
+    * the commit marker lands, as the append's last Spark job (r17
+    * advice): every failure therefore aborts pre-commit — replay
+    * reuses the delta id and clobbers the debris — and a landed
+    * marker guarantees the mirror part exists, so advancing the
+    * mirror after this returns runs no job that could tear marker
+    * and mirror apart. Compaction between calls is fine: it folds
+    * layout, not the id set. */
   private[graft] def annIndexUpsert(spark: SparkSession, indexBase: String,
       raw: DataFrame, knownParts: Option[Seq[DataFrame]]): Option[DataFrame] =
     upsertLocks.getOrElseUpdate(indexBase, new Object).synchronized {
@@ -1479,11 +1516,22 @@ object Similarity extends QueryModule {
         if (java.nio.file.Files.exists(
             java.nio.file.Paths.get(indexBase, "rcodebooks")))
           writeDelta(encodeResidWith(spark, indexBase, fresh), s"$delta/rcodes")
+        // The returned fresh-id projection is materialized BEFORE the
+        // marker lands (r17 advice): it is the caller's next mirror
+        // part, and it is the last Spark job of the append — so every
+        // failure mode lands strictly pre-commit, the replay clobbers
+        // the uncommitted delta at the reused id, and a committed
+        // marker GUARANTEES the mirror part exists. Its own checkpoint
+        // (id column only) also releases `fresh`'s embedding payloads
+        // instead of pinning them in block-manager storage for up to a
+        // fold cycle (previously the mirror re-checkpointed this
+        // post-commit — the non-atomic window the advice flagged).
+        val freshIds = fresh.select(col("vec_id")).localCheckpoint()
         val commits = java.nio.file.Paths.get(indexBase, "commits")
         java.nio.file.Files.createDirectories(commits)
         try java.nio.file.Files.createFile(commits.resolve(k.toString))
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
-        Some(fresh.select(col("vec_id")))
+        Some(freshIds)
       }
     }
 
@@ -1500,7 +1548,9 @@ object Similarity extends QueryModule {
     * all of them — the file-count explosion compaction exists to
     * prevent, paid between every compaction. [[readCodes]] selects
     * `cell` by name, so both layouts (this one and the partitioned
-    * generation tables) read identically. */
+    * generation tables) read identically. Written columns are
+    * [[CODES_SCHEMA]]'s — change that constant and this writer
+    * together (the read path asserts against it). */
   private[graft] def writeDelta(codes: DataFrame, dest: String): Unit =
     codes.repartition(col("cell")).sortWithinPartitions(col("cell"))
       .write.mode("overwrite").parquet(dest)
@@ -1719,6 +1769,22 @@ object Similarity extends QueryModule {
     stale.foreach(graft.streaming.StreamingOps.deleteRecursively)
   }
 
+  /** The stored codes-table shape — ONE definition shared by the
+    * drained-index empty read below and, as the documented anchor, by
+    * the write path ([[writeDelta]] / the build's partitioned codes
+    * write): (vec_id long, m int, code long, cell long). The non-empty
+    * read asserts its assembled columns against this, so a future
+    * column/type drift between writer and reader fails loudly on the
+    * FIRST read instead of surfacing only when a drained index is
+    * served or compacted (r17 advice). */
+  private[graft] val CODES_SCHEMA: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    StructType(Seq(StructField("vec_id", LongType, nullable = false),
+      StructField("m", IntegerType, nullable = false),
+      StructField("code", LongType, nullable = false),
+      StructField("cell", LongType, nullable = false)))
+  }
+
   private[graft] def readCodes(spark: SparkSession, base: String,
       table: String = "codes"): DataFrame = {
     val (gen, folded) = manifest(base)
@@ -1752,20 +1818,29 @@ object Similarity extends QueryModule {
         s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
       }
     val dataRoots = roots.filter { case (_, p) => hasParquetData(p) }
-    if (dataRoots.isEmpty) {
-      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    if (dataRoots.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("vec_id", LongType, nullable = false),
-          StructField("m", IntegerType, nullable = false),
-          StructField("code", LongType, nullable = false),
-          StructField("cell", LongType, nullable = false))))
-    }
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], CODES_SCHEMA)
     val codes = dataRoots
       .map { case (seq, p) => spark.read.parquet(p)
         .select(col("vec_id"), col("m"), col("code"),
           col("cell").cast("long").as("cell"), lit(seq).as("seq")) }
       .reduce(_ unionByName _)
+    // Drift tripwire (see [[CODES_SCHEMA]]): the assembled read's
+    // (name, type) pairs must match the shared schema, so a
+    // writer-side TYPE change (the select above passes any integral
+    // re-typing straight through) cannot silently diverge from the
+    // drained-index empty frame — it fails on the first read of any
+    // index instead. Nullability excluded: parquet reads relax it.
+    locally {
+      val got = codes.schema.take(CODES_SCHEMA.length)
+        .map(f => (f.name, f.dataType))
+      val want = CODES_SCHEMA.map(f => (f.name, f.dataType))
+      require(got == want,
+        s"stored '$table' table at $base reads as $got — drifted from " +
+          s"the shared codes schema $want; update CODES_SCHEMA and the " +
+          "write path together")
+    }
     val tombRoots = pending.map(k => (k, s"$base/deltas/$k/tombstones"))
       .filter { case (_, p) => new java.io.File(p).exists() }
     if (tombRoots.isEmpty) codes.drop("seq")
@@ -2791,6 +2866,75 @@ object Similarity extends QueryModule {
        |  coalesce(sd.dup_of, -1) AS dup_of, coalesce(sd.max_cos, 0.0) AS max_cos
        |FROM assigned a LEFT JOIN sd ON sd.j = a.vec_id ORDER BY vec_id""".stripMargin
 
+  // --- ann_recall: ABSOLUTE recall@k vs the exact baseline ----------------
+  /** Gate query: recall@[[IVF_TOP_K]] of the two trained serving paths
+    * (`ann_ivf_trained`, `ann_ivfpq_served`) against `cosine_topk`'s
+    * exact answer, as NUMBERS in the gate output. SimilaritySpec pins
+    * the relative orderings (multiprobe ≥ single-probe, trained ≥
+    * stride, …), but nothing recorded recall vs exact truth as a
+    * value — a quiet recall collapse preserving the orderings would
+    * have passed every gate (r17 verdict item 4). Training and
+    * serving are deterministic (stride init, fixed iterations,
+    * 6-decimal rounding), so recall is an exact oracle-checkable
+    * value: the DuckDB oracle replays truth and both serving paths
+    * and must land the same (hits, total, recall) rows. The absolute
+    * FLOOR ([[RECALL_FLOOR]]) is additionally pinned by spec — the
+    * gate records the value, the spec refuses a collapse.
+    *
+    * Measured at the fixed geometry (K=64, NPROBE=3, recall@3):
+    * 0.4667 at sf0.001 (the spec fixture), 0.5 at sf0.01 (the
+    * correctness gate), 0.2333 at sf0.1 — the honest cost of probing
+    * ~5% of cells over weakly-clustered synthetic embeddings, now a
+    * recorded number instead of an unpinned assumption. The floor is
+    * the SPEC-FIXTURE bound (sf0.001), set under the measured point
+    * value. */
+  val RECALL_FLOOR = 0.4
+
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    // Truth feeds three consumers (two semi-joins + the total count) —
+    // materialize the tiny (K_QUERIES × IVF_TOP_K)-row frame once.
+    val truth = cosineTopk(spark, dir)
+      .filter(col("rank") <= IVF_TOP_K)
+      .select(col("query_id"), col("vec_id"))
+      .localCheckpoint()
+    def row(method: String, approx: DataFrame): DataFrame =
+      truth.join(approx.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(truth.agg(count(lit(1)).as("total")))
+        .select(lit(method).as("method"),
+          col("hits").cast("long").as("hits"),
+          col("total").cast("long").as("total"),
+          round(col("hits").cast("double") / col("total"), 4).as("recall"))
+    row("ivf_trained", annIvfTrained(spark, dir))
+      .unionByName(row("ivfpq_served", annIvfPqServed(spark, dir)))
+      .orderBy(col("method"))
+  }
+
+  /** The recall oracle composes the EXISTING oracles verbatim as
+    * derived tables (DuckDB supports WITH inside a subquery), so the
+    * truth and both serving replays can never drift from the gates
+    * they mirror. */
+  val annRecallSql = {
+    def ids(q: String, k: Int) =
+      s"(SELECT query_id, vec_id FROM ($q) WHERE rank <= $k)"
+    val truth = ids(cosineTopkSql, IVF_TOP_K)
+    def row(method: String, q: String) =
+      s"""SELECT '$method' AS method,
+         |  CAST((SELECT count(*) FROM truth t
+         |        JOIN (${ids(q, IVF_TOP_K)}) a
+         |          ON t.query_id = a.query_id AND t.vec_id = a.vec_id)
+         |    AS BIGINT) AS hits,
+         |  CAST((SELECT count(*) FROM truth) AS BIGINT) AS total""".stripMargin
+    s"""WITH truth AS MATERIALIZED (SELECT * FROM $truth)
+       |SELECT method, hits, total,
+       |  round(CAST(hits AS DOUBLE) / total, 4) AS recall FROM (
+       |${row("ivf_trained", annIvfTrainedSql)}
+       |UNION ALL
+       |${row("ivfpq_served", annIvfPqTopkSql)})
+       |ORDER BY method""".stripMargin
+  }
+
   override def entries: Seq[QueryDef] = Seq(
     QueryDef("cosine_topk", cosineTopk, Some(cosineTopkSql),
       "exact brute-force cosine top-k for the query workload"),
@@ -2827,6 +2971,8 @@ object Similarity extends QueryModule {
       "LSM compaction: committed deltas folded into one base generation"),
     QueryDef("ann_ivfpq_served", annIvfPqServed, Some(annIvfPqTopkSql),
       "IVF-PQ serving from the persisted index — no retraining"),
+    QueryDef("ann_recall", annRecall, Some(annRecallSql),
+      "absolute recall@k of the trained serving paths vs exact truth"),
     QueryDef("cosine_topk_filtered", cosineTopkFiltered, Some(cosineTopkFilteredSql),
       "exact top-k under a label predicate (broadcast equi-join on label)"),
     QueryDef("ann_ivf_filtered", annIvfFiltered, Some(annIvfFilteredSql),

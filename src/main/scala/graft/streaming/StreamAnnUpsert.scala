@@ -78,15 +78,18 @@ object StreamAnnUpsert {
 
     /** Fold one committed append's fresh ids in (the return value of
       * the mirror-driven [[Similarity.annIndexUpsert]]). The incoming
-      * frame is a PROJECTION over the upsert's full-delta checkpoint —
-      * vec_id plus the embedding arrays — and holding it as-is would
-      * pin up to MEM_FOLD_EVERY batches of embedding payloads in
-      * block-manager storage just to serve a join that only reads
-      * vec_id; re-checkpointing the single id column (a tiny
-      * batch-bounded job) lets the delta checkpoint be released when
-      * the trigger's writes finish. */
+      * frame arrives ALREADY materialized — the upsert checkpoints the
+      * id projection strictly before it lands the commit marker (its
+      * contract since r17's advice: the marker must never precede the
+      * mirror part, or a failure in between would leave a committed
+      * append the retry's stale mirror re-appends) — so the prepend
+      * here runs no Spark job; only the amortized every-
+      * [[StreamNearDedup.MEM_FOLD_EVERY]] base fold does, and a fold
+      * failure leaves the un-rebased parts intact (the assignment
+      * never happens) while failing the trigger, whose rerun rebuilds
+      * the mirror from storage. */
     def advance(freshIds: DataFrame): Unit = {
-      tail = freshIds.localCheckpoint() :: tail
+      tail = freshIds :: tail
       sinceFold += 1
       if (sinceFold >= StreamNearDedup.MEM_FOLD_EVERY) {
         base = StreamNearDedup.ckptClustered(spark,

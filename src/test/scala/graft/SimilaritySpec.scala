@@ -93,6 +93,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(ivfpq > 0.0)
   }
 
+  test("ann_recall: absolute floor holds and the gate agrees with set arithmetic") {
+    // The relative pins above can all survive a UNIFORM recall
+    // collapse; the ann_recall gate records recall vs exact truth as a
+    // NUMBER (r17 verdict item 4) and this test refuses the collapse:
+    // every method stays above the documented fixture floor, and the
+    // gate's join/aggregate recall equals this suite's independent
+    // set-arithmetic computation for the same serving paths.
+    val rows = Similarity.annRecall(spark, sfDir)
+      .select(col("method"), col("recall"))
+      .as[(String, Double)].collect().toMap
+    assert(rows.keySet == Set("ivf_trained", "ivfpq_served"))
+    rows.foreach { case (m, r) =>
+      assert(r >= Similarity.RECALL_FLOOR,
+        s"$m recall $r collapsed below floor ${Similarity.RECALL_FLOOR}")
+    }
+    val indep = ivfRecall(Similarity.annIvfTrained(spark, sfDir))
+    assert(math.abs(rows("ivf_trained") - indep) < 1e-3,
+      s"gate recall ${rows("ivf_trained")} != set-arithmetic recall $indep")
+  }
+
   test("ann_ivfpq_served: bit-equal to the inline train+serve pipeline") {
     // The train-once/serve-many contract: serving from the persisted
     // parquet index answers exactly what the inline pipeline answers —
