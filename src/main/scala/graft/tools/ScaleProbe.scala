@@ -363,6 +363,51 @@ object ScaleProbe {
         ",", "]}")
     } finally graft.streaming.StreamingOps.deleteRecursively(kbDir)
 
+    // stream_sessions_append state decomposition at sf1 (round-17
+    // item 5): the gate's 3.79× time factor is sublinear PER ROW
+    // (output grows 10×), but the append path holds open sessions in
+    // the state store — the claim to verify is that state tracks OPEN
+    // sessions (bounded by users × watermark-window overlap), not
+    // history. The engine's own per-batch metrics decompose it:
+    // numRowsTotal = state rows after the batch (must plateau once the
+    // watermark starts sealing), numRowsRemoved = evictions (must be
+    // nonzero batch over batch once eviction kicks in, not only at the
+    // terminal no-data batch), sink numOutputRows = sealed sessions
+    // emitted. Same session/source shape as the gate (ts-range slices,
+    // one file per trigger, 4 shuffle partitions, memory sink).
+    val sessJson = {
+      val src = graft.streaming.StreamingOps.stagedSessionsDir(
+        spark, dir.toString)
+      val ckpt = graft.Scratch.dir("graft_sf1_sess_ckpt_")
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      ss.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+      try {
+        val q = graft.streaming.StreamingOps.userSessions(
+            ss.readStream.schema(ss.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+          .writeStream.format("memory").queryName("sf1_sessions_append")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+        val per = q.recentProgress.toSeq.map { p =>
+          val st = p.stateOperators.headOption
+          f"""{"batch":${p.batchId},"sec":${p.batchDuration / 1000.0}%.2f,""" +
+            s""""state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},""" +
+            s""""removed":${st.map(_.numRowsRemoved).getOrElse(-1L)},""" +
+            s""""emitted":${p.sink.numOutputRows}}"""
+        }
+        per.mkString(
+          s""""sessions_append":{"batches":${per.size},"per_batch":[""",
+          ",", "]}")
+      } finally {
+        ss.catalog.dropTempView("sf1_sessions_append")
+        graft.streaming.StreamingOps.deleteRecursively(ckpt)
+      }
+    }
+
     // ANN maintenance idempotence probe (round-17): the upsert loop's
     // known-ids anti-join, storage-derived vs mirror-served, at two
     // index sizes with the SAME fixed-size delta. The storage
@@ -453,7 +498,7 @@ object ScaleProbe {
     }
     println(s"""{"metric":"scale_probe","sf1_docs":$n,"data_growth":$growth,""" +
       parts.mkString("\"queries\":{", ",", "}") +
-      s",$workJson,$admitJson,$kbJson,$upsJson,$restartJson}")
+      s",$workJson,$admitJson,$kbJson,$sessJson,$upsJson,$restartJson}")
     spark.stop()
   }
 }
