@@ -44,6 +44,14 @@ object Bench {
   private val ANCHOR_FLOOR_SEC = 0.25
   private val ANCHOR_RETRIES = 2
 
+  /** Queries faster than this always take a third run: sub-second
+    * timings carry proportionally the most scheduler/GC jitter, a
+    * min-of-2 of them still disagreed >1.5× across back-to-back FULL
+    * runs (BENCH_PAIR r18: 8 such queries, every one sub-second with
+    * a ≤0.4 s absolute delta), and a third sample is nearly free at
+    * this size. */
+  private val FAST_THIRD_SEC = 2.0
+
   /** Untimed GC + pause between queries/retries: lets the previous
     * query's garbage (streaming state mirrors, broadcast cleanup) be
     * collected OUTSIDE the next timed region instead of as a major-GC
@@ -211,10 +219,16 @@ object Bench {
       }
       (once(), once()) match {
         case (Right(a), Right(b)) =>
-          val needThird = math.max(a, b) > math.min(a, b) * OUTLIER_RATIO
+          val needThird = math.max(a, b) > math.min(a, b) * OUTLIER_RATIO ||
+            math.min(a, b) < FAST_THIRD_SEC
           // A burst routinely covers two BACK-TO-BACK runs; give the
-          // disagreement-triggered third run a settle window first.
-          val third = if (needThird) { cooldown(300); once().toOption } else None
+          // disagreement-triggered third run a settle window first
+          // (the always-on fast-query third run skips the pause — it
+          // is a jitter sample, not a burst escape).
+          val third = if (needThird) {
+            if (math.max(a, b) > math.min(a, b) * OUTLIER_RATIO) cooldown(300)
+            once().toOption
+          } else None
           var best = (Seq(a, b) ++ third).min
           // Prev-anchored retries: only when the previous round knew
           // this query AND this round's min exceeds that recording by
