@@ -1206,13 +1206,17 @@ object Similarity extends QueryModule {
     // holds one compact file — fewer files to commit here and to list
     // and open on every serve-path read, and the layout a 100 TB
     // inverted file wants (large sequential runs per cell).
-    def plainFamily(): Unit = {
+    // Each family returns its trained codebook frame (already a tiny
+    // localCheckpoint) so the post-write under-fill check can count it
+    // in memory instead of re-reading the just-written parquet.
+    def plainFamily(): DataFrame = {
       val subs = subspaces(en, "vec_id").localCheckpoint()
       val books = trainedPqBooks(subs, pqCodebooks(en), PQ_TRAIN_ITERS)
       books.write.mode("overwrite").parquet(s"$base/codebooks")
       pqAssignSubs(subs, books).join(cellOf, "vec_id")
         .repartition(col("cell")).write.partitionBy("cell")
         .mode("overwrite").parquet(s"$base/codes")
+      books
     }
     // Residual-PQ artifacts (the [[annIvfPqResidual]] refinement,
     // train-once form): residual r = v − centroid(cell(v)) per vector,
@@ -1224,7 +1228,7 @@ object Similarity extends QueryModule {
     // the residual form (the upsert gate's slice index) — the residual
     // tables are then absent, and [[annIndexUpsert]] keeps only the
     // families that exist in lockstep.
-    def residualFamily(): Unit = {
+    def residualFamily(): DataFrame = {
       val resid = residualFrame(en, cent, cellOf).localCheckpoint()
       val rsubs = subspaces(resid.select(col("vec_id"), col("v")), "vec_id")
         .localCheckpoint()
@@ -1235,8 +1239,10 @@ object Similarity extends QueryModule {
       rbooks.write.mode("overwrite").parquet(s"$base/rcodebooks")
       rcoded.repartition(col("cell")).write.partitionBy("cell")
         .mode("overwrite").parquet(s"$base/rcodes")
+      rbooks
     }
-    if (!withResiduals) plainFamily()
+    val trainedBooks: Seq[(String, DataFrame)] =
+    if (!withResiduals) Seq("codebooks" -> plainFamily())
     else {
       // The two code families are INDEPENDENT once (cent, cellOf) are
       // materialized — train and write them as concurrent job chains
@@ -1247,10 +1253,10 @@ object Similarity extends QueryModule {
       // scheduler gaps each short training stage leaves.
       import scala.concurrent.ExecutionContext.Implicits.global
       val fams = Seq(
-        scala.concurrent.Future(plainFamily()),
-        scala.concurrent.Future(residualFamily()))
-      fams.foreach(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        "codebooks" -> scala.concurrent.Future(plainFamily()),
+        "rcodebooks" -> scala.concurrent.Future(residualFamily()))
+      fams.map { case (t, f) => t -> scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration.Inf) }
     }
     // Fail LOUDLY on an empty code table. The deterministic stride
     // codebook picks by vec_id RESIDUE (`vec_id % stride == off %
@@ -1276,28 +1282,28 @@ object Similarity extends QueryModule {
     // catches a residue class that matched NOTHING, but a sparse id
     // set matching only SOME classes trains a smaller-than-contract
     // quantizer — valid, silently degraded recall. Counting the tiny
-    // model tables back (≤ K + M·KSUB rows) names the degradation at
-    // build time. Warn, not fail: a legitimately small corpus (n < K)
-    // under-fills too, and refusing to build it would be wrong.
+    // model frames (≤ K + M·KSUB rows, all already localCheckpoint'ed
+    // by training — no re-read of the just-written parquet) names the
+    // degradation at build time. Warn, not fail: a legitimately small
+    // corpus (n < K) under-fills too, and refusing to build it would
+    // be wrong.
     locally {
       def warn(msg: String): Unit =
         System.err.println(s"[graft] index build at $base: $msg")
-      val k = spark.read.parquet(s"$base/centroids").count()
+      val k = cent.count()
       if (k < K_CENTROIDS)
         warn(s"IVF codebook trained $k of $K_CENTROIDS centroids — " +
           "sparse/non-contiguous vec_ids under-filled the stride picker, " +
           "or training drained entries nothing assigns to (recall " +
           "degrades with the gap; a dense re-id fixes the former)")
-      def checkBooks(table: String): Unit =
-        spark.read.parquet(s"$base/$table")
-          .groupBy(col("m")).agg(countDistinct(col("cid")).as("n"))
+      trainedBooks.foreach { case (table, books) =>
+        books.groupBy(col("m")).agg(countDistinct(col("cid")).as("n"))
           .filter(col("n") < PQ_KSUB)
           .collect().foreach(r =>
             warn(s"$table subspace m=${r.get(0)} trained ${r.getLong(1)} " +
               s"of $PQ_KSUB PQ entries — under-filled stride pick or " +
               "training-drained entries (recall degrades with the gap)"))
-      checkBooks("codebooks")
-      if (withResiduals) checkBooks("rcodebooks")
+      }
     }
   }
 
