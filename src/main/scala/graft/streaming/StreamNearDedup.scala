@@ -282,11 +282,25 @@ object StreamNearDedup {
           // corpus (it is one batch's keys/admissions), and writing it
           // as one file instead of one per shuffle partition keeps the
           // per-trigger commit cost flat — a production job sizes this
-          // to its batch volume.
-          newKeys.coalesce(1).write.mode("overwrite")
-            .parquet(s"$stateDir/bands/batch_id=$batchId")
-          kept.coalesce(1).write.mode("overwrite")
-            .parquet(s"$stateDir/admitted/batch_id=$batchId")
+          // to its batch volume. The two delta writes are INDEPENDENT
+          // plans over materialized inputs (keys persisted, the probe
+          // checkpointed, the batch cached), so they run as concurrent
+          // job chains (the [[graft.operators.Similarity]] two-family
+          // build posture): disjoint directories, wall-clock ≈ the
+          // slower write instead of the sum, and the marker still
+          // lands only after BOTH — crash semantics unchanged.
+          locally {
+            import scala.concurrent.ExecutionContext.Implicits.global
+            Seq(
+              scala.concurrent.Future(newKeys.coalesce(1).write
+                .mode("overwrite")
+                .parquet(s"$stateDir/bands/batch_id=$batchId")),
+              scala.concurrent.Future(kept.coalesce(1).write
+                .mode("overwrite")
+                .parquet(s"$stateDir/admitted/batch_id=$batchId")))
+              .foreach(f => scala.concurrent.Await
+                .result(f, scala.concurrent.duration.Duration.Inf))
+          }
           commit(stateDir, batchId)
         } finally {
           keys.unpersist(blocking = false)
@@ -556,9 +570,17 @@ object StreamNearDedup {
       while (committed(upTo + 1)) upTo += 1
       if (upTo > folded) {
         val newGen = gen + 1
-        tables.foreach { case (table, empty) =>
-          readState(spark, stateDir, table, empty).write.mode("overwrite")
-            .parquet(genRoot(stateDir, table, newGen))
+        // Independent reads, disjoint destination dirs — fold the
+        // tables as concurrent job chains (the delta-write posture);
+        // the MANIFEST swap below still lands only after ALL of them.
+        locally {
+          import scala.concurrent.ExecutionContext.Implicits.global
+          tables.map { case (table, empty) =>
+            scala.concurrent.Future(
+              readState(spark, stateDir, table, empty).write
+                .mode("overwrite").parquet(genRoot(stateDir, table, newGen)))
+          }.foreach(f => scala.concurrent.Await
+            .result(f, scala.concurrent.duration.Duration.Inf))
         }
         val tmp = java.nio.file.Paths.get(stateDir, "MANIFEST.tmp")
         java.nio.file.Files.writeString(tmp, s"$newGen $upTo")
