@@ -9,25 +9,44 @@
 # before the fix: ~10).
 #
 # Usage: scripts/bench_pair.sh   (env: SPARK_GRAFT_SF_DIR,
-#        SPARK_GRAFT_CPUS) -> writes BENCH_PAIR_r{N}.json
+#        SPARK_GRAFT_CPUS, SPARK_GRAFT_ROUND) -> writes
+#        BENCH_PAIR_r{N}.json
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 CPUS=${SPARK_GRAFT_CPUS:-32}
 
+# Pin the round ONCE, before run 1, and feed the same value to both
+# Bench invocations and the artifact names below. Each Bench run used
+# to infer its own round from BENCH_r*.json at its start: a driver
+# stamp landing mid-pair (or running the script mid-round) made run 2
+# anchor on run 1's output and the script's artifacts collide with a
+# different round than the Bench-written ones.
+if [[ -z "${SPARK_GRAFT_ROUND:-}" ]]; then
+  SPARK_GRAFT_ROUND=$(python3 - <<'PYEOF'
+import glob, re
+rounds = [int(m.group(1)) for f in glob.glob("BENCH_r*.json")
+          if (m := re.search(r"BENCH_r0*(\d+)\.json", f))]
+print((max(rounds) if rounds else 0) + 1)
+PYEOF
+)
+fi
+export SPARK_GRAFT_ROUND
+
 run() {
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
+    SPARK_GRAFT_ROUND="$SPARK_GRAFT_ROUND" \
     sbt -batch "runMain graft.Bench" 2>&1 | grep -o '{"metric".*}' \
     | grep -v '"queries_full"' | tail -1
 }
 
-echo "bench pair: run 1/2..." >&2
+echo "bench pair (round $SPARK_GRAFT_ROUND): run 1/2..." >&2
 a=$(run)
-echo "bench pair: run 2/2..." >&2
+echo "bench pair (round $SPARK_GRAFT_ROUND): run 2/2..." >&2
 b=$(run)
 
-python3 - "$a" "$b" <<'EOF'
-import glob, json, re, sys
+python3 - "$a" "$b" "$SPARK_GRAFT_ROUND" <<'EOF'
+import json, sys
 a, b = json.loads(sys.argv[1]), json.loads(sys.argv[2])
 qa, qb = a["queries"], b["queries"]
 common = sorted(set(qa) & set(qb))
@@ -35,9 +54,7 @@ rows = {k: round(max(qa[k], qb[k]) / min(qa[k], qb[k]), 3) for k in common}
 noisy = {k: {"run1": round(qa[k], 3), "run2": round(qb[k], 3),
              "ratio": rows[k]}
          for k in common if rows[k] > 1.5}
-rounds = [int(m.group(1)) for f in glob.glob("BENCH_r*.json")
-          if (m := re.search(r"BENCH_r0*(\d+)\.json", f))]
-n = (max(rounds) if rounds else 0) + 1
+n = int(sys.argv[3])
 out = {
     "metric": "bench_pair",
     "total_run1": round(a["value"], 3),

@@ -50,7 +50,7 @@ object StreamNearDedup {
     * on the session it passes in (this is a per-TRIGGER knob, not a
     * data-volume ceiling — state joins stay distributed). Measured at
     * the paced gates (local[32] → 4): keep-best 12.4→11.3 s warm. */
-  private[streaming] def triggerShufflePartitions(spark: SparkSession): Int =
+  private[graft] def triggerShufflePartitions(spark: SparkSession): Int =
     math.max(4, spark.sparkContext.defaultParallelism / 8)
 
   /** Empty admission state: zero (band_idx, band_key) rows. */
@@ -220,6 +220,21 @@ object StreamNearDedup {
     // in-memory mirror instead of re-scanning the parquet per trigger
     // (measured +3.5s on the 3-batch paced gate before this).
     private var committedIds: Set[Long] = readCommitted(stateDir)
+    // AUTO-COMPACTION AT RESUME — the LSM L0 policy behind the SAME
+    // foldEvery knob (r18 verdict item 6): a restart over a long
+    // uncompacted history would otherwise rebuild the mirror from one
+    // parquet scan per committed batch (measured 6.4 s over a
+    // 2000-trigger history vs 1.6 s compacted, BENCH_SCALE_r18 restart
+    // probe) and keep paying the wide tail until the NEXT in-loop fold
+    // point. If more than foldEvery committed batches sit unfolded,
+    // fold them before the mirror is built — the default is then safe
+    // at any history length without caller tuning; foldEvery <= 0
+    // keeps compaction fully caller-driven, exactly as before.
+    locally {
+      if (foldEvery > 0 &&
+          committedIds.count(_ > manifest(stateDir)._2) >= foldEvery)
+        compactState(spark, stateDir)
+    }
     // Only COMMITTED batches' keys enter the mirror (an uncommitted
     // batch's partial directories are invisible until its replay
     // overwrites them and lands the marker), read through the
@@ -291,15 +306,13 @@ object StreamNearDedup {
           // lands only after BOTH — crash semantics unchanged.
           locally {
             import scala.concurrent.ExecutionContext.Implicits.global
-            Seq(
+            StreamingOps.awaitAll(Seq(
               scala.concurrent.Future(newKeys.coalesce(1).write
                 .mode("overwrite")
                 .parquet(s"$stateDir/bands/batch_id=$batchId")),
               scala.concurrent.Future(kept.coalesce(1).write
                 .mode("overwrite")
-                .parquet(s"$stateDir/admitted/batch_id=$batchId")))
-              .foreach(f => scala.concurrent.Await
-                .result(f, scala.concurrent.duration.Duration.Inf))
+                .parquet(s"$stateDir/admitted/batch_id=$batchId"))))
           }
           commit(stateDir, batchId)
         } finally {
@@ -449,7 +462,7 @@ object StreamNearDedup {
     * generation (+ its per-batch dirs) or the new one, never a
     * half-fold (same pointer discipline as the ANN index's
     * [[graft.operators.Similarity]] MANIFEST). */
-  private def manifest(stateDir: String): (Long, Long) = {
+  private[graft] def manifest(stateDir: String): (Long, Long) = {
     val p = java.nio.file.Paths.get(stateDir, "MANIFEST")
     if (java.nio.file.Files.exists(p)) {
       val raw = java.nio.file.Files.readString(p)
@@ -575,12 +588,11 @@ object StreamNearDedup {
         // the MANIFEST swap below still lands only after ALL of them.
         locally {
           import scala.concurrent.ExecutionContext.Implicits.global
-          tables.map { case (table, empty) =>
+          StreamingOps.awaitAll(tables.map { case (table, empty) =>
             scala.concurrent.Future(
               readState(spark, stateDir, table, empty).write
                 .mode("overwrite").parquet(genRoot(stateDir, table, newGen)))
-          }.foreach(f => scala.concurrent.Await
-            .result(f, scala.concurrent.duration.Duration.Inf))
+          })
         }
         val tmp = java.nio.file.Paths.get(stateDir, "MANIFEST.tmp")
         java.nio.file.Files.writeString(tmp, s"$newGen $upTo")

@@ -618,6 +618,24 @@ object StreamingOps extends QueryModule {
       .orderBy(col("event_type"), col("window_start"))
   }
 
+  /** Await EVERY future before letting any failure propagate. The
+    * concurrent-job-chain sites (delta writes, fold writes, the
+    * two-family PQ training) pair this with a commit marker / MANIFEST
+    * swap that lands only after all branches: if the first await threw
+    * while a sibling write job was still in flight, an in-process
+    * retry of the same batch would overwrite that directory
+    * concurrently with the orphaned job, and a late task commit could
+    * land stray files AFTER the retry's marker — duplicates the marker
+    * protocol can't mask. Collecting a Try per future guarantees no
+    * write is in flight when the (first) exception propagates. */
+  private[graft] def awaitAll[A](
+      fs: Seq[scala.concurrent.Future[A]]): Seq[A] = {
+    val outcomes = fs.map(f => scala.util.Try(scala.concurrent.Await
+      .result(f, scala.concurrent.duration.Duration.Inf)))
+    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+    outcomes.map(_.get)
+  }
+
   private[graft] def deleteRecursively(root: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     val walk = java.nio.file.Files.walk(root)

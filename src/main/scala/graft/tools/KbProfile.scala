@@ -160,17 +160,35 @@ object KbProfile {
         var canonTail: List[org.apache.spark.sql.DataFrame] = Nil
         files.zipWithIndex.foreach { case (f, i) =>
           println(s"[kb] --- batch $i ---")
-          val batch = ss.read.parquet(f.toString).select(col("doc_id"), col("text"))
+          // Mirror the production trigger's batch posture
+          // ([[StreamKeepBest.PersistentKeepBest.onBatch]]): spread the
+          // one-file micro-batch to the trigger sizing and persist it —
+          // without this the decomposition times a single-partition
+          // pipeline the production trigger no longer runs.
+          val batch = t(s"b$i batch spread+persist") {
+            val bb = ss.read.parquet(f.toString)
+              .select(col("doc_id"), col("text"))
+              .repartition(StreamNearDedup.triggerShufflePartitions(ss),
+                col("doc_id"))
+              .persist()
+            bb.count(); bb
+          }
           val keys = t(s"b$i minhash+persist") {
             val kk = Dedup.bandKeys(ss, batch).persist(); kk.count(); kk
           }
           val scored = batch.select(col("doc_id"),
             graft.operators.Pipeline.qualityCol(col("text")).as("quality"))
           t(s"b$i quality scan (one pass)")(scored.count())
-          val docComp = (bandsBase :: bandsTail)
+          // ckptProbe posture: production materializes the routing
+          // probe whenever prior state exists (every batch after the
+          // first) — force it here as its own phase.
+          val docComp0 = (bandsBase :: bandsTail)
             .map(p => keys.join(p, Seq("band_idx", "band_key")))
             .reduce(_ unionAll _)
             .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+          val docComp = if (i > 0)
+            t(s"b$i routing probe ckpt")(docComp0.localCheckpoint())
+          else docComp0
           val skeys = keys.join(docComp, Seq("doc_id"), "left_anti")
           val comps = t(s"b$i pairs+components collect") {
             val pairs = skeys.select(col("doc_id").as("a"), col("band_idx"), col("band_key"))
@@ -222,6 +240,7 @@ object KbProfile {
             .select(col("band_idx"), col("band_key"), col("comp")) :: bandsTail
           canonTail = winners :: canonTail
           keys.unpersist(blocking = false)
+          batch.unpersist(blocking = false)
         }
         graft.streaming.StreamingOps.deleteRecursively(sd)
       }

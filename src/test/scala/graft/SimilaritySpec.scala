@@ -103,11 +103,19 @@ class SimilaritySpec extends SparkSpecBase {
     val rows = Similarity.annRecall(spark, sfDir)
       .select(col("method"), col("recall"))
       .as[(String, Double)].collect().toMap
-    assert(rows.keySet == Set("ivf_trained", "ivfpq_served"))
+    assert(rows.keySet ==
+      Set("ivf_trained", "ivf_trained_auto", "ivfpq_served"))
     rows.foreach { case (m, r) =>
       assert(r >= Similarity.RECALL_FLOOR,
         s"$m recall $r collapsed below floor ${Similarity.RECALL_FLOOR}")
     }
+    // The corpus-scaled geometry must clear the HIGHER floor — its
+    // whole claim is recall that does not decay with corpus size
+    // (measured 0.5667/0.70/0.60 across sf0.001/0.01/0.1 vs the fixed
+    // geometry's 0.4667/0.50/0.2333).
+    assert(rows("ivf_trained_auto") >= Similarity.AUTO_RECALL_FLOOR,
+      s"auto-geometry recall ${rows("ivf_trained_auto")} below " +
+        s"floor ${Similarity.AUTO_RECALL_FLOOR}")
     val indep = ivfRecall(Similarity.annIvfTrained(spark, sfDir))
     assert(math.abs(rows("ivf_trained") - indep) < 1e-3,
       s"gate recall ${rows("ivf_trained")} != set-arithmetic recall $indep")
@@ -342,22 +350,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(stored == onePass)
   }
 
-  test("buildIndexAt fails loudly when a sparse id set empties the stride codebook") {
+  test("buildIndexAt handles a sparse id set: the training re-key fills the codebooks") {
     // The stride codebook selects `vec_id % stride == off % stride`;
     // every-10th ids have residues {0, 2} mod the PQ stride of 4 at
-    // this fixture size, so the PQ books match nothing. The build must
-    // refuse to leave a zero-row codes table behind (it previously
-    // wrote one silently, and every later read died on parquet
-    // schema inference).
+    // this fixture size, so the PQ books historically matched NOTHING
+    // and the build refused loudly rather than write a zero-row codes
+    // table. The round-19 training re-key (trainSliceOf: row_number
+    // ranks, needed so residue picks stay exact on the residue-sampled
+    // training slice) makes codebook picks id-distribution-independent
+    // as a side effect — the same sparse corpus now builds and serves;
+    // requireNonEmpty stays as the backstop tripwire.
     val sparse = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") % 10 === 0)
     val idx = java.nio.file.Files.createTempDirectory("graft_sparse_idx_")
       .toString
-    val e = intercept[IllegalArgumentException] {
+    try {
       Similarity.buildIndexAt(spark, sparse, idx)
-    }
-    assert(e.getMessage.contains("EMPTY"), e.getMessage)
+      val codes = spark.read.parquet(s"$idx/codes")
+      assert(codes.count() == sparse.count() * Similarity.PQ_M,
+        "sparse-id build must encode every vector")
+      assert(spark.read.parquet(s"$idx/codebooks")
+        .select("cid").distinct().count() > 1,
+        "re-keyed training must fill more than one PQ entry")
+    } finally graft.streaming.StreamingOps.deleteRecursively(
+      java.nio.file.Paths.get(idx))
   }
 
   test("drained index: delete every id, compact to a zero-row generation, serve empty, refill by upsert") {

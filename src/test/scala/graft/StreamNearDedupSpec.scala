@@ -576,6 +576,70 @@ class StreamNearDedupSpec extends SparkSpecBase {
     assert(noManifest.isEmpty, "foldEvery=0 must never fold")
   }
 
+  test("persistent accumulator: resume auto-compacts a long unfolded history") {
+    // r18 verdict item 6: a restart over a history with more than
+    // foldEvery unfolded committed batches folds it AT CONSTRUCTION
+    // (the LSM L0 policy behind the same knob) instead of rebuilding
+    // the mirror from one parquet scan per batch — answers unchanged,
+    // MANIFEST proves the resume-time fold ran, and foldEvery=0 still
+    // never folds (caller-driven posture preserved).
+    val docs = batches.flatten
+    val bs = (0 until 4).map(k => docs.zipWithIndex.collect {
+      case (d, i) if i % 4 == k => d })
+    val state = java.nio.file.Files.createTempDirectory("graft_resumefold_")
+    try {
+      val acc1 = new StreamNearDedup.PersistentAccumulator(
+        spark, state.toString, foldEvery = 0) // build the unfolded history
+      bs.zipWithIndex.foreach { case (b, i) =>
+        acc1.onBatch(b.toDF("doc_id", "text"), i.toLong) }
+      assert(!java.nio.file.Files.exists(state.resolve("MANIFEST")))
+      val before = StreamNearDedup.readAdmitted(spark, state.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      // foldEvery=0 resume: still never folds.
+      new StreamNearDedup.PersistentAccumulator(
+        spark, state.toString, foldEvery = 0)
+      assert(!java.nio.file.Files.exists(state.resolve("MANIFEST")),
+        "foldEvery=0 resume must not fold")
+      // foldEvery=2 resume over the 4-batch unfolded history: the
+      // constructor folds before the mirror is built.
+      val acc2 = new StreamNearDedup.PersistentAccumulator(
+        spark, state.toString, foldEvery = 2)
+      assert(java.nio.file.Files.exists(state.resolve("MANIFEST")) &&
+        java.nio.file.Files.readString(state.resolve("MANIFEST")).trim == "1 3",
+        "resume over a >foldEvery unfolded history must compact at construction")
+      val after = StreamNearDedup.readAdmitted(spark, state.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      assert(after == before, "resume-time fold changed the answer")
+      // The resumed accumulator still skips committed batches.
+      acc2.onBatch(bs(0).toDF("doc_id", "text"), 0L)
+      assert(StreamNearDedup.readAdmitted(spark, state.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet == before)
+    } finally graft.streaming.StreamingOps.deleteRecursively(state)
+  }
+
+  test("keep-best: resume auto-compacts the band layout behind the same knob") {
+    val state = java.nio.file.Files.createTempDirectory("graft_kbresumefold_")
+    try {
+      runKeepBest(state, kbBatches.zipWithIndex.map {
+        case (b, i) => (b, i.toLong) }) // default foldEvery=64: no fold
+      assert(!java.nio.file.Files.exists(state.resolve("MANIFEST")))
+      val before = graft.streaming.StreamKeepBest
+        .readEvents(spark, state.toString)
+        .select("doc_id", "comp", "quality", "action", "batch_id")
+        .as[(Long, Long, Double, String, Long)].collect().toSet
+      new graft.streaming.StreamKeepBest.PersistentKeepBest(
+        spark, state.toString, foldEvery = 2)
+      assert(java.nio.file.Files.exists(state.resolve("MANIFEST")),
+        "keep-best resume over a >foldEvery history must compact bands")
+      val after = graft.streaming.StreamKeepBest
+        .readEvents(spark, state.toString)
+        .select("doc_id", "comp", "quality", "action", "batch_id")
+        .as[(Long, Long, Double, String, Long)].collect().toSet
+      assert(after == before,
+        "band compaction must never touch the event log")
+    } finally graft.streaming.StreamingOps.deleteRecursively(state)
+  }
+
   test("live in-loop fold: AvailableNow queries folding mid-stream keep answers identical") {
     // verdict item: foldEvery=2 drives the disk fold from INSIDE the
     // running paced query (after its second trigger) — no external
