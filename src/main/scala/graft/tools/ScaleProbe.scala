@@ -305,23 +305,35 @@ object ScaleProbe {
       }
       java.nio.file.Files.createFile(commits.resolve(k.toString))
     }
-    def restartSec(): Double = {
+    def restartSec(foldEvery: Int): Double = {
       val t0 = System.nanoTime()
       new graft.streaming.StreamNearDedup.PersistentAccumulator(
-        spark, histDir.toString)
+        spark, histDir.toString, foldEvery = foldEvery)
       (System.nanoTime() - t0) / 1e9
     }
-    val restartBefore = restartSec()
+    // Since round 19 the DEFAULT constructor auto-compacts a history
+    // with more unfolded batches than foldEvery, so the probe records
+    // four numbers: the caller-driven posture's wide-layout rebuild
+    // (foldEvery=0 — what every restart used to pay), the FIRST
+    // default restart (one-time auto-fold + rebuild off the fresh
+    // base), the explicit compact after it (must be a near-no-op —
+    // proof the auto-fold really folded), and the steady-state folded
+    // restart.
+    val restartUnfolded = restartSec(0)
+    val restartAutoFold = restartSec(
+      graft.streaming.StreamNearDedup.DISK_FOLD_EVERY)
     val tC0 = System.nanoTime()
     graft.streaming.StreamNearDedup.compactState(spark, histDir.toString)
     // The deferred GC keeps folded dirs one extra fold; sweep now (a
     // second, no-op fold) so the "after" restart reads ONLY the base.
     graft.streaming.StreamNearDedup.compactState(spark, histDir.toString)
     val compactSec = (System.nanoTime() - tC0) / 1e9
-    val restartAfter = restartSec()
+    val restartAfter = restartSec(
+      graft.streaming.StreamNearDedup.DISK_FOLD_EVERY)
     f""""restart_compaction":{"history_batches":$histBatches,""" +
-      f""""restart_uncompacted_sec":$restartBefore%.2f,""" +
-      f""""compact_sec":$compactSec%.2f,""" +
+      f""""restart_unfolded_sec":$restartUnfolded%.2f,""" +
+      f""""restart_autofold_sec":$restartAutoFold%.2f,""" +
+      f""""compact_noop_sec":$compactSec%.2f,""" +
       f""""restart_compacted_sec":$restartAfter%.2f}"""
     } finally Seq(histDir, seedDir, stateDir).foreach(
       graft.streaming.StreamingOps.deleteRecursively)
