@@ -1054,6 +1054,40 @@ object Similarity extends QueryModule {
     ivfPqServe(en, cent, books, coded)
   }
 
+  /** Gate query: the inline IVF-PQ train+serve chain at
+    * [[ivfGeometry]]'s corpus-scaled routing (k cells, nprobe probes).
+    * The PQ compression geometry (M subspaces, KSUB entries) is a
+    * storage constant — bytes per vector — and stays fixed; only the
+    * ROUTING scales with the corpus, exactly like [[annIvfAuto]]. The
+    * PQ codebooks are routing-independent, so they share
+    * `ann_ivfpq_topk`'s cached model; the coarse codebook and coded
+    * corpus cache per k. */
+  def annIvfPqAuto(spark: SparkSession, dir: String): DataFrame = {
+    val (k, nprobe) = ivfGeometry(Tables.embeddings(spark, dir).count())
+    val en = normalizedCorpus(spark, dir).localCheckpoint()
+    lazy val tr = trainSliceOf(en, tstrideDf(en)).localCheckpoint()
+    val cent = cachedModel(spark, dir, s"ivf_cent_norm_k$k")(
+      trainedCodebook(tr, strideCodebook(tr, k), IVF_TRAIN_ITERS))
+    lazy val cellOf = nearestCells(cent)(en, 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    lazy val subs = subspaces(en, "vec_id").localCheckpoint()
+    lazy val tsubs = subspaces(tr, "vec_id").localCheckpoint()
+    val books = cachedModel(spark, dir, "pq_books_norm")(
+      trainedPqBooks(tsubs, pqCodebooks(tr), PQ_TRAIN_ITERS))
+    val coded = cachedModel(spark, dir, s"ivfpq_codes_norm_k$k")(
+      pqAssignSubs(subs, books).join(cellOf, "vec_id"))
+    ivfPqServe(en, cent, books, coded, nprobe = nprobe,
+      shortlist = shortlistAt(k, nprobe))
+  }
+
+  /** Dump-time oracle: same corpus-count-derived geometry, identical
+    * train+serve replay (the [[annIvfAutoSql]] pattern). */
+  def annIvfPqAutoSql(): String = {
+    val (spark, dir) = graft.OracleContext.get
+    val (k, nprobe) = ivfGeometry(Tables.embeddings(spark, dir).count())
+    ivfPqTopkSqlAt(k, nprobe, shortlistAt(k, nprobe))
+  }
+
   /** The IVF-PQ serving dataflow against an arbitrary index triple
     * (coarse centroids, PQ codebooks, coded corpus): route the query
     * workload to its [[NPROBE]] cells, ADC-score the probed cells'
@@ -1062,8 +1096,25 @@ object Similarity extends QueryModule {
     * storage form (`ann_ivfpq_served`) — the index is DATA, so the
     * same plan runs whether it was just trained or read back. */
   private def ivfPqServe(en: DataFrame, cent: DataFrame, books: DataFrame,
-      coded: DataFrame): DataFrame =
-    ivfPqServeFor(en, cent, books, coded, queryWorkload(en, en), IVF_TOP_K)
+      coded: DataFrame, nprobe: Int = NPROBE,
+      shortlist: Int = PQ_SHORTLIST): DataFrame =
+    ivfPqServeFor(en, cent, books, coded, queryWorkload(en, en), IVF_TOP_K,
+      nprobe = nprobe, shortlist = shortlist)
+
+  /** ADC shortlist depth at routing geometry (k, nprobe): the fixed
+    * [[PQ_SHORTLIST]] scaled to keep the SHORTLIST-TO-CANDIDATE ratio
+    * of the fixed geometry (candidates/query ≈ n·nprobe/k, so the
+    * scale factor is (nprobe/k)/(NPROBE/K_CENTROIDS)). A constant
+    * shortlist under a corpus-scaled probe budget silently drowns:
+    * at sf0.1's auto geometry the candidate pool is 4.3× the fixed
+    * one's and the fixed 24-deep shortlist measured recall 0.2333 —
+    * ADC noise on near-isotropic data evicts true neighbours before
+    * the exact re-rank — where the ratio-preserving depth recovers
+    * the plain-IVF number. Float fetches stay O(queries·shortlist),
+    * a serving constant per query, never corpus-proportional. */
+  def shortlistAt(k: Int, nprobe: Int): Int =
+    math.max(PQ_SHORTLIST, math.ceil(PQ_SHORTLIST.toDouble *
+      (nprobe.toDouble / k) / (NPROBE.toDouble / K_CENTROIDS)).toInt)
 
   /** [[ivfPqServe]] against an arbitrary query frame (vec_id, v, nrm)
     * and served k — the fixed stride workload and the single-vector
@@ -1075,8 +1126,9 @@ object Similarity extends QueryModule {
     * untouched), and the filter lands before the ADC aggregate. */
   private def ivfPqServeFor(en: DataFrame, cent: DataFrame, books: DataFrame,
       coded: DataFrame, qw: DataFrame, k: Int,
-      labels: Option[DataFrame] = None): DataFrame = {
-    val probes0 = nearestCells(cent)(qw, NPROBE)
+      labels: Option[DataFrame] = None, nprobe: Int = NPROBE,
+      shortlist: Int = PQ_SHORTLIST): DataFrame = {
+    val probes0 = nearestCells(cent)(qw, nprobe)
       .select(col("vec_id").as("query_id"), col("cid").as("cell"))
     val probes = labels.fold(probes0)(lab => probes0.join(
       lab.select(col("vec_id").as("query_id"), col("label").as("qlabel")),
@@ -1095,7 +1147,7 @@ object Similarity extends QueryModule {
       .join(broadcast(lut), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(round(sum(col("p")), 6).as("adc"))
-    ivfPqRerank(adc, en, qw, k)
+    ivfPqRerank(adc, en, qw, k, shortlist)
   }
 
   // --- ann_index_build / ann_ivfpq_served: train once, serve many ---------
@@ -2046,16 +2098,16 @@ object Similarity extends QueryModule {
     * geometry's floor), float fetch + exact cosine re-rank of the
     * shortlist only. `adc` carries (query_id, vec_id, adc). */
   private def ivfPqRerank(adc: DataFrame, en: DataFrame, qw: DataFrame,
-      k: Int = IVF_TOP_K): DataFrame = {
-    val shortlistDepth = math.max(PQ_SHORTLIST, 8 * k)
+      k: Int = IVF_TOP_K, shortlist: Int = PQ_SHORTLIST): DataFrame = {
+    val shortlistDepth = math.max(shortlist, 8 * k)
     val wS = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
-    val shortlist = adc.withColumn("srk", row_number().over(wS))
+    val shortRows = adc.withColumn("srk", row_number().over(wS))
       .filter(col("srk") <= shortlistDepth)
       .select(col("query_id"), col("vec_id"))
     val qvecs = qw.select(col("vec_id").as("query_id"), col("v").as("qv"),
       col("nrm").as("qnrm"))
-    val scored = shortlist
+    val scored = shortRows
       .join(en, "vec_id")
       .join(broadcast(qvecs), "query_id")
       .select(col("query_id"), col("vec_id"),
@@ -2266,7 +2318,7 @@ object Similarity extends QueryModule {
     * build oracle and the two serving oracles (`ann_ivfpq_topk` /
     * `ann_ivfpq_served` replay train+serve end-to-end; the build query
     * stops here). */
-  private val ivfPqIndexBodySql = {
+  private def ivfPqIndexBodySqlAt(k: Int): String = {
     val ivfIters = (1 to IVF_TRAIN_ITERS).map { i =>
       kmeansIterSqlOn("tr", if (i == 1) "icent" else s"icent$i", s"i$i", s"icent${i + 1}")
     }.mkString(",\n")
@@ -2291,7 +2343,7 @@ object Similarity extends QueryModule {
        |books AS MATERIALIZED (SELECT vec_id AS cid, m, sub AS cw
        |  FROM tsubs CROSS JOIN tpst
        |  WHERE vec_id % stride = $PQ_OFF % stride),
-       |ist AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $K_CENTROIDS) AS BIGINT)
+       |ist AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $k) AS BIGINT)
        |          AS stride FROM tr),
        |icent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM tr CROSS JOIN ist
        |          WHERE vec_id % stride = $CENTROID_OFF % stride),
@@ -2310,6 +2362,8 @@ object Similarity extends QueryModule {
   /** The final trained PQ codebook relation inside
     * [[ivfPqIndexBodySql]] — the serving LUT joins against it. */
   private val ivfPqFinalBooksRel = s"books${PQ_TRAIN_ITERS + 1}"
+
+  private val ivfPqIndexBodySql = ivfPqIndexBodySqlAt(K_CENTROIDS)
 
   val annIndexBuildSql =
     s"""$ivfPqIndexBodySql
@@ -2508,10 +2562,16 @@ object Similarity extends QueryModule {
   val annIndexDeleteSql = annIndexUpsertSqlWhere(
     s"WHERE c.vec_id % $DELETE_MOD <> ${DELETE_MOD - 2}")
 
-  val annIvfPqTopkSql =
-    s"""$ivfPqIndexBodySql,
+  /** The IVF-PQ train+serve oracle at arbitrary routing geometry —
+    * shared by the fixed-constant gates and `ann_ivfpq_auto` (whose
+    * (k, nprobe) come from [[ivfGeometry]] at dump time; the PQ
+    * compression geometry (M, KSUB) is a storage constant and stays
+    * fixed). */
+  private def ivfPqTopkSqlAt(k: Int, nprobe: Int,
+      shortlist: Int = PQ_SHORTLIST): String =
+    s"""${ivfPqIndexBodySqlAt(k)},
        |iprobes AS (SELECT vec_id AS query_id, cid AS cell FROM svr CROSS JOIN qst
-       |  WHERE crank <= $NPROBE AND vec_id % qstride = 0),
+       |  WHERE crank <= $nprobe AND vec_id % qstride = 0),
        |qsubs AS MATERIALIZED (SELECT vec_id AS query_id, m, sub AS qsub
        |  FROM subs CROSS JOIN qst WHERE vec_id % qstride = 0),
        |lut AS MATERIALIZED (SELECT q.query_id, q.m, b.cid AS code,
@@ -2533,12 +2593,14 @@ object Similarity extends QueryModule {
        |  FROM sl
        |  JOIN en q ON q.vec_id = sl.query_id
        |  JOIN en c ON c.vec_id = sl.vec_id
-       |  WHERE sl.srk <= $PQ_SHORTLIST),
+       |  WHERE sl.srk <= $shortlist),
        |r AS (SELECT *, CAST(row_number() OVER (
        |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
        |      FROM px)
        |SELECT query_id, vec_id, cosine, rank FROM r
        |WHERE rank <= $IVF_TOP_K ORDER BY query_id, rank""".stripMargin
+
+  val annIvfPqTopkSql = ivfPqTopkSqlAt(K_CENTROIDS, NPROBE)
 
   val annIvfPqResidualSql = {
     val ivfIters = (1 to IVF_TRAIN_ITERS).map { i =>
@@ -3100,6 +3162,7 @@ object Similarity extends QueryModule {
           round(col("hits").cast("double") / col("total"), 4).as("recall"))
     row("ivf_trained", annIvfTrained(spark, dir))
       .unionByName(row("ivf_trained_auto", annIvfAuto(spark, dir)))
+      .unionByName(row("ivfpq_auto", annIvfPqAuto(spark, dir)))
       .unionByName(row("ivfpq_served", annIvfPqServed(spark, dir)))
       .orderBy(col("method"))
   }
@@ -3127,6 +3190,8 @@ object Similarity extends QueryModule {
        |UNION ALL
        |${row("ivf_trained_auto", annIvfAutoSql())}
        |UNION ALL
+       |${row("ivfpq_auto", annIvfPqAutoSql())}
+       |UNION ALL
        |${row("ivfpq_served", annIvfPqTopkSql)})
        |ORDER BY method""".stripMargin
   }
@@ -3147,6 +3212,9 @@ object Similarity extends QueryModule {
     QueryDef("ann_ivf_auto", annIvfAuto, None,
       "trained IVF at corpus-scaled (k, nprobe) — recall survives growth",
       oracleGen = Some(() => annIvfAutoSql())),
+    QueryDef("ann_ivfpq_auto", annIvfPqAuto, None,
+      "IVF-PQ at corpus-scaled routing (fixed compression geometry)",
+      oracleGen = Some(() => annIvfPqAutoSql())),
     QueryDef("pq_encode", pqEncode, Some(pqEncodeSql),
       "product-quantization codes: M subspace codebook ids per vector"),
     QueryDef("ann_pq_topk", annPqTopk, Some(annPqTopkSql),
