@@ -102,6 +102,41 @@ class LshGeometrySpec extends SparkSpecBase {
     assert(Similarity.recommendedGeometry(1L, 0.9)._2 == 8)
   }
 
+  test("ivfGeometry: sqrt-n cells, fraction-of-K probes, sane bounds") {
+    // The corpus-scaled IVF routing rule (round 19): K = ceil(sqrt(n))
+    // with a floor of 4, NPROBE = ceil(AUTO_PROBE_FRAC * K) clamped to
+    // [2, K]. Pin the fixture points the recall gate measured and the
+    // structural properties (monotone K, probe fraction preserved,
+    // nprobe never exceeds K).
+    assert(Similarity.ivfGeometry(500L) == ((23, 5)))   // sf0.001/0.01
+    assert(Similarity.ivfGeometry(2000L) == ((45, 9)))  // sf0.1
+    assert(Similarity.ivfGeometry(1L) == ((4, 2)))      // floors
+    val (k9, np9) = Similarity.ivfGeometry(1000000000L)
+    assert(k9 == math.ceil(math.sqrt(1e9)).toInt && np9 <= k9)
+    Seq(10L, 100L, 10000L, 100000000L).sliding(2).foreach { case Seq(a, b) =>
+      assert(Similarity.ivfGeometry(a)._1 <= Similarity.ivfGeometry(b)._1,
+        "K must be monotone in n")
+    }
+  }
+
+  test("shortlistAt preserves the fixed geometry's shortlist-to-candidate ratio") {
+    // shortlist/(nprobe/k) must equal PQ_SHORTLIST/(NPROBE/K_CENTROIDS)
+    // up to the ceil, with PQ_SHORTLIST as the floor — the depth that
+    // keeps ADC-noise eviction probability constant as the probe
+    // budget scales (a fixed 24 measured recall 0.2333 at sf0.1's
+    // auto geometry; the scaled depth recovers 0.5667).
+    assert(Similarity.shortlistAt(
+      Similarity.K_CENTROIDS, Similarity.NPROBE) == Similarity.PQ_SHORTLIST)
+    val (k, np) = Similarity.ivfGeometry(2000L)
+    val depth = Similarity.shortlistAt(k, np)
+    val fixedFrac = Similarity.NPROBE.toDouble / Similarity.K_CENTROIDS
+    val expected = math.ceil(
+      Similarity.PQ_SHORTLIST * (np.toDouble / k) / fixedFrac).toInt
+    assert(depth == math.max(Similarity.PQ_SHORTLIST, expected))
+    // Never below the fixed floor, even at a tiny probe fraction.
+    assert(Similarity.shortlistAt(1000, 1) == Similarity.PQ_SHORTLIST)
+  }
+
   test("recommendedGeometry fails loudly on infeasible (sim, corpus) combos") {
     // 1e12 vectors at sim 0.5: p^bits underflows and the recall bound
     // would demand ~1e6 bands (gigabytes of planes) — must throw, not
