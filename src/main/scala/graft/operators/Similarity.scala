@@ -1628,6 +1628,26 @@ object Similarity extends QueryModule {
     * for what an index read sees beyond the base build (the
     * [[graft.streaming.StreamNearDedup]] marker protocol applied to
     * the inverted file). */
+  /** LSM L0 auto-compaction threshold for the index delta log — the
+    * streaming accumulators' round-19 resume policy applied to the
+    * maintenance ops: every read unions one clustered table per
+    * committed-unfolded delta, so a loop that never compacts degrades
+    * without bound. Once more than this many deltas sit unfolded, the
+    * maintenance op that just committed folds them (it already holds
+    * the base's single-writer lock). Compaction is read-invisible
+    * (the spec-pinned `ann_index_compact` contract) and mirror-safe
+    * (it folds layout, not the id set); ≤ 0 disables — fully
+    * caller-driven, the pre-round-19 posture. */
+  val AUTO_COMPACT_DELTAS = 64
+
+  private[graft] def maybeAutoCompact(spark: SparkSession, base: String,
+      threshold: Int = AUTO_COMPACT_DELTAS): Unit =
+    if (threshold > 0) {
+      val (_, folded) = manifest(base)
+      if (committedDeltas(base).count(_ > folded) >= threshold)
+        annIndexCompact(spark, base)
+    }
+
   private def committedDeltas(base: String): Seq[Long] = {
     val dir = new java.io.File(s"$base/commits")
     Option(dir.listFiles()).getOrElse(Array.empty)
@@ -1732,6 +1752,7 @@ object Similarity extends QueryModule {
         java.nio.file.Files.createDirectories(commits)
         try java.nio.file.Files.createFile(commits.resolve(k.toString))
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        maybeAutoCompact(spark, indexBase)
         Some(freshIds)
       }
     }
@@ -1804,6 +1825,7 @@ object Similarity extends QueryModule {
         java.nio.file.Files.createDirectories(commits)
         try java.nio.file.Files.createFile(commits.resolve(k.toString))
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        maybeAutoCompact(spark, indexBase)
       }
     }
 

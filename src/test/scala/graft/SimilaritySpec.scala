@@ -293,6 +293,49 @@ class SimilaritySpec extends SparkSpecBase {
       s"delta landed as $dataFiles files (shuffle partitions: $parts)")
   }
 
+  test("index delta log auto-compacts past the L0 threshold, reads unchanged") {
+    // The round-19 LSM L0 policy on the maintenance ops: once more
+    // committed deltas sit unfolded than the threshold, the op that
+    // just committed folds them under its own lock. Below threshold
+    // nothing folds (the default AUTO_COMPACT_DELTAS=64 never fires at
+    // gate delta counts); at threshold the fold runs, is read-invisible,
+    // and GC'd deltas stop being read roots.
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val base = raw.filter(col("vec_id") % 4 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_autocompact_")
+      .toString
+    try {
+      Similarity.buildIndexAt(spark, base, idx, withResiduals = false)
+      Similarity.annIndexUpsert(spark, idx, raw.filter(col("vec_id") % 4 === 1))
+      Similarity.annIndexUpsert(spark, idx, raw.filter(col("vec_id") % 4 === 2))
+      // Two committed deltas, default threshold 64: no MANIFEST yet.
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(idx, "MANIFEST")),
+        "default threshold must not fire at 2 deltas")
+      val before = Similarity.readCodes(spark, idx)
+        .as[(Long, Int, Long, Long)].collect().toSet
+      Similarity.maybeAutoCompact(spark, idx, threshold = 2)
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(idx, "MANIFEST")).trim.startsWith("1 "),
+        "threshold=2 over 2 unfolded deltas must fold")
+      val after = Similarity.readCodes(spark, idx)
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(after == before, "auto-compaction changed the read")
+      // Below threshold against the fresh generation: a no-op.
+      Similarity.maybeAutoCompact(spark, idx, threshold = 2)
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(idx, "MANIFEST")).trim.startsWith("1 "),
+        "no unfolded deltas — a second fold must not run")
+      // threshold <= 0 disables outright even with unfolded deltas.
+      Similarity.annIndexUpsert(spark, idx, raw.filter(col("vec_id") % 4 === 3))
+      Similarity.maybeAutoCompact(spark, idx, threshold = 0)
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(idx, "MANIFEST")).trim.startsWith("1 "))
+    } finally graft.streaming.StreamingOps.deleteRecursively(
+      java.nio.file.Paths.get(idx))
+  }
+
   test("stream_ann_upsert_live: streamed delta commits equal the one-shot upsert") {
     // Batch boundaries, per-batch anti-joins, and the delta-union read
     // path must all be invisible in the stored result: N micro-batch
