@@ -1033,51 +1033,58 @@ object Similarity extends QueryModule {
     * [[pqAssignSubs]] (encode). Approximate by construction, so the
     * oracle replays the identical algorithm; SimilaritySpec pins recall
     * ≥ plain trained IVF at the same probe budget. */
-  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame = {
-    // One materialization feeds coarse training, fine training, both
-    // assignments, and the query workload — the annIvfTrained trade.
-    val en = normalizedCorpus(spark, dir).localCheckpoint()
-    // lazy: warm model-cache hits skip sampling/slicing entirely.
-    // Trains on the [[trainSliceOf]] sample, bit-identical to
-    // [[buildIndexAt]]'s chain so served ≡ inline stays pinned.
-    lazy val tr = trainSliceOf(en, tstrideDf(en)).localCheckpoint()
-    val cent = cachedModel(spark, dir, "ivf_cent_norm")(
-      trainedCodebook(tr, strideCodebook(tr), IVF_TRAIN_ITERS))
-    lazy val cellOf = nearestCells(cent)(en, 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    lazy val subs = subspaces(en, "vec_id").localCheckpoint()
-    lazy val tsubs = subspaces(tr, "vec_id").localCheckpoint()
-    val books = cachedModel(spark, dir, "pq_books_norm")(
-      trainedPqBooks(tsubs, pqCodebooks(tr), PQ_TRAIN_ITERS))
-    val coded = cachedModel(spark, dir, "ivfpq_codes_norm")(
-      pqAssignSubs(subs, books).join(cellOf, "vec_id"))
-    ivfPqServe(en, cent, books, coded)
-  }
+  def annIvfPqTopk(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTrainServe(spark, dir, K_CENTROIDS, NPROBE, PQ_SHORTLIST)
 
-  /** Gate query: the inline IVF-PQ train+serve chain at
-    * [[ivfGeometry]]'s corpus-scaled routing (k cells, nprobe probes).
-    * The PQ compression geometry (M subspaces, KSUB entries) is a
-    * storage constant — bytes per vector — and stays fixed; only the
-    * ROUTING scales with the corpus, exactly like [[annIvfAuto]]. The
-    * PQ codebooks are routing-independent, so they share
-    * `ann_ivfpq_topk`'s cached model; the coarse codebook and coded
-    * corpus cache per k. */
+  /** Gate query: the same chain at [[ivfGeometry]]'s corpus-scaled
+    * routing (k cells, nprobe probes, ratio-preserving shortlist). The
+    * PQ compression geometry (M subspaces, KSUB entries) is a storage
+    * constant — bytes per vector — and stays fixed; only the ROUTING
+    * scales with the corpus, exactly like [[annIvfAuto]]. */
   def annIvfPqAuto(spark: SparkSession, dir: String): DataFrame = {
     val (k, nprobe) = ivfGeometry(Tables.embeddings(spark, dir).count())
+    ivfPqTrainServe(spark, dir, k, nprobe, shortlistAt(k, nprobe))
+  }
+
+  /** THE inline IVF-PQ train+serve chain, parameterized by routing
+    * geometry — the fixed gate and the corpus-scaled one differ only
+    * in (k, nprobe, shortlist) and cache keys, so a single body keeps
+    * them in lockstep (the consolidation the SQL twin
+    * [[ivfPqTopkSqlAt]] already has; two hand-synced copies would
+    * silently de-pin served ≡ inline on the next edit).
+    *
+    * One `en` materialization feeds coarse training, fine training,
+    * both assignments, and the query workload — the annIvfTrained
+    * trade; everything downstream of `en` is lazy so warm model-cache
+    * hits skip sampling/slicing entirely. Training reads the
+    * [[trainSliceOf]] sample at [[trainTargetFor]]'s k-scaled size,
+    * bit-identical to [[buildIndexAt]]'s chain at the fixed geometry
+    * so served ≡ inline stays pinned; the PQ codebooks depend on the
+    * SAMPLE but not on k, so their cache key carries the sample
+    * target (all k with the same target share one trained model). */
+  private def ivfPqTrainServe(spark: SparkSession, dir: String, k: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
     val en = normalizedCorpus(spark, dir).localCheckpoint()
-    lazy val tr = trainSliceOf(en, tstrideDf(en)).localCheckpoint()
-    val cent = cachedModel(spark, dir, s"ivf_cent_norm_k$k")(
+    val target = trainTargetFor(k)
+    lazy val tr = trainSliceOf(en, tstrideDf(en, target)).localCheckpoint()
+    val centKey =
+      if (k == K_CENTROIDS) "ivf_cent_norm" else s"ivf_cent_norm_k$k"
+    val cent = cachedModel(spark, dir, centKey)(
       trainedCodebook(tr, strideCodebook(tr, k), IVF_TRAIN_ITERS))
     lazy val cellOf = nearestCells(cent)(en, 1)
       .select(col("vec_id"), col("cid").as("cell"))
     lazy val subs = subspaces(en, "vec_id").localCheckpoint()
     lazy val tsubs = subspaces(tr, "vec_id").localCheckpoint()
-    val books = cachedModel(spark, dir, "pq_books_norm")(
+    val booksKey = if (target == TRAIN_SAMPLE_TARGET) "pq_books_norm"
+      else s"pq_books_norm_t$target"
+    val books = cachedModel(spark, dir, booksKey)(
       trainedPqBooks(tsubs, pqCodebooks(tr), PQ_TRAIN_ITERS))
-    val coded = cachedModel(spark, dir, s"ivfpq_codes_norm_k$k")(
+    val codedKey =
+      if (k == K_CENTROIDS) "ivfpq_codes_norm" else s"ivfpq_codes_norm_k$k"
+    val coded = cachedModel(spark, dir, codedKey)(
       pqAssignSubs(subs, books).join(cellOf, "vec_id"))
     ivfPqServe(en, cent, books, coded, nprobe = nprobe,
-      shortlist = shortlistAt(k, nprobe))
+      shortlist = shortlist)
   }
 
   /** Dump-time oracle: same corpus-count-derived geometry, identical
@@ -1298,10 +1305,26 @@ object Similarity extends QueryModule {
   val TRAIN_SAMPLE_TARGET = 512L
   val TRAIN_OFF = 0L
 
+  /** Minimum training vectors per coarse cell. The sample target for a
+    * k-cell quantizer is max([[TRAIN_SAMPLE_TARGET]],
+    * [[TRAIN_PER_CELL]]·k): a sample smaller than the cell count
+    * cannot even seed the codebook, and at the corpus-scaled
+    * k = ⌈√n⌉ the fixed 512 target would silently cap the codebook at
+    * ~512 cells past n ≈ 262k — nprobe (≥ the real cell count there)
+    * would then pass every cell and routing would degrade to a
+    * full-corpus ADC scan. TRAIN_PER_CELL·K_CENTROIDS equals
+    * TRAIN_SAMPLE_TARGET exactly, so every fixed-geometry path keeps
+    * the pre-scaling sample bit-identically. */
+  val TRAIN_PER_CELL = 8L
+
+  private def trainTargetFor(k: Int): Long =
+    math.max(TRAIN_SAMPLE_TARGET, TRAIN_PER_CELL * k)
+
   /** 1-row (tstride) relation for [[trainSliceOf]], derived from the
     * corpus count (the qstride/stride idiom — no driver collect). */
-  private def tstrideDf(en: DataFrame): DataFrame =
-    en.agg(ceil(count(lit(1)).cast("double") / TRAIN_SAMPLE_TARGET)
+  private def tstrideDf(en: DataFrame,
+      target: Long = TRAIN_SAMPLE_TARGET): DataFrame =
+    en.agg(ceil(count(lit(1)).cast("double") / target)
       .cast("long").as("tstride"))
 
   /** The training slice of a per-vector frame, RE-KEYED to the dense
@@ -1328,9 +1351,9 @@ object Similarity extends QueryModule {
   /** [[trainSliceOf]]'s SQL mirror: the tstride CTE from `srcRel`'s
     * count, then the rank-re-keyed sample CTE `outRel`. */
   private def trainSliceSql(srcRel: String, tstRel: String, outRel: String,
-      withNrm: Boolean): String = {
+      withNrm: Boolean, target: Long = TRAIN_SAMPLE_TARGET): String = {
     val nrmCol = if (withNrm) ", nrm" else ""
-    s"""$tstRel AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $TRAIN_SAMPLE_TARGET)
+    s"""$tstRel AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE) / $target)
        |    AS BIGINT) AS tstride FROM $srcRel),
        |$outRel AS MATERIALIZED (SELECT
        |    row_number() OVER (ORDER BY vec_id) - 1 AS vec_id, v$nrmCol
@@ -1632,12 +1655,13 @@ object Similarity extends QueryModule {
     * streaming accumulators' round-19 resume policy applied to the
     * maintenance ops: every read unions one clustered table per
     * committed-unfolded delta, so a loop that never compacts degrades
-    * without bound. Once more than this many deltas sit unfolded, the
+    * without bound. Once at least this many deltas sit unfolded, the
     * maintenance op that just committed folds them (it already holds
     * the base's single-writer lock). Compaction is read-invisible
     * (the spec-pinned `ann_index_compact` contract) and mirror-safe
     * (it folds layout, not the id set); ≤ 0 disables — fully
-    * caller-driven, the pre-round-19 posture. */
+    * caller-driven, the pre-round-19 posture. The comparison is
+    * `>=`: threshold = 1 folds after every commit. */
   val AUTO_COMPACT_DELTAS = 64
 
   private[graft] def maybeAutoCompact(spark: SparkSession, base: String,
@@ -2356,7 +2380,8 @@ object Similarity extends QueryModule {
        |$pqSlicesBodySql,
        |en AS MATERIALIZED (SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM pn),
-       |${trainSliceSql("en", "tst", "tr", withNrm = true)},
+       |${trainSliceSql("en", "tst", "tr", withNrm = true,
+            target = trainTargetFor(k))},
        |tsubs AS MATERIALIZED (SELECT vec_id, u AS m,
        |    list_transform(range(1, $PQ_SUBDIM + 1), j -> v[u * $PQ_SUBDIM + j]) AS sub
        |  FROM tr CROSS JOIN unnest(range(0, $PQ_M)) AS tu(u)),

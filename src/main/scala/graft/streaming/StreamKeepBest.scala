@@ -296,14 +296,16 @@ object StreamKeepBest {
     // Auto-compaction at resume behind the same foldEvery knob — the
     // [[StreamNearDedup.PersistentAccumulator]] L0 policy: fold the
     // band layout before the mirrors are built when the unfolded
-    // history is longer than foldEvery (events never fold — the
+    // history reaches foldEvery (events never fold — the
     // object scaladoc's compaction boundary — so only bands gate
     // here; the canonical mirror consolidates the event log either
     // way). foldEvery <= 0 keeps compaction caller-driven.
     locally {
-      if (foldEvery > 0 && committedIds
-          .count(_ > StreamNearDedup.manifest(stateDir)._2) >= foldEvery)
-        compactBands(spark, stateDir)
+      if (foldEvery > 0) {
+        val folded = StreamNearDedup.manifest(stateDir)._2
+        if (committedIds.count(_ > folded) >= foldEvery)
+          compactBands(spark, stateDir)
+      }
     }
     // Bands are read through the compaction manifest (generation base
     // + unfolded tail); events below stay a plain committed-ids read —

@@ -231,9 +231,11 @@ object StreamNearDedup {
     // at any history length without caller tuning; foldEvery <= 0
     // keeps compaction fully caller-driven, exactly as before.
     locally {
-      if (foldEvery > 0 &&
-          committedIds.count(_ > manifest(stateDir)._2) >= foldEvery)
-        compactState(spark, stateDir)
+      if (foldEvery > 0) {
+        val folded = manifest(stateDir)._2
+        if (committedIds.count(_ > folded) >= foldEvery)
+          compactState(spark, stateDir)
+      }
     }
     // Only COMMITTED batches' keys enter the mirror (an uncommitted
     // batch's partial directories are invisible until its replay

@@ -632,7 +632,9 @@ object StreamingOps extends QueryModule {
       fs: Seq[scala.concurrent.Future[A]]): Seq[A] = {
     val outcomes = fs.map(f => scala.util.Try(scala.concurrent.Await
       .result(f, scala.concurrent.duration.Duration.Inf)))
-    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+    // Every future has settled by here; .get rethrows the FIRST
+    // failure in submission order (sibling failures are dropped — the
+    // first is the actionable one and the retry clobbers everything).
     outcomes.map(_.get)
   }
 
