@@ -1368,7 +1368,8 @@ object Similarity extends QueryModule {
     * the cached per-dataset index. Quantizers train on the
     * [[trainSliceOf]] sample; the full corpus is frozen-encoded. */
   private[graft] def buildIndexAt(spark: SparkSession, raw: DataFrame,
-      base: String, withResiduals: Boolean = true): Unit = {
+      base: String, withResiduals: Boolean = true,
+      k: Int = K_CENTROIDS): Unit = {
     // A rebuild is a FRESH index: wipe all maintenance state first —
     // the MANIFEST generation pointer, committed deltas/markers, and
     // historical generation directories. Without this, rebuilding over
@@ -1392,10 +1393,14 @@ object Similarity extends QueryModule {
     }
     val en = normalizedFrom(raw).localCheckpoint()
     // The training sample (checkpointed: every k-means iteration of
-    // both quantizer families re-scans it).
-    val tst = tstrideDf(en)
+    // both quantizer families re-scans it), sized to the cell count —
+    // a production deployment builds at ivfGeometry(n)'s k and serves
+    // with its nprobe/shortlist (serveFromIndex and the gate serving
+    // paths take them as parameters); the gates build at the fixed
+    // documented K so their oracles replay a constant.
+    val tst = tstrideDf(en, trainTargetFor(k))
     val tr = trainSliceOf(en, tst).localCheckpoint()
-    val cent = trainedCodebook(tr, strideCodebook(tr), IVF_TRAIN_ITERS)
+    val cent = trainedCodebook(tr, strideCodebook(tr, k), IVF_TRAIN_ITERS)
       .localCheckpoint() // feeds assignment, residual join, and the writes
     // Checkpointed because BOTH code families consume it (the plain
     // coded join and the residual subtraction) — uncheckpointed, each
@@ -1858,12 +1863,13 @@ object Similarity extends QueryModule {
     * stride query workload — [[annIvfPqServed]] for test-built
     * indexes. */
   private[graft] def serveFromIndex(spark: SparkSession, indexBase: String,
-      raw: DataFrame): DataFrame = {
+      raw: DataFrame, nprobe: Int = NPROBE,
+      shortlist: Int = PQ_SHORTLIST): DataFrame = {
     val en = normalizedFrom(raw).localCheckpoint()
     ivfPqServe(en,
       spark.read.parquet(s"$indexBase/centroids"),
       spark.read.parquet(s"$indexBase/codebooks"),
-      readCodes(spark, indexBase))
+      readCodes(spark, indexBase), nprobe = nprobe, shortlist = shortlist)
   }
 
   /** The built index for a dataset, building on first use — so

@@ -293,6 +293,31 @@ class SimilaritySpec extends SparkSpecBase {
       s"delta landed as $dataFiles files (shuffle partitions: $parts)")
   }
 
+  test("buildIndexAt at corpus-scaled geometry: served equals the inline auto chain") {
+    // The production posture end-to-end: a deployment builds the
+    // PERSISTED index at ivfGeometry(n)'s k and serves with its
+    // nprobe + ratio-preserving shortlist — that must answer exactly
+    // what the inline auto chain answers (train-once ≡ train-inline at
+    // ANY geometry, not just the fixed gate constants).
+    val raw = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val (k, nprobe) = Similarity.ivfGeometry(raw.count())
+    val idx = java.nio.file.Files.createTempDirectory("graft_autogeom_idx_")
+      .toString
+    try {
+      Similarity.buildIndexAt(spark, raw, idx, k = k)
+      val cents = spark.read.parquet(s"$idx/centroids").count()
+      assert(cents > k / 2 && cents <= k,
+        s"corpus-scaled build trained $cents of $k cells")
+      val served = Similarity.serveFromIndex(spark, idx, raw,
+        nprobe = nprobe, shortlist = Similarity.shortlistAt(k, nprobe))
+        .collect().toSeq
+      val inline = Similarity.annIvfPqAuto(spark, sfDir).collect().toSeq
+      assert(served == inline)
+    } finally graft.streaming.StreamingOps.deleteRecursively(
+      java.nio.file.Paths.get(idx))
+  }
+
   test("index delta log auto-compacts past the L0 threshold, reads unchanged") {
     // The round-19 LSM L0 policy on the maintenance ops: once more
     // committed deltas sit unfolded than the threshold, the op that
