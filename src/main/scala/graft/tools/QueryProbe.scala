@@ -47,6 +47,7 @@ object QueryProbe {
       s" codegen=${n("""\*\(\d+\)""")}" +
       s" windows=${n("Window ")} joins=${n("Join ")}")
     if (args.contains("--plan")) println(p)
+    if (args.contains("--show")) df.show(200, truncate = false)
     val times = (1 to reps).map { _ =>
       graft.Caches.clearAll()
       val t0 = System.nanoTime()

@@ -102,17 +102,22 @@ class LshGeometrySpec extends SparkSpecBase {
     assert(Similarity.recommendedGeometry(1L, 0.9)._2 == 8)
   }
 
-  test("ivfGeometry: sqrt-n cells, fraction-of-K probes, sane bounds") {
-    // The corpus-scaled IVF routing rule (round 19): K = ceil(sqrt(n))
-    // with a floor of 4, NPROBE = ceil(AUTO_PROBE_FRAC * K) clamped to
-    // [2, K]. Pin the fixture points the recall gate measured and the
-    // structural properties (monotone K, probe fraction preserved,
-    // nprobe never exceeds K).
-    assert(Similarity.ivfGeometry(500L) == ((23, 5)))   // sf0.001/0.01
-    assert(Similarity.ivfGeometry(2000L) == ((45, 9)))  // sf0.1
+  test("ivfGeometry: sqrt-n cells, log-curve probes, sane bounds") {
+    // The corpus-scaled IVF routing rule (round 20 — recall-targeted,
+    // r19 verdict item 4): K = ceil(sqrt(n)) with a floor of 4,
+    // NPROBE = ceil(log2 n) at the AUTO_RECALL_TARGET=0.9 reference
+    // point, clamped to [2, K] — O(log n), so the scanned fraction
+    // VANISHES with corpus growth instead of staying a fixed 20%. Pin
+    // the fixture points the recall gate measured and the structural
+    // properties (monotone K, sub-linear probes, nprobe never exceeds
+    // K).
+    assert(Similarity.ivfGeometry(500L) == ((23, 9)))   // sf0.001/0.01
+    assert(Similarity.ivfGeometry(2000L) == ((45, 11))) // sf0.1
     assert(Similarity.ivfGeometry(1L) == ((4, 2)))      // floors
     val (k9, np9) = Similarity.ivfGeometry(1000000000L)
-    assert(k9 == math.ceil(math.sqrt(1e9)).toInt && np9 <= k9)
+    assert(k9 == math.ceil(math.sqrt(1e9)).toInt && np9 == 30 && np9 <= k9)
+    // Scanned fraction nprobe/K decays: ~0.39 at n=500 → ~1e-3 at n=1e9.
+    assert(np9.toDouble / k9 < 0.001)
     Seq(10L, 100L, 10000L, 100000000L).sliding(2).foreach { case Seq(a, b) =>
       assert(Similarity.ivfGeometry(a)._1 <= Similarity.ivfGeometry(b)._1,
         "K must be monotone in n")
