@@ -293,20 +293,16 @@ object StreamKeepBest {
     def events: DataFrame = readEvents(spark, stateDir)
 
     private var committedIds: Set[Long] = StreamNearDedup.readCommitted(stateDir)
-    // Auto-compaction at resume behind the same foldEvery knob — the
-    // [[StreamNearDedup.PersistentAccumulator]] L0 policy: fold the
-    // band layout before the mirrors are built when the unfolded
-    // history reaches foldEvery (events never fold — the
-    // object scaladoc's compaction boundary — so only bands gate
-    // here; the canonical mirror consolidates the event log either
-    // way). foldEvery <= 0 keeps compaction caller-driven.
-    locally {
-      if (foldEvery > 0) {
-        val folded = StreamNearDedup.manifest(stateDir)._2
-        if (committedIds.count(_ > folded) >= foldEvery)
-          compactBands(spark, stateDir)
-      }
-    }
+    // Deferred auto-compaction at resume behind the same foldEvery
+    // knob — the [[StreamNearDedup.PersistentAccumulator]] L0 policy
+    // and deferral (r19 item 5 + ADVICE): construction builds the
+    // mirrors off the EXISTING band layout (read-only — inspecting
+    // state never rewrites it); the unfolded-history debt seeds
+    // sinceDiskFold below, so the first NEW committed batch trips the
+    // in-loop fold branch and compacts the bands then (events never
+    // fold — the object scaladoc's compaction boundary; the canonical
+    // mirror consolidates the event log either way). foldEvery <= 0
+    // keeps compaction caller-driven.
     // Bands are read through the compaction manifest (generation base
     // + unfolded tail); events below stay a plain committed-ids read —
     // the event log never folds (see the object scaladoc's compaction
@@ -342,7 +338,10 @@ object StreamKeepBest {
         committedIds, emptyEvents(spark))).localCheckpoint()
     @volatile private var canonTail: List[DataFrame] = Nil
     private var sinceMemFold = 0
-    private var sinceDiskFold = 0
+    private var sinceDiskFold =
+      if (foldEvery > 0)
+        committedIds.count(_ > StreamNearDedup.manifest(stateDir)._2)
+      else 0
 
     /** The foreachBatch body (serial per query; lock defensive).
       *

@@ -311,17 +311,29 @@ object ScaleProbe {
         spark, histDir.toString, foldEvery = foldEvery)
       (System.nanoTime() - t0) / 1e9
     }
-    // Since round 19 the DEFAULT constructor auto-compacts a history
-    // with more unfolded batches than foldEvery, so the probe records
-    // four numbers: the caller-driven posture's wide-layout rebuild
-    // (foldEvery=0 — what every restart used to pay), the FIRST
-    // default restart (one-time auto-fold + rebuild off the fresh
-    // base), the explicit compact after it (must be a near-no-op —
-    // proof the auto-fold really folded), and the steady-state folded
-    // restart.
+    // Since round 20 the default constructor DEFERS the auto-fold
+    // (r19 verdict item 5): construction is a READ-ONLY rebuild off
+    // the existing layout (must ≈ the foldEvery=0 cost — the fold no
+    // longer serializes into the restart-to-first-result path), and
+    // the first NEW committed batch pays the one-time fold. Five
+    // numbers: the caller-driven wide-layout rebuild, the
+    // deferred-default restart (≈ the same), the first new batch's
+    // admit+fold cost, the explicit compact after it (near-no-op —
+    // proof the deferred fold really folded), and the steady-state
+    // folded restart.
     val restartUnfolded = restartSec(0)
-    val restartAutoFold = restartSec(
-      graft.streaming.StreamNearDedup.DISK_FOLD_EVERY)
+    val tD0 = System.nanoTime()
+    val accDeferred = new graft.streaming.StreamNearDedup.PersistentAccumulator(
+      spark, histDir.toString,
+      foldEvery = graft.streaming.StreamNearDedup.DISK_FOLD_EVERY)
+    val restartDeferred = (System.nanoTime() - tD0) / 1e9
+    val tB0 = System.nanoTime()
+    accDeferred.onBatch(admitDocs.filter(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(997)) === 0),
+      histBatches.toLong)
+    val firstBatchFold = (System.nanoTime() - tB0) / 1e9
     val tC0 = System.nanoTime()
     graft.streaming.StreamNearDedup.compactState(spark, histDir.toString)
     // The deferred GC keeps folded dirs one extra fold; sweep now (a
@@ -332,7 +344,8 @@ object ScaleProbe {
       graft.streaming.StreamNearDedup.DISK_FOLD_EVERY)
     f""""restart_compaction":{"history_batches":$histBatches,""" +
       f""""restart_unfolded_sec":$restartUnfolded%.2f,""" +
-      f""""restart_autofold_sec":$restartAutoFold%.2f,""" +
+      f""""restart_deferred_sec":$restartDeferred%.2f,""" +
+      f""""first_batch_fold_sec":$firstBatchFold%.2f,""" +
       f""""compact_noop_sec":$compactSec%.2f,""" +
       f""""restart_compacted_sec":$restartAfter%.2f}"""
     } finally Seq(histDir, seedDir, stateDir).foreach(

@@ -576,13 +576,15 @@ class StreamNearDedupSpec extends SparkSpecBase {
     assert(noManifest.isEmpty, "foldEvery=0 must never fold")
   }
 
-  test("persistent accumulator: resume auto-compacts a long unfolded history") {
-    // r18 verdict item 6: a restart over a history with more than
-    // foldEvery unfolded committed batches folds it AT CONSTRUCTION
-    // (the LSM L0 policy behind the same knob) instead of rebuilding
-    // the mirror from one parquet scan per batch — answers unchanged,
-    // MANIFEST proves the resume-time fold ran, and foldEvery=0 still
-    // never folds (caller-driven posture preserved).
+  test("persistent accumulator: resume defers the history auto-fold to the first new batch") {
+    // r18 verdict item 6 + r19 item 5: a restart over a history with
+    // more than foldEvery unfolded committed batches carries the fold
+    // DEBT instead of folding at construction — construction is
+    // read-only (inspecting state never rewrites the layout, the r19
+    // ADVICE) and pays only the plain mirror rebuild; the first NEW
+    // committed batch trips the in-loop fold branch, compacting
+    // history + batch. Answers unchanged throughout; foldEvery=0
+    // still never folds (caller-driven posture preserved).
     val docs = batches.flatten
     val bs = (0 until 4).map(k => docs.zipWithIndex.collect {
       case (d, i) if i % 4 == k => d })
@@ -600,24 +602,33 @@ class StreamNearDedupSpec extends SparkSpecBase {
         spark, state.toString, foldEvery = 0)
       assert(!java.nio.file.Files.exists(state.resolve("MANIFEST")),
         "foldEvery=0 resume must not fold")
-      // foldEvery=2 resume over the 4-batch unfolded history: the
-      // constructor folds before the mirror is built.
+      // foldEvery=2 resume over the 4-batch unfolded history:
+      // CONSTRUCTION must not touch the on-disk layout ...
       val acc2 = new StreamNearDedup.PersistentAccumulator(
         spark, state.toString, foldEvery = 2)
-      assert(java.nio.file.Files.exists(state.resolve("MANIFEST")) &&
-        java.nio.file.Files.readString(state.resolve("MANIFEST")).trim == "1 3",
-        "resume over a >foldEvery unfolded history must compact at construction")
-      val after = StreamNearDedup.readAdmitted(spark, state.toString)
-        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
-      assert(after == before, "resume-time fold changed the answer")
-      // The resumed accumulator still skips committed batches.
+      assert(!java.nio.file.Files.exists(state.resolve("MANIFEST")),
+        "resume construction must be read-only (deferred fold)")
+      // ... nor must replaying an already-committed batch (skip path).
       acc2.onBatch(bs(0).toDF("doc_id", "text"), 0L)
+      assert(!java.nio.file.Files.exists(state.resolve("MANIFEST")),
+        "a skipped committed batch must not trigger the deferred fold")
       assert(StreamNearDedup.readAdmitted(spark, state.toString)
         .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet == before)
+      // The first NEW committed batch pays the deferred fold: history
+      // (ids 0..3) + this batch (id 4) land in one generation. The
+      // batch re-offers already-admitted docs, so it admits nothing
+      // and the answer is unchanged — only the layout folds.
+      acc2.onBatch(bs(1).toDF("doc_id", "text"), 4L)
+      assert(java.nio.file.Files.exists(state.resolve("MANIFEST")) &&
+        java.nio.file.Files.readString(state.resolve("MANIFEST")).trim == "1 4",
+        "the first new committed batch must fold the carried history")
+      val after = StreamNearDedup.readAdmitted(spark, state.toString)
+        .select("doc_id", "batch_id").as[(Long, Long)].collect().toSet
+      assert(after == before, "deferred fold changed the answer")
     } finally graft.streaming.StreamingOps.deleteRecursively(state)
   }
 
-  test("keep-best: resume auto-compacts the band layout behind the same knob") {
+  test("keep-best: resume defers the band auto-fold to the first new batch") {
     val state = java.nio.file.Files.createTempDirectory("graft_kbresumefold_")
     try {
       runKeepBest(state, kbBatches.zipWithIndex.map {
@@ -627,16 +638,25 @@ class StreamNearDedupSpec extends SparkSpecBase {
         .readEvents(spark, state.toString)
         .select("doc_id", "comp", "quality", "action", "batch_id")
         .as[(Long, Long, Double, String, Long)].collect().toSet
-      new graft.streaming.StreamKeepBest.PersistentKeepBest(
+      // Resume over the >foldEvery history: construction is read-only
+      // (r19 item 5 + ADVICE — inspecting state never compacts it) ...
+      val kb = new graft.streaming.StreamKeepBest.PersistentKeepBest(
         spark, state.toString, foldEvery = 2)
+      assert(!java.nio.file.Files.exists(state.resolve("MANIFEST")),
+        "keep-best resume construction must be read-only (deferred fold)")
+      // ... and the first NEW committed batch pays the deferred band
+      // fold. Re-offering batch-0 docs as a new batch adds only their
+      // own challenge events; prior batches' events are untouched
+      // (events never fold — the compaction boundary).
+      kb.onBatch(kbBatches(0).toDF("doc_id", "text"), 3L)
       assert(java.nio.file.Files.exists(state.resolve("MANIFEST")),
-        "keep-best resume over a >foldEvery history must compact bands")
+        "the first new committed batch must fold the carried band history")
       val after = graft.streaming.StreamKeepBest
         .readEvents(spark, state.toString)
         .select("doc_id", "comp", "quality", "action", "batch_id")
         .as[(Long, Long, Double, String, Long)].collect().toSet
-      assert(after == before,
-        "band compaction must never touch the event log")
+      assert(after.filter(_._5 < 3L) == before,
+        "band compaction must never touch prior batches' event log")
     } finally graft.streaming.StreamingOps.deleteRecursively(state)
   }
 
