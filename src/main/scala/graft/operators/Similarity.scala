@@ -101,8 +101,14 @@ object Similarity extends QueryModule {
   }
 
   // --- cosine_topk: exact brute-force baseline ---------------------------
-  def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
-    val e = corpus(spark, dir)
+  def cosineTopk(spark: SparkSession, dir: String): DataFrame =
+    cosineTopkOn(corpus(spark, dir))
+
+  /** [[cosineTopk]] against a caller-supplied normalized corpus frame —
+    * lets `ann_recall` feed its ONE materialized corpus to the truth
+    * chain instead of re-scanning (same rows either way; the gate
+    * keeps the self-contained form). */
+  private def cosineTopkOn(e: DataFrame): DataFrame = {
     val q = queryWorkload(e, e)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.crossJoin(broadcast(q))
@@ -582,9 +588,16 @@ object Similarity extends QueryModule {
     // full scan + norm recompute otherwise). At 100 TB this is a
     // deliberate cluster-wide spill of (vec_id, v, nrm) — the right
     // trade for a pass that sweeps the corpus per reference anyway.
-    val e = corpus(spark, dir).localCheckpoint()
-    ivfServe(e, trainedCentAt(spark, dir, e, k), nprobe = nprobe)
+    annIvfTrainedOn(spark, dir, corpus(spark, dir).localCheckpoint(), k,
+      nprobe)
   }
+
+  /** [[annIvfTrainedAt]] against a caller-materialized corpus — shared
+    * by `ann_recall`, whose five serving chains ride ONE corpus
+    * checkpoint instead of one each. */
+  private def annIvfTrainedOn(spark: SparkSession, dir: String, e: DataFrame,
+      k: Int, nprobe: Int): DataFrame =
+    ivfServe(e, trainedCentAt(spark, dir, e, k), nprobe = nprobe)
 
   /** The sample-trained k-cell IVF codebook over the normalized corpus
     * `e`, cached per (dataset, k) — the one training path behind the
@@ -1653,42 +1666,41 @@ object Similarity extends QueryModule {
     // documented constants so their oracles replay a constant.
     val tst = tstrideDf(en, trainTargetFor(k))
     val tr = trainSliceOf(en, tst).localCheckpoint()
-    val cent = trainedCodebook(tr, strideCodebook(tr, k), IVF_TRAIN_ITERS)
-      .localCheckpoint() // feeds assignment, residual join, and the writes
-    // Checkpointed because BOTH code families consume it (the plain
-    // coded join and the residual subtraction) — uncheckpointed, each
-    // re-executes the O(n·K) assignment crossJoin.
-    val cellOf = nearestCells(cent)(en, 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-      .localCheckpoint()
-    cent.write.mode("overwrite").parquet(s"$base/centroids")
-    // Persist the ROUTING geometry with the index (r19 ADVICE): an
-    // index built at corpus-scaled k served at the fixed NPROBE/
-    // PQ_SHORTLIST silently degrades recall (the documented
-    // 0.2333-at-sf0.1 failure mode); storing (k, nprobe, shortlist)
-    // makes [[serveFromIndex]]'s defaults the values the build was
-    // sized for, with no caller re-derivation.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(base, "GEOMETRY"), s"$k $nprobe $shortlist")
+    // Concurrent job chains (guide §2.6 overlap — the r20 optimization
+    // round restructure): the build's wall-clock is a SEQUENCE of
+    // small jobs at fixture scale, so every chain launches the moment
+    // its inputs exist instead of behind an unrelated train. Outputs
+    // are disjoint directories; every frame a chain consumes is a
+    // materialized checkpoint, so interleaving cannot change a value.
+    //   - plain-PQ training needs only (en, tr): starts immediately,
+    //     concurrent with the IVF k-means;
+    //   - residual-PQ TRAINING needs only (tr, cent): the sample's
+    //     residuals are derived from the sample itself (same vectors,
+    //     same centroids, same rounding — bit-identical to slicing the
+    //     full-corpus residual frame, which previously serialized it
+    //     behind the O(n·K) corpus assignment);
+    //   - the two code-table encode+writes join their family's books
+    //     with cellOf when both exist.
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.Future
     // Cluster by cell before the partitioned writes: without it every
     // shuffle partition emits a sliver into every cell directory
     // (partitions × cells small files); clustered, each cell directory
     // holds one compact file — fewer files to commit here and to list
     // and open on every serve-path read, and the layout a 100 TB
     // inverted file wants (large sequential runs per cell).
-    // Each family returns its trained codebook frame (already a tiny
+    // Each family exposes its trained codebook frame (already a tiny
     // localCheckpoint) so the post-write under-fill check can count it
     // in memory instead of re-reading the just-written parquet.
-    def plainFamily(): DataFrame = {
+    val plainBooksF = Future {
       val subs = subspaces(en, "vec_id").localCheckpoint()
       val tsubs = subspaces(tr, "vec_id").localCheckpoint()
       val books = trainedPqBooks(tsubs, pqCodebooks(tr), PQ_TRAIN_ITERS)
       books.write.mode("overwrite").parquet(s"$base/codebooks")
-      pqAssignSubs(subs, books).join(cellOf, "vec_id")
-        .repartition(col("cell")).write.partitionBy("cell")
-        .mode("overwrite").parquet(s"$base/codes")
-      books
+      (subs, books)
     }
+    val cent = trainedCodebook(tr, strideCodebook(tr, k), IVF_TRAIN_ITERS)
+      .localCheckpoint() // feeds assignment, residual join, and the writes
     // Residual-PQ artifacts (the [[annIvfPqResidual]] refinement,
     // train-once form): residual r = v − centroid(cell(v)) per vector,
     // per-subspace codebooks trained over the residual slices, and the
@@ -1699,41 +1711,65 @@ object Similarity extends QueryModule {
     // the residual form (the upsert gate's slice index) — the residual
     // tables are then absent, and [[annIndexUpsert]] keeps only the
     // families that exist in lockstep.
-    def residualFamily(): DataFrame = {
-      val resid = residualFrame(en, cent, cellOf).localCheckpoint()
+    val rbooksF = if (!withResiduals) None else Some(Future {
       // The residual training sample: residuals of the SAME vectors tr
-      // holds (rsd count = corpus count, so the shared tst applies),
-      // re-keyed by the same quotient rule.
-      val rtr = trainSliceOf(resid.select(col("vec_id"), col("v")), tst)
-        .localCheckpoint()
-      val rsubs = subspaces(resid.select(col("vec_id"), col("v")), "vec_id")
-        .localCheckpoint()
+      // holds, under tr's own (already rank-re-keyed, dense-from-0)
+      // ids — the same rows trainSliceOf picks from the full residual
+      // frame (same vectors, same frozen centroids, same rounded
+      // assignment and subtraction), available as soon as cent is.
+      val trCell = nearestCells(cent)(tr, 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val rtr = residualFrame(tr, cent, trCell)
+        .select(col("vec_id"), col("v")).localCheckpoint()
       val rtsubs = subspaces(rtr, "vec_id").localCheckpoint()
       val rbooks = trainedPqBooks(rtsubs, pqCodebooks(rtr), PQ_TRAIN_ITERS)
-      val rcoded = pqAssignSubs(rsubs, rbooks)
-        .join(resid.select(col("vec_id"), col("cell")), "vec_id")
       rbooks.write.mode("overwrite").parquet(s"$base/rcodebooks")
-      rcoded.repartition(col("cell")).write.partitionBy("cell")
+      rbooks
+    })
+    // Checkpointed because BOTH code families consume it (the plain
+    // coded join and the residual subtraction) — uncheckpointed, each
+    // re-executes the O(n·K) assignment crossJoin.
+    val cellOf = nearestCells(cent)(en, 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+      .localCheckpoint()
+    val centWriteF = Future {
+      cent.write.mode("overwrite").parquet(s"$base/centroids")
+    }
+    // Persist the ROUTING geometry with the index (r19 ADVICE): an
+    // index built at corpus-scaled k served at the fixed NPROBE/
+    // PQ_SHORTLIST silently degrades recall (the documented
+    // 0.2333-at-sf0.1 failure mode); storing (k, nprobe, shortlist)
+    // makes [[serveFromIndex]]'s defaults the values the build was
+    // sized for, with no caller re-derivation. The base directory may
+    // not exist yet — the parquet writes that used to precede this now
+    // run concurrently.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "GEOMETRY"), s"$k $nprobe $shortlist")
+    val codesF = plainBooksF.map { case (subs, books) =>
+      pqAssignSubs(subs, books).join(cellOf, "vec_id")
+        .repartition(col("cell")).write.partitionBy("cell")
+        .mode("overwrite").parquet(s"$base/codes")
+      books
+    }
+    val rcodesF = rbooksF.map(_.map { rbooks =>
+      val resid = residualFrame(en, cent, cellOf).localCheckpoint()
+      val rsubs = subspaces(resid.select(col("vec_id"), col("v")), "vec_id")
+      pqAssignSubs(rsubs, rbooks)
+        .join(resid.select(col("vec_id"), col("cell")), "vec_id")
+        .repartition(col("cell")).write.partitionBy("cell")
         .mode("overwrite").parquet(s"$base/rcodes")
       rbooks
-    }
+    })
+    // Every write chain settles before anything proceeds (awaitAll's
+    // no-write-in-flight guarantee — the concurrent-write correctness
+    // idiom all three maintenance surfaces share).
+    val settled = graft.streaming.StreamingOps.awaitAll(
+      Seq(codesF.map(Option(_)), centWriteF.map(_ => None)) ++
+        rcodesF.map(_.map(Option(_))).toSeq)
     val trainedBooks: Seq[(String, DataFrame)] =
-    if (!withResiduals) Seq("codebooks" -> plainFamily())
-    else {
-      // The two code families are INDEPENDENT once (cent, cellOf) are
-      // materialized — train and write them as concurrent job chains
-      // on the shared context (Spark schedules concurrent jobs from
-      // separate threads; outputs are disjoint directories, results
-      // deterministic regardless of interleaving). On a cluster this
-      // is standard multi-job submission; locally it fills the
-      // scheduler gaps each short training stage leaves.
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fams = Seq(
-        "codebooks" -> scala.concurrent.Future(plainFamily()),
-        "rcodebooks" -> scala.concurrent.Future(residualFamily()))
-      fams.map(_._1).zip(
-        graft.streaming.StreamingOps.awaitAll(fams.map(_._2)))
-    }
+      Seq("codebooks" -> settled.head.get) ++
+        (if (rcodesF.isDefined) Seq("rcodebooks" -> settled(2).get) else Nil)
     // Fail LOUDLY on an empty code table. Since the r20 exact-fill
     // init over the rank-re-keyed training slice, an empty codes table
     // can only mean an empty input corpus — but a silent zero-row
@@ -3505,7 +3541,20 @@ object Similarity extends QueryModule {
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     // Truth feeds three consumers (two semi-joins + the total count) —
     // materialize the tiny (K_QUERIES × IVF_TOP_K)-row frame once.
-    val truth = cosineTopk(spark, dir)
+    // Shared serving scaffolding (r20 optimization round): ONE corpus
+    // checkpoint feeds the truth, the fixed-geometry chain, and the
+    // auto-geometry pair (previously each chain re-scanned and
+    // re-checkpointed the corpus), and the routed/control rows share
+    // ONE O(n·K) corpus assignment + query workload — the control row
+    // differs from the routed one only in its probe rule, so computing
+    // the rest twice measured pure duplicate work. Row VALUES are
+    // unchanged: serveCells ∘ routedProbes is the exact ivfServe
+    // dataflow (the ann_router_gain equivalence), and the oracle's
+    // independent replay of every chain still hash-gates each row.
+    val n = Tables.embeddings(spark, dir).count()
+    val (k, nprobe) = ivfGeometry(n)
+    val e = corpus(spark, dir).localCheckpoint()
+    val truth = cosineTopkOn(e)
       .filter(col("rank") <= IVF_TOP_K)
       .select(col("query_id"), col("vec_id"))
       .localCheckpoint()
@@ -3518,9 +3567,19 @@ object Similarity extends QueryModule {
           col("hits").cast("long").as("hits"),
           col("total").cast("long").as("total"),
           round(col("hits").cast("double") / col("total"), 4).as("recall"))
-    row("ivf_trained", annIvfTrained(spark, dir))
-      .unionByName(row("ivf_trained_auto", annIvfAuto(spark, dir)))
-      .unionByName(row("ivf_auto_random", annIvfAutoRandom(spark, dir)))
+    val cent = trainedCentAt(spark, dir, e, k)
+    val assigned = nearestCells(cent)(e, 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+      .localCheckpoint()
+    val qw = queryWorkload(e, e).select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    row("ivf_trained", annIvfTrainedOn(spark, dir, e, K_CENTROIDS, NPROBE))
+      .unionByName(row("ivf_trained_auto",
+        serveCells(assigned, qw, routedProbes(qw, cent, nprobe),
+          excludeSelf = true)))
+      .unionByName(row("ivf_auto_random",
+        serveCells(assigned, qw, hashProbes(qw, cent, nprobe),
+          excludeSelf = true)))
       .unionByName(row("ivfpq_auto", annIvfPqAuto(spark, dir)))
       .unionByName(row("ivfpq_served", annIvfPqServed(spark, dir)))
       .orderBy(col("method"))
