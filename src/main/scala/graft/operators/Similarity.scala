@@ -2064,7 +2064,13 @@ object Similarity extends QueryModule {
         // so a crash between the two writes leaves NEITHER visible. An
         // index built without residual artifacts (`withResiduals =
         // false`) has no residual serving to keep consistent, so that
-        // write is skipped.
+        // write is skipped. (r20 optimization round: sharing the
+        // batch's normalize + cell assignment between the two encodes
+        // behind an extra localCheckpoint, with concurrent delta
+        // writes, was A/B'd and measured SLOWER — the materialization
+        // job costs more than re-deriving a maintenance-window-sized
+        // batch twice, at fixture scale and at production batch sizes
+        // alike. Kept sequential-lazy deliberately.)
         if (java.nio.file.Files.exists(
             java.nio.file.Paths.get(indexBase, "rcodebooks")))
           writeDelta(encodeResidWith(spark, indexBase, fresh), s"$delta/rcodes")
