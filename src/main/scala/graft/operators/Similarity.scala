@@ -560,7 +560,12 @@ object Similarity extends QueryModule {
           s => s.getField("m")).as("cv"))
         .select(col("cell").as("cid"), col("cv"),
           sqrt(sqnorm(col("cv"))).as("cnrm"))
-        .localCheckpoint()
+        // LAZY checkpoint (r20 optimization round): still truncates the
+        // Catalyst plan per iteration (no nested-plan blowup), but the
+        // O(K)-row frame materializes inside its first consumer's job —
+        // the next iteration's broadcast, or the caller's first action —
+        // instead of costing one eager job per iteration.
+        .localCheckpoint(false)
     }
     cent
   }
@@ -1173,7 +1178,9 @@ object Similarity extends QueryModule {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => s.getField("mv")).as("cw"))
         .select(col("code").as("cid"), col("m"), col("cw"))
-        .localCheckpoint()
+        // Lazy for the same reason as [[trainedCodebook]]'s iteration
+        // checkpoint: plan truncation without one eager job per round.
+        .localCheckpoint(false)
     }
     books
   }
@@ -1508,7 +1515,14 @@ object Similarity extends QueryModule {
       modelCache.get(spark, key) match {
         case Some((storedId, df)) if storedId == id => df
         case _ =>
-          val df = train.localCheckpoint()
+          // Trained frames arrive already checkpoint-truncated (the
+          // training loops end in a localCheckpoint) — re-checkpointing
+          // one copies the frame through one more job for nothing.
+          val built = train
+          val df =
+            if (built.queryExecution.logical
+                .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) built
+            else built.localCheckpoint()
           modelCache(spark, key) = (id, df)
           df
       }
