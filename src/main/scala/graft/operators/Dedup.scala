@@ -520,12 +520,15 @@ object Dedup extends QueryModule {
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
       .distinct()
-      .localCheckpoint()
+      // Lazy: the count right below is the first action and
+      // materializes the checkpoint inside its own job (the PageRank
+      // r20 pattern — one job cascade per round, not two).
+      .localCheckpoint(false)
     var rounds = 0
     var eCount = e.count()
     var converged = eCount == 0
     while (!converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       rounds += 1
       // Both sides are canonical distinct sets, so equality reduces to
       // equal counts + empty one-sided difference; the previous count
