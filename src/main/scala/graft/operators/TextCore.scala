@@ -221,16 +221,25 @@ object TextCore extends QueryModule {
 
   /** All ordered co-occurring pairs per doc as a pure array expression
     * (reference: `combinations(2).flatMap(_.permutations)`,
-    * `PairsPMI.scala:64`) — no self-join, one explode, one groupBy. */
-  private def pairCounts(dt: DataFrame): DataFrame =
-    dt.select(explode(
+    * `PairsPMI.scala:64`) — no self-join, one explode, one groupBy.
+    * Only the w1 < w2 direction is exploded and aggregated (tokens are
+    * per-doc DISTINCT, so c(a,b) = c(b,a) exactly); the mirror
+    * direction is added back AFTER the count+threshold — halving the
+    * explode volume and the shuffle's bytes for identical output rows
+    * (guide §2.3 shuffle-fewer-bytes; r20 optimization round). */
+  private def pairCounts(dt: DataFrame): DataFrame = {
+    val half = dt.select(explode(
         flatten(transform(col("toks"), a =>
-          transform(filter(col("toks"), b => b =!= a),
+          transform(filter(col("toks"), b => b > a),
             b => struct(a.as("w1"), b.as("w2")))))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= PMI_THRESHOLD)
+      .localCheckpoint(false)
+    half.unionAll(
+      half.select(col("w2").as("w1"), col("w1").as("w2"), col("cnt")))
+  }
 
   // --- pairs PMI (PairsPMI.scala:44-87) ---------------------------------
   def pairsPmi(spark: SparkSession, dir: String): DataFrame = {
