@@ -49,18 +49,29 @@ object ScaleOps extends QueryModule {
     * the repo; `mode(Overwrite)` keeps the query re-runnable. */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val base = scratchDir("bucketed", dir)
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderdate"))
-      .write.format("parquet")
-      .bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$base/orders")
-      .mode("overwrite").saveAsTable("graft_orders_bkt")
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_quantity"))
-      .write.format("parquet")
-      .bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$base/lineitem")
-      .mode("overwrite").saveAsTable("graft_lineitem_bkt")
+    // The two bucketed writes are independent scan→bucket→write chains
+    // into separate tables — run them concurrently (guide §2.6; the
+    // r20 build-overlap posture) and settle both before the join reads.
+    locally {
+      import scala.concurrent.ExecutionContext.Implicits.global
+      graft.streaming.StreamingOps.awaitAll(Seq(
+        scala.concurrent.Future {
+          Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_orderdate"))
+            .write.format("parquet")
+            .bucketBy(BUCKETS, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"$base/orders")
+            .mode("overwrite").saveAsTable("graft_orders_bkt")
+        },
+        scala.concurrent.Future {
+          Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"), col("l_quantity"))
+            .write.format("parquet")
+            .bucketBy(BUCKETS, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"$base/lineitem")
+            .mode("overwrite").saveAsTable("graft_lineitem_bkt")
+        }))
+    }
     bucketedJoinRead(spark)
       .groupBy(date_format(col("o_orderdate"), "yyyy").as("order_year"))
       .agg(count(lit(1)).as("n_items"),

@@ -90,15 +90,28 @@ object TextCore extends QueryModule {
     * gives the same rows on a corpus whose distinct count fits memory
     * — which is exactly what the DuckDB oracle does, so the gate
     * proves the sketch path drops nothing. */
-  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+  /** The 1-row (sketch, total) aggregate pass — split out so PlanSpec
+    * can pin its partial+final ObjectHashAggregate shape (the gate
+    * plan hides it behind the checkpoint below). */
+  private[graft] def heavyHitterSketch(spark: SparkSession,
+      dir: String): DataFrame = {
     val words = toks(spark, dir).select(explode(col("tokens")).as("word"))
     val mg = udaf(new graft.functions.MisraGries(HH_K))
-    val cand = words.agg(mg(col("word")).as("sk"))
-      .select(explode(map_keys(col("sk.m"))).as("word"))
-    val total = words.agg(count(lit(1)).as("total"))
+    words.agg(mg(col("word")).as("sk"), count(lit(1)).as("total"))
+  }
+
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val words = toks(spark, dir).select(explode(col("tokens")).as("word"))
+    // Sketch and corpus total ride ONE aggregate pass (they were two
+    // separate scan+tokenize+explode subtrees — r20 optimization
+    // round); the 1-row result is lazily checkpointed because both the
+    // candidate explode and the total cross-join consume it.
+    val skTot = heavyHitterSketch(spark, dir)
+      .localCheckpoint(false)
+    val cand = skTot.select(explode(map_keys(col("sk.m"))).as("word"))
     words.join(broadcast(cand), Seq("word"), "left_semi")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(skTot.select(col("total"))))
       .filter(col("cnt") * HH_DENOM >= col("total"))
       .select(col("word"), col("cnt"))
       .orderBy(col("word"))
