@@ -160,7 +160,11 @@ object StreamKeepBest {
     // Deliberately NOT checkpointed: quality is one codegen map pass
     // over the batch source, consumed by two branches of the single
     // events action — a second in-job scan of one micro-batch file is
-    // cheaper than a dedicated materialization job per trigger.
+    // cheaper than a dedicated materialization job per trigger (r20
+    // re-confirmed: a lazy checkpoint here measured +15% task time and
+    // +1s wall on the 3-trigger gate — the deserialized row cache
+    // costs more than re-running the codegen scorer over the cached
+    // batch).
     val scored = batch.select(col("doc_id"),
         graft.operators.Pipeline.qualityCol(col("text")).as("quality"))
     // Challenger routing: min colliding cluster per doc (deterministic
@@ -364,6 +368,11 @@ object StreamKeepBest {
       * foreachBatch is the single writer and runs serially) and the
       * band mirror re-bases onto the new generation. */
     def onBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      // Job labels (guide §1.5): thread-local, covers every job this
+      // trigger launches on the foreachBatch thread.
+      def label(s: String): Unit =
+        spark.sparkContext.setJobDescription(s"keepbest b$batchId: $s")
+      label("trigger")
       if (!committedIds(batchId)) {
         // Spread the one-file micro-batch before minhash/quality (the
         // [[StreamNearDedup.PersistentAccumulator.onBatch]] rationale:
@@ -378,11 +387,13 @@ object StreamKeepBest {
         val winners = try {
           // ckptProbe whenever PRIOR state exists (the
           // [[StreamNearDedup.PersistentAccumulator]] rationale).
+          label("probe+components")
           val (events, _) = keepBestWithKeys(spark, batch, keys,
             bandsBase :: bandsTail, canonTail :+ canonBase,
             ckptProbe = committedIds.nonEmpty)
           // coalesce(1): one batch's delta, sized like the first-touch
           // accumulator's — a production job sizes this to batch volume.
+          label("events write")
           events.coalesce(1).write.mode("overwrite")
             .parquet(s"$stateDir/events/batch_id=$batchId")
           val winners = spark.read
@@ -392,6 +403,7 @@ object StreamKeepBest {
           val bandDelta = keys
             .join(winners.select(col("doc_id"), col("comp")), Seq("doc_id"))
             .select(col("band_idx"), col("band_key"), col("comp"))
+          label("band delta write")
           bandDelta.coalesce(1).write.mode("overwrite")
             .parquet(s"$stateDir/bands/batch_id=$batchId")
           StreamNearDedup.commit(stateDir, batchId)
