@@ -2104,6 +2104,10 @@ object Similarity extends QueryModule {
     }
     requireNonEmpty("codes")
     if (withResiduals) requireNonEmpty("rcodes")
+    // A rebuild overwrites the gen-0 tables IN PLACE (same generation,
+    // empty pending set) — bump the per-base epoch so the assembled-
+    // read cache cannot serve the pre-rebuild file listing.
+    epochOf(base).incrementAndGet()
     // Under-fill tripwire (r17 advice): the empty-table check above
     // catches an init that matched NOTHING, but a quantizer can still
     // end up smaller than its contract — a training sample smaller
@@ -2691,8 +2695,40 @@ object Similarity extends QueryModule {
       StructField("cell", LongType, nullable = false)))
   }
 
+  /** Assembled-read cache for the stored code tables, keyed by the
+    * index STATE (generation, pending delta set, rebuild epoch).
+    * Committed roots are write-once — a delta directory never changes
+    * after its marker lands, a generation table never changes after
+    * the MANIFEST points at it — so an unchanged state always resolves
+    * to the same files and the cached frame (with its already-built
+    * file index) is indistinguishable from a fresh listing, while ANY
+    * mutation changes the key: a new delta or tombstone set changes
+    * `pending`, a compaction changes `gen`, and a full rebuild (which
+    * overwrites gen-0 tables in place) bumps the per-base epoch below.
+    * Storage metadata, not memoized compute (the [[builtIndexes]]
+    * posture — survives Caches.clearAll by design): every query still
+    * computes from the parquet bytes; only the 64-cell partition
+    * DISCOVERY job (~150 ms, the dominant fixed cost of every served
+    * gate, re-paid on each serve before this) is skipped when the
+    * state is unchanged. */
+  private val codesFrameCache =
+    new graft.SessionMemo[(String, String, String), DataFrame]
+  private val buildEpochs = scala.collection.concurrent.TrieMap
+    .empty[String, java.util.concurrent.atomic.AtomicLong]
+  private def epochOf(base: String): java.util.concurrent.atomic.AtomicLong =
+    buildEpochs.getOrElseUpdate(base, new java.util.concurrent.atomic.AtomicLong)
+
   private[graft] def readCodes(spark: SparkSession, base: String,
       table: String = "codes"): DataFrame = {
+    val (gen0, folded0) = manifest(base)
+    val pending0 = committedDeltas(base).filter(_ > folded0)
+    val sig = s"$gen0|${pending0.mkString(",")}|${epochOf(base).get()}"
+    codesFrameCache.getOrElseUpdate(spark, (base, table, sig))(
+      assembleCodes(spark, base, table))
+  }
+
+  private def assembleCodes(spark: SparkSession, base: String,
+      table: String): DataFrame = {
     val (gen, folded) = manifest(base)
     val pending = committedDeltas(base).filter(_ > folded)
     // Every root carries its SEQUENCE (generation tables = 0, delta k =
