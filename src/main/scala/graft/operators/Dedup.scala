@@ -106,6 +106,17 @@ object Dedup extends QueryModule {
       .filter(size(col("hs")) > 0)
       // Boundary: the shingle arrays feed the minhash fold AND both
       // sides of the exact-verify join — one exchange, reused thrice.
+      // A/B-REJECTED rewrite (r21): moving this exchange BEFORE the
+      // tokenize+shingle pass (guide §2.5 — the fixture scans as one
+      // task, so the hashing ran on one core) measured NET SLOWER on
+      // every dedup-family gate (5-rep pairs: near_dedup 1.27→1.33 s,
+      // curation_pipeline 3.19→3.71 s): a keyed-only exchange gets
+      // AQE-coalesced back to one partition (text bytes are tiny), an
+      // explicit-count exchange pays scan-side text serialization plus
+      // cache-lock contention on the now-many-partition checkpoint
+      // across the concurrent AQE stage jobs — both exceed the ~0.3 s
+      // the parallel hashing saves. On a real many-file corpus the
+      // scan parallelism this chased is free at the source.
       .repartition(col("doc_id"))
   }
 
