@@ -772,7 +772,7 @@ object Dedup extends QueryModule {
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val comps = corpusClusters(spark, dir)
       .select(col("id").as("doc_id"), col("comp"))
-    val quality = graft.operators.Pipeline.docQuality(spark, dir)
+    val quality = graft.operators.Pipeline.docQualityScores(spark, dir)
       .select(col("doc_id"), col("quality"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("comp"))

@@ -140,7 +140,16 @@ object Pipeline extends QueryModule {
 
   /** Length/stopword/alphanumeric-ratio quality heuristic; pure per-row
     * expressions (no shuffle), the shape of a corpus-filtering pass. */
-  def docQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** [[docQuality]]'s rows WITHOUT the gate's presentation sort — the
+    * frame internal consumers (token_budget_pack, curation_pipeline,
+    * dedup_keep_best) materialize: the gate's global orderBy is a
+    * range exchange whose partitioner SAMPLING pass executes the child
+    * once and the sort executes it again — the corpus-wide regex
+    * tokenize TWICE per materialization (JobProbe: two back-to-back
+    * ~0.5 s scan jobs) — for an order every one of those consumers
+    * immediately discards (guide §2.4: an orderBy used only to make
+    * output deterministic). */
+  def docQualityScores(spark: SparkSession, dir: String): DataFrame = {
     val tokens = TextFns.tokenize(col("text"))
     val nTok = size(tokens).cast("double")
     val stopRatio = when(size(tokens) > 0,
@@ -154,8 +163,10 @@ object Pipeline extends QueryModule {
         round(stopRatio, 6).as("stopword_ratio"),
         round(alnumRatio, 6).as("alnum_ratio"),
         qualityCol(col("text")).as("quality"))
-      .orderBy(col("doc_id"))
   }
+
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
+    docQualityScores(spark, dir).orderBy(col("doc_id"))
 
   /** tokens kept when ∈ STOPWORDS (helper: `filter` with isin). */
   private def array_intersect_keep(tokens: Column): Column =
@@ -1215,7 +1226,7 @@ object Pipeline extends QueryModule {
     // 6 scans / 18 regex subtrees in the plan). The scored projection
     // is 3 narrow columns — the cheap thing to hold; the text payload
     // is dropped before the boundary.
-    val q = docQuality(spark, dir)
+    val q = docQualityScores(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .localCheckpoint()
     packTokenBudget(q)
@@ -1388,7 +1399,7 @@ object Pipeline extends QueryModule {
     * a single WITH RECURSIVE chain, so the gate certifies the WHOLE
     * pipeline end-to-end, not just its pieces. */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val scored = docQuality(spark, dir)
+    val scored = docQualityScores(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
       .localCheckpoint() // one tokenizer pass across all branches
     val whash = Window.partitionBy(col("text_hash"))
