@@ -1325,8 +1325,14 @@ object Similarity extends QueryModule {
     * SAMPLE but not on k, so their cache key carries the sample
     * target (all k with the same target share one trained model). */
   private def ivfPqTrainServe(spark: SparkSession, dir: String, k: Int,
-      nprobe: Int, shortlist: Int): DataFrame = {
-    val en = normalizedCorpus(spark, dir).localCheckpoint()
+      nprobe: Int, shortlist: Int): DataFrame =
+    ivfPqTrainServeOn(spark, dir,
+      normalizedCorpus(spark, dir).localCheckpoint(), k, nprobe, shortlist)
+
+  /** [[ivfPqTrainServe]] against a caller-materialized normalized
+    * corpus — `ann_recall`'s PQ rows share ONE checkpoint (r21). */
+  private def ivfPqTrainServeOn(spark: SparkSession, dir: String,
+      en: DataFrame, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     val target = trainTargetFor(k)
     val centKey =
       if (k == K_CENTROIDS) "ivf_cent_norm" else s"ivf_cent_norm_k$k"
@@ -2821,13 +2827,19 @@ object Similarity extends QueryModule {
     * [[annIvfPqTopk]] (same rounded artifacts, same serving plan), so
     * it shares that oracle; the bench delta between the two queries IS
     * the train-once/serve-many claim, measured. */
-  def annIvfPqServed(spark: SparkSession, dir: String): DataFrame = {
-    val base = ensureIndex(spark, dir)
+  def annIvfPqServed(spark: SparkSession, dir: String): DataFrame =
     // Same materialization the inline pipeline documents as
     // load-bearing: `en` feeds the stride aggregate, the query
     // workload, its subspace slices, and the re-rank join — without it
     // each consumer re-runs the scan + normalization.
-    val en = normalizedCorpus(spark, dir).localCheckpoint()
+    annIvfPqServedOn(spark, dir,
+      normalizedCorpus(spark, dir).localCheckpoint())
+
+  /** [[annIvfPqServed]] against a caller-materialized normalized
+    * corpus — `ann_recall` shares one checkpoint across its PQ rows. */
+  private def annIvfPqServedOn(spark: SparkSession, dir: String,
+      en: DataFrame): DataFrame = {
+    val base = ensureIndex(spark, dir)
     ivfPqServe(en,
       spark.read.parquet(s"$base/centroids"),
       spark.read.parquet(s"$base/codebooks"),
@@ -3932,10 +3944,55 @@ object Similarity extends QueryModule {
     val n = Tables.embeddings(spark, dir).count()
     val (k, nprobe) = ivfGeometry(n)
     val e = corpus(spark, dir).localCheckpoint()
-    val truth = cosineTopkOn(e)
-      .filter(col("rank") <= IVF_TOP_K)
-      .select(col("query_id"), col("vec_id"))
-      .localCheckpoint()
+    // Chain CONSTRUCTION is concurrent (r21, guide §2.6): each chain's
+    // eager materializations (the O(n²) truth checkpoint, the O(n·K)
+    // assignment checkpoint, the PQ rows' shared normalized-corpus
+    // checkpoint, model training / index build on first use) used to
+    // run strictly one after another on this thread; as independent
+    // futures over the one shared `e` they back-fill each other's
+    // stragglers. Every shared frame is a materialized checkpoint and
+    // every model build is lock-serialized, so interleaving cannot
+    // change a value — awaitAll settles everything before the union.
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.Future
+    val truthF = Future {
+      cosineTopkOn(e)
+        .filter(col("rank") <= IVF_TOP_K)
+        .select(col("query_id"), col("vec_id"))
+        .localCheckpoint()
+    }
+    val routedPairF = Future {
+      val cent = trainedCentAt(spark, dir, e, k)
+      val assigned = nearestCells(cent)(e, 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+        .localCheckpoint()
+      val qw = queryWorkload(e, e).select(col("vec_id").as("query_id"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+      (serveCells(assigned, qw, routedProbes(qw, cent, nprobe),
+          excludeSelf = true),
+        serveCells(assigned, qw, hashProbes(qw, cent, nprobe),
+          excludeSelf = true))
+    }
+    val fixedF = Future {
+      annIvfTrainedOn(spark, dir, e, K_CENTROIDS, NPROBE)
+    }
+    val pqPairF = Future {
+      // ONE normalized-corpus checkpoint for both PQ rows (the PQ
+      // family quantizes the unit sphere, so it cannot ride `e`).
+      val en = normalizedCorpus(spark, dir).localCheckpoint()
+      (ivfPqTrainServeOn(spark, dir, en, k, nprobe, shortlistAt(k, nprobe)),
+        annIvfPqServedOn(spark, dir, en))
+    }
+    graft.streaming.StreamingOps.awaitAll(
+      Seq[Future[Any]](truthF, fixedF, routedPairF, pqPairF))
+    // All settled; each result is read back BY NAME (the r20 ADVICE
+    // posture — no positional indexing into a mixed sequence).
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    val truth = Await.result(truthF, Duration.Inf)
+    val fixed = Await.result(fixedF, Duration.Inf)
+    val (routed, control) = Await.result(routedPairF, Duration.Inf)
+    val (pqAuto, pqServed) = Await.result(pqPairF, Duration.Inf)
     def row(method: String, approx: DataFrame): DataFrame =
       truth.join(approx.select(col("query_id"), col("vec_id")),
           Seq("query_id", "vec_id"), "left_semi")
@@ -3945,21 +4002,11 @@ object Similarity extends QueryModule {
           col("hits").cast("long").as("hits"),
           col("total").cast("long").as("total"),
           round(col("hits").cast("double") / col("total"), 4).as("recall"))
-    val cent = trainedCentAt(spark, dir, e, k)
-    val assigned = nearestCells(cent)(e, 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
-      .localCheckpoint()
-    val qw = queryWorkload(e, e).select(col("vec_id").as("query_id"),
-      col("v").as("qv"), col("nrm").as("qnrm"))
-    row("ivf_trained", annIvfTrainedOn(spark, dir, e, K_CENTROIDS, NPROBE))
-      .unionByName(row("ivf_trained_auto",
-        serveCells(assigned, qw, routedProbes(qw, cent, nprobe),
-          excludeSelf = true)))
-      .unionByName(row("ivf_auto_random",
-        serveCells(assigned, qw, hashProbes(qw, cent, nprobe),
-          excludeSelf = true)))
-      .unionByName(row("ivfpq_auto", annIvfPqAuto(spark, dir)))
-      .unionByName(row("ivfpq_served", annIvfPqServed(spark, dir)))
+    row("ivf_trained", fixed)
+      .unionByName(row("ivf_trained_auto", routed))
+      .unionByName(row("ivf_auto_random", control))
+      .unionByName(row("ivfpq_auto", pqAuto))
+      .unionByName(row("ivfpq_served", pqServed))
       .orderBy(col("method"))
   }
 
