@@ -80,16 +80,6 @@ object TextCore extends QueryModule {
     * threshold to disagree across engines). */
   val HH_DENOM = 30L
 
-  /** Tokens occupying ≥ 1/[[HH_DENOM]] of the corpus, found the
-    * scale-correct way: a [[graft.functions.MisraGries]] sketch pass
-    * bounds the candidate set to [[HH_K]] entries per partial buffer
-    * (map-side combine, O(k) shuffle records — a billion-distinct
-    * column never materializes a billion-row aggregate), then an EXACT
-    * recount of the ≤ k candidates (broadcast semi-join, never a
-    * collect) yields the deterministic final answer. `wordcount`+HAVING
-    * gives the same rows on a corpus whose distinct count fits memory
-    * — which is exactly what the DuckDB oracle does, so the gate
-    * proves the sketch path drops nothing. */
   /** The 1-row (sketch, total) aggregate pass — split out so PlanSpec
     * can pin its partial+final ObjectHashAggregate shape (the gate
     * plan hides it behind the checkpoint below). */
@@ -100,6 +90,16 @@ object TextCore extends QueryModule {
     words.agg(mg(col("word")).as("sk"), count(lit(1)).as("total"))
   }
 
+  /** Tokens occupying ≥ 1/[[HH_DENOM]] of the corpus, found the
+    * scale-correct way: a [[graft.functions.MisraGries]] sketch pass
+    * bounds the candidate set to [[HH_K]] entries per partial buffer
+    * (map-side combine, O(k) shuffle records — a billion-distinct
+    * column never materializes a billion-row aggregate), then an EXACT
+    * recount of the ≤ k candidates (broadcast semi-join, never a
+    * collect) yields the deterministic final answer. `wordcount`+HAVING
+    * gives the same rows on a corpus whose distinct count fits memory
+    * — which is exactly what the DuckDB oracle does, so the gate
+    * proves the sketch path drops nothing. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val words = toks(spark, dir).select(explode(col("tokens")).as("word"))
     // Sketch and corpus total ride ONE aggregate pass (they were two
